@@ -1,0 +1,77 @@
+"""Data-quality gates — engine-native replacement for ``dbt test``.
+
+The reference's only automated correctness gate is a blocking ``dbt test``
+stage over the enriched models (``dags/dag_bike.py:130-135``; test SQL
+external to the repo). Typical dbt generic tests are ``not_null`` and
+``unique`` on keys — reproduced here as first-class DataFrame checks
+(SURVEY §2.4 R4), plus the reference's post-index row-count reconciliation
+(K4, ``index_to_elastic_with_spark.py:40-68``).
+
+Scale: each check is a single aggregation. ``unique_violations`` is a
+hash-aggregate on the key (map-side partial aggregation shrinks the shuffle
+to distinct keys); ``not_null_violations`` is a filter+count with the null
+predicate pushed into the scan. All checks can share one cached input.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class QualityError(AssertionError):
+    """A blocking data-quality violation (pipeline must fail loudly —
+    contrast the reference's silent ``return None`` ingest bug,
+    ``velib_data_fetcher.py:68-71``; SURVEY §7.4 #7)."""
+
+
+@dataclass(frozen=True)
+class CheckResult:
+    check: str
+    column: str
+    violations: int
+
+    @property
+    def passed(self) -> bool:
+        return self.violations == 0
+
+
+def not_null_violations(df: DataFrame, column: str) -> CheckResult:
+    """dbt ``not_null`` parity: count of null key values."""
+    n = df.filter(F.col(column).isNull()).count()
+    return CheckResult("not_null", column, n)
+
+
+def unique_violations(df: DataFrame, *columns: str) -> CheckResult:
+    """dbt ``unique`` parity: number of key values appearing more than once."""
+    n = (
+        df.groupBy(*[F.col(c) for c in columns])
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .count()
+    )
+    return CheckResult("unique", ",".join(columns), n)
+
+
+def reconcile_counts(df: DataFrame, sink_count: int) -> CheckResult:
+    """K4 parity: written-vs-source row-count reconciliation
+    (``index_to_elastic_with_spark.py:40-68,155`` — but asserted, not printed)."""
+    n = df.count()
+    return CheckResult("reconcile", "*", abs(n - sink_count))
+
+
+def run_gate(df: DataFrame, *, not_null: tuple[str, ...] = (), unique: tuple[str, ...] = ()) -> list[CheckResult]:
+    """Run a gate; raise QualityError on any violation (blocking, like the
+    dbt stage gating serving at ``dag_bike.py:171-175``)."""
+    df = df.cache()
+    try:
+        results = [not_null_violations(df, c) for c in not_null]
+        results += [unique_violations(df, c) for c in unique]
+    finally:
+        df.unpersist()
+    failed = [r for r in results if not r.passed]
+    if failed:
+        raise QualityError(f"quality gate failed: {failed}")
+    return results

@@ -1,0 +1,52 @@
+"""SparkSession factory.
+
+One place that owns every performance-relevant session conf, so tests,
+bench, and the driver entrypoint all run the same engine profile.
+
+Scale notes (100 TB target):
+  * AQE on — runtime coalescing of shuffle partitions, skew-join splitting,
+    and dynamic broadcast conversion replace hand-tuned partition counts.
+  * Arrow on — any pandas interchange (mapInPandas/pandas UDF ops) moves
+    columnar batches, never pickled rows.
+  * UTC session timezone — epoch→timestamp conversions are tz-dependent
+    (reference hazard at ``transform_ss_velib_with_spark.py:64``; SURVEY §7.4).
+  * shuffle.partitions is a *default* only; AQE shrinks it per-stage. On a
+    real cluster set it ≈ 2-3× total cores via EngineConfig.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from datalake_public_spark.config import EngineConfig
+
+
+def get_spark(config: EngineConfig | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession."""
+    cfg = config or EngineConfig()
+    builder = (
+        SparkSession.builder.appName(cfg.app_name)
+        .master(cfg.master)
+        .config("spark.sql.session.timeZone", cfg.timezone)
+        .config("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Files: pack small snapshot files into sane input splits.
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Keep the UI off in tests/bench; driver memory generous for local mode.
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+    )
+    for k, v in cfg.extra_conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune_for_local_tests(spark: SparkSession) -> SparkSession:
+    """Small-data settings for unit tests (fewer partitions → faster)."""
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    return spark

@@ -1,0 +1,86 @@
+"""Lake and document sinks.
+
+Reference sinks (SURVEY §2.2): K2 parquet overwrite writes
+(``transform_ss_velib_with_spark.py:108`` etc.), K3 Elasticsearch bulk index
+with doc-id mapping (``index_to_elastic_with_spark.py:139-150``), K4 post-write
+count verification (``:40-68``).
+
+The ES sink sits behind a ``DocumentSink`` interface so the correctness path
+never needs external infra (SURVEY §7.4 #6) — tests swap in
+``ParquetDocumentSink``.
+
+Scale: formatted/enriched writes are Hive-partitioned on ingest columns so
+downstream reads prune; ``mode="overwrite"`` +
+``partitionOverwriteMode=dynamic`` gives idempotent per-partition re-runs
+(a retried 3-hourly tick rewrites only its own snapshot partition, not the
+whole table — contrast the reference's whole-prefix overwrite).
+"""
+
+from __future__ import annotations
+
+from typing import Protocol
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """K2 parity with Hive partitioning instead of path surgery."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.option("partitionOverwriteMode", "dynamic").partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+class DocumentSink(Protocol):
+    """Anything that can absorb a serving-shaped DataFrame keyed by doc id."""
+
+    def write(self, df: DataFrame, *, index: str, id_col: str) -> int:
+        """Write and return the number of documents indexed."""
+        ...
+
+
+class ParquetDocumentSink:
+    """Test/local stand-in for Elasticsearch: same contract, parquet storage."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root.rstrip("/")
+
+    def write(self, df: DataFrame, *, index: str, id_col: str) -> int:
+        path = f"{self.root}/{index}"
+        df.write.mode("overwrite").parquet(path)
+        # K4 reconciliation read-back (asserted by callers via quality.reconcile_counts)
+        return df.sparkSession.read.parquet(path).count()
+
+
+class ElasticsearchSink:
+    """K3: the es-spark connector sink (``org.elasticsearch.spark.sql``),
+    config-compatible with ``index_to_elastic_with_spark.py:139-150``
+    (``es.mapping.id``, ``es.index.auto.create=false`` — mappings are
+    externally managed). Requires the elasticsearch-spark jar on the
+    session classpath; unavailable in this container, so instantiation is
+    allowed but ``write`` raises unless the jar is present."""
+
+    def __init__(self, nodes: str, port: int = 9200, ssl: bool = False) -> None:
+        self.nodes = nodes
+        self.port = port
+        self.ssl = ssl
+
+    def write(self, df: DataFrame, *, index: str, id_col: str) -> int:
+        (
+            df.write.format("org.elasticsearch.spark.sql")
+            .option("es.nodes", self.nodes)
+            .option("es.port", str(self.port))
+            .option("es.net.ssl", str(self.ssl).lower())
+            .option("es.resource", index)
+            .option("es.mapping.id", id_col)
+            .option("es.index.auto.create", "false")
+            .mode("overwrite")
+            .save()
+        )
+        return df.count()

@@ -1,0 +1,80 @@
+"""Schema'd readers for every lake zone.
+
+Replaces the reference's three read idioms (SURVEY §2.1):
+  * S4 ``spark.read.json(path)`` with inference
+    (``transform_ss_velib_with_spark.py:59``) → explicit-schema JSON read;
+  * S5 ``spark.read.schema(s).parquet(path)``
+    (``index_to_elastic_with_spark.py:127``) → identical;
+  * S6 boto3 ``list_objects_v2`` manual partition discovery
+    (``index_to_elastic_with_spark.py:16-38``) → Hive partition discovery +
+    partition-column predicates (Catalyst prunes; no driver-side listing code).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_json_snapshots(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    *,
+    multiline: bool = False,
+    mode: str = "FAILFAST",
+) -> DataFrame:
+    """Read GBFS-style JSON snapshot(s) with a declared schema.
+
+    ``path`` may be one snapshot file or a partitioned directory
+    (``.../ingest_date=YYYYMMDD/ingest_time=HHMMSS/*.json``); Spark's
+    partition discovery exposes the partition columns automatically, so
+    "latest snapshot" becomes a filter, not path surgery.
+    No inference: the schema is applied at scan time, keeping the plan a
+    single unbroken Catalyst tree (contrast reference §1.4).
+
+    ``mode=FAILFAST``: Spark's default PERMISSIVE mode silently nulls
+    malformed records, which would let a corrupt snapshot produce an empty
+    feed and a "successful" run — the same silent-failure class as the
+    reference's ``return None`` ingest bug (``velib_data_fetcher.py:68-71``;
+    SURVEY §7.4 #7). Fail loudly instead.
+    """
+    return (
+        spark.read.schema(schema)
+        .option("multiLine", multiline)
+        .option("mode", mode)
+        .json(path)
+    )
+
+
+def read_parquet_table(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """Parquet scan, optionally schema-pinned (reference S5)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def latest_partition(df: DataFrame, partition_col: str) -> DataFrame:
+    """Select rows of the most recent snapshot partition.
+
+    Replaces the reference's "first subfolder from a boto3 listing"
+    (``index_to_elastic_with_spark.py:96-101``, ``k_means_with_spark.py:68-74``)
+    with a metadata-only max over the partition column: Catalyst resolves the
+    scalar subquery against partition values and prunes every other partition.
+    """
+    mx = df.select(F.max(partition_col).alias("__mx"))
+    return df.join(F.broadcast(mx), on=df[partition_col] == mx["__mx"], how="inner").drop("__mx")
+
+
+def load_testdata_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] | None = None
+) -> dict[str, DataFrame]:
+    """Load the driver's TPC-H-ish parquet tables (TESTDATA.md)."""
+    from datalake_public_spark.schemas import TESTDATA_TABLES
+
+    names = tables or TESTDATA_TABLES
+    return {t: spark.read.parquet(f"{sf_dir.rstrip('/')}/{t}.parquet") for t in names}
