@@ -3,36 +3,47 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Query implementations live in the engine package:
+  datalake_public_spark/driver_queries.py      — SURVEY §2 operator parity
+  datalake_public_spark/driver_queries_llm.py  — dedup / similarity / text /
+                                                 multimodal pipeline operators
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datalake_public_spark.driver_queries import REGISTRY  # noqa: E402
+from datalake_public_spark.driver_queries_llm import LLM_REGISTRY  # noqa: E402
+
+_ALL = {**REGISTRY, **LLM_REGISTRY}
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the full star-join
+    regional-revenue aggregation (broadcast dims, partial aggregation)."""
+    from datalake_public_spark.driver_queries import q5_regional_revenue
+
+    return q5_regional_revenue(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 + the
+    training-data-pipeline operators (BASELINE.json north star)."""
+    return {name: spec.spark for name, spec in _ALL.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible query. Omitted
+    (rows-only check) for: dedup_minhash_lsh (xxhash64 signatures are
+    JVM-specific), similarity_ann_lsh (approximate by design; recall
+    asserted in tests), ml_kmeans_embeddings (iterative MLlib fit)."""
+    return {name: spec.oracle for name, spec in _ALL.items() if spec.oracle is not None}

@@ -1,0 +1,300 @@
+"""Driver-contract queries: training-data-pipeline operators (dedup,
+similarity, text analysis, multimodal) on the documents/embeddings tables.
+
+Companion to driver_queries.py (same QuerySpec contract; registries merged
+in __spark_entry__.py). Oracle SQL is generated from the same constants as
+the Spark expressions (functions/text_funcs.py) so the two sides cannot
+drift independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_public_spark.driver_queries import QuerySpec, _t
+from datalake_public_spark.functions import text_funcs as T
+from datalake_public_spark.functions import vector as V
+from datalake_public_spark.operators import dedup, multimodal, similarity, text
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return text.token_stats(_t(spark, sf, "documents"))
+
+
+TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       strlen(text) AS n_bytes,
+       len({T.tokens_sql('text')}) AS n_ws_tokens,
+       len({T.regex_tokens_sql('text')}) AS n_re_tokens,
+       len(list_distinct({T.tokens_sql('text')})) AS n_uniq_tokens
+FROM documents
+"""
+
+
+def text_language_id(spark: SparkSession, sf: str) -> DataFrame:
+    return text.language_id(_t(spark, sf, "documents"))
+
+
+LANGUAGE_ID_SQL = (
+    "SELECT doc_id, "
+    + T.language_id_sql("text")
+    + " AS pred_lang, "
+    + ", ".join(
+        f"{T.lang_hits_sql('text', lang)} AS hits_{lang}" for lang in T.LANG_MARKERS
+    )
+    + " FROM documents"
+)
+
+
+def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    return text.quality_score(_t(spark, sf, "documents"))
+
+
+_TOKS = T.tokens_sql("text")
+QUALITY_SQL = f"""
+WITH t AS (SELECT doc_id, n_chars, {_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, n_chars,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) / len(toks) AS uniq_ratio,
+         list_sum(list_transform(toks, tk -> length(tk)::DOUBLE)) / len(toks) AS mean_tok_len
+  FROM t
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(uniq_ratio, 4) AS uniq_ratio,
+       round(mean_tok_len, 4) AS mean_tok_len,
+       round(0.5 * uniq_ratio
+             + 0.5 * (1.0 - least(abs(mean_tok_len - 5.0) / 10.0, 1.0)), 4) AS quality
+FROM m
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return text.fingerprint(_t(spark, sf, "documents"))
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       {T.rolling_hash_sql("substr(text, 1, 256)")} AS fingerprint,
+       {T.simhash32_sql("text")} AS simhash
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.exact_dedup(_t(spark, sf, "documents"))
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.5)
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH sh AS (
+  SELECT doc_id AS id, {T.shingles_sql('toks')} AS shingles
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+  WHERE len({T.shingles_sql('toks')}) > 0
+),
+inv AS (SELECT id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT id, len(shingles) AS n_sh FROM sh),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH (xxhash64 signatures — JVM-only, no SQL oracle; the
+    driver records a rows-only check. tests/test_dedup.py validates it
+    against ngram_jaccard_pairs, the exact baseline)."""
+    return dedup.minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.5)
+
+
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash_clusters(_t(spark, sf, "documents"), max_hamming=3)
+
+
+DEDUP_SIMHASH_SQL = f"""
+WITH fp AS (
+  SELECT doc_id AS id, {T.simhash32_sql('text')} AS simhash FROM documents
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a JOIN fp b
+  ON a.id < b.id
+ AND (a.simhash % 65536 = b.simhash % 65536
+      OR (a.simhash & 4294901760) = (b.simhash & 4294901760))
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup pairs within label blocks (blocking keeps the
+    exact-pair oracle tractable; the unblocked scale path is LSH)."""
+    emb = _t(spark, sf, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("label")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("label")
+    )
+    return (
+        a.join(b, ["label"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(V.cosine("va", "vb"), 6))
+        .filter(F.col("cos") >= 0.35)
+        .select("label", "id_a", "id_b", "cos")
+    )
+
+
+DEDUP_EMBEDDING_SQL = f"""
+SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+       round({V.cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({V.cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.35
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+def similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.brute_force_topk(queries, emb, k=10)
+
+
+SIMILARITY_TOPK_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         round({V.cosine_sql('q.embedding', 'c.embedding')}, 6) AS cos
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 8
+),
+ranked AS (
+  SELECT query_id, match_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, match_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, match_id, cos, rk FROM ranked WHERE rk <= 10
+"""
+
+
+def similarity_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (no SQL oracle — approximate by design;
+    recall vs brute force asserted in tests/test_similarity.py)."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.lsh_topk(queries, emb, k=10, n_planes=8, dim=64)
+
+
+def ml_kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """M1-M3 on testdata: KMeans over the first two embedding dims →
+    cluster sizes (no SQL oracle: iterative MLlib fit; determinism via
+    fixed seed is asserted in tests)."""
+    from datalake_public_spark.operators.cluster import fit_assign_kmeans
+
+    emb = _t(spark, sf, "embeddings").select(
+        F.col("vec_id"),
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    clustered = fit_assign_kmeans(
+        emb, feature_cols=("x", "y"), k=8, seed=1, weight_col=None
+    )
+    return clustered.groupBy("prediction").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+def multimodal_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    docs = multimodal.attach_binary_payload(_t(spark, sf, "documents"))
+    return multimodal.media_metadata(docs)
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id,
+       'text/plain' AS media_type,
+       strlen(text) AS byte_len,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (the stubbed-decode path). Byte stats are deterministic, so this IS
+    oracle-checkable: DuckDB recomputes them from the utf-8 text."""
+    docs = multimodal.attach_binary_payload(_t(spark, sf, "documents"))
+    feats = multimodal.extract_features_stub(docs)
+    return feats.withColumn("mean_byte", F.round("mean_byte", 4))
+
+
+# documents are pure ASCII (verified), so utf-8 byte stats == char-code
+# stats — lets the oracle avoid per-byte BLOB access DuckDB 1.0 lacks
+MULTIMODAL_FEATURES_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''), c -> ascii(c)) AS codes
+  FROM documents
+)
+SELECT doc_id,
+       len(codes)::INT AS byte_len,
+       round(list_sum(codes) * 1.0 / len(codes), 4) AS mean_byte,
+       list_max(codes)::INT AS max_byte,
+       len(list_filter(codes, x -> x = 0))::INT AS n_zero
+FROM b
+"""
+
+
+LLM_REGISTRY: dict[str, QuerySpec] = {
+    "text_token_stats": QuerySpec(text_token_stats, TOKEN_STATS_SQL),
+    "text_language_id": QuerySpec(text_language_id, LANGUAGE_ID_SQL),
+    "text_quality_score": QuerySpec(text_quality_score, QUALITY_SQL),
+    "doc_fingerprint": QuerySpec(doc_fingerprint, FINGERPRINT_SQL),
+    "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
+    "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, None),
+    "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
+    "similarity_topk": QuerySpec(similarity_topk, SIMILARITY_TOPK_SQL),
+    "similarity_ann_lsh": QuerySpec(similarity_ann_lsh, None),
+    "ml_kmeans_embeddings": QuerySpec(ml_kmeans_embeddings, None),
+    "multimodal_metadata": QuerySpec(multimodal_metadata, MULTIMODAL_META_SQL),
+    "multimodal_features": QuerySpec(multimodal_features, MULTIMODAL_FEATURES_SQL),
+}

@@ -1,0 +1,274 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all shuffle-conscious:
+
+  * exact      — hash-groupBy on content; one shuffle of (hash, id) pairs.
+  * ngram      — exact n-gram-Jaccard pairs via shingle-inverted-index
+                 self-join (the accurate-but-quadratic-in-bucket baseline).
+  * minhash    — MinHash+LSH banding: the 100 TB path. Signatures are a
+                 narrow fixed-width column (num_perm longs/doc regardless of
+                 doc size); the only shuffle is on (band, band_hash) — a key
+                 specifically designed to collide only for near-dups.
+  * simhash    — 64→32-bit fingerprint + Hamming bucketing.
+  * embedding  — cosine near-dup pairs over an embedding column.
+
+All hashing is deterministic; minhash uses xxhash64 (seeded per
+permutation, JVM-side), everything else uses the oracle-reproducible
+modular hashes from functions/text_funcs.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datalake_public_spark.functions import text_funcs as T
+from datalake_public_spark.functions import vector as V
+from datalake_public_spark.sources.readers import widen_for_compute
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: per distinct content, the surviving (min) id and the
+    duplicate count. GroupBy md5(content) rather than raw content so the
+    shuffle moves 16-byte keys, not document bodies (at 100 TB the text
+    column dominates I/O; the hash-key shuffle is ~constant width)."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-n-gram Jaccard near-dup pairs via an inverted shingle
+    index: explode distinct shingles → self-equi-join on shingle →
+    per-pair intersection count → |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold.
+
+    Scale: the join key is a full shingle (highly selective — random text
+    rarely collides); cost is Σ bucket² over shingle buckets. For 100 TB,
+    cap pathological buckets (boilerplate shingles) or use minhash_lsh_pairs
+    below — this operator is the exact baseline the LSH variant is
+    validated against."""
+    sh = widen_for_compute(docs).select(
+        F.col(id_col).alias("id"), T.shingles(text_col, n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sizes = sh.select("id", F.size("shingles").alias("n_sh"))
+    inv = sh.select("id", F.explode("shingles").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    num_perm: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures via universal hashing: each shingle is
+    string-hashed ONCE (xxhash64, folded to 31 bits), then the num_perm
+    permutations are the affine family h_p(x) = a_p·x + b_p with 31-bit
+    coefficients — products stay < 2^62, overflow-free under Spark 4's
+    ANSI arithmetic. One string hash + num_perm multiply-adds per shingle,
+    instead of num_perm string hashes — the dominant cost at scale.
+    Signature stays one narrow array<long> per doc, constant width
+    regardless of document size. Deterministic: (a_p, b_p) generated from
+    a fixed seed on the driver."""
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [
+        (rng.randrange(0, 2**30) * 2 + 1, rng.randrange(0, 2**31)) for _ in range(num_perm)
+    ]
+    sh = widen_for_compute(docs).select(
+        F.col(id_col).alias("id"), T.shingles(text_col, shingle_n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    based = sh.withColumn(
+        "base",
+        F.transform(
+            F.col("shingles"), lambda s: F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF))
+        ),
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("base"), lambda h: h * F.lit(a) + F.lit(b))
+            )
+            for a, b in coeffs
+        ]
+    )
+    return based.select("id", "shingles", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact Jaccard.
+
+    Pipeline: signatures → band keys (hash of each r-row signature slice) →
+    shuffle on (band, key) → pairs within buckets → distinct → exact-Jaccard
+    verify on the shingle sets → pairs ≥ threshold.
+
+    Scale levers: ``bands``/``num_perm`` tune the S-curve around the
+    threshold; ``max_bucket`` drops degenerate buckets (all-identical
+    boilerplate) that would go quadratic — at 100 TB those are handled by a
+    dedicated exact-dup pass first (exact_dedup), so dropping them here
+    loses nothing."""
+    r = num_perm // bands
+    sigs = minhash_signatures(
+        docs, text_col, id_col, shingle_n=shingle_n, num_perm=num_perm
+    ).cache()
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"), F.xxhash64(F.slice("sig", b * r + 1, r)).alias("key")
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    # prune degenerate buckets before the quadratic pair step
+    bucket_sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("sz"))
+    banded = banded.join(
+        bucket_sizes.filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket)), ["band", "key"]
+    )
+    pa, pb = banded.alias("a"), banded.alias("b")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh_a = sigs.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sigs.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def simhash_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit simhash, candidate generation by
+    16-bit half-key blocking (a pair within Hamming ≤ 3 of 32 bits must
+    agree exactly on at least one 16-bit half — pigeonhole over 4 chunks
+    would be tighter; halves are the cheap variant), verified by exact
+    Hamming distance."""
+    fp = widen_for_compute(docs).select(
+        F.col(id_col).alias("id"), T.simhash32(text_col).alias("simhash")
+    )
+    halves = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("part"), (F.col("simhash") % (2**16)).alias("key")),
+                F.struct(
+                    F.lit(1).alias("part"),
+                    (F.col("simhash").bitwiseAND(F.lit(0xFFFF0000))).alias("key"),
+                ),
+            )
+        ).alias("pk"),
+    ).select("id", "simhash", "pk.part", "pk.key")
+    a, b = halves.alias("a"), halves.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.part") == F.col("b.part"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            T.hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, brute-force all-pairs.
+
+    This is the exact baseline (O(N²) — fine at correctness scale). The
+    100 TB path is operators/similarity.py's LSH bucketing; this operator
+    exists so that path has an oracle."""
+    emb = widen_for_compute(emb)
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(V.cosine("va", "vb"), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

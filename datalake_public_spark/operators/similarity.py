@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns.
+
+Two paths:
+  * brute-force top-k — the exact baseline: queries × corpus cross join,
+    codegen cosine, per-query top-k. O(|Q|·N); right answer, used as the
+    oracle and for small query sets.
+  * random-hyperplane LSH top-k — the scale path: hash every vector to a
+    signbit bucket; candidates = corpus rows sharing the query's bucket
+    (optionally within Hamming ≤ 1 via multi-probe); exact cosine re-rank
+    inside the bucket. At 100 TB this turns a full-corpus scan per query
+    into a bucket-local lookup; recall is tuned by n_planes/probes.
+
+Hyperplanes are generated from a fixed seed on the driver and shipped as a
+literal array column — deterministic, no RNG inside executors.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datalake_public_spark.functions import vector as V
+from datalake_public_spark.sources.readers import widen_for_compute
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k per query. Ties broken by corpus id (total order
+    → engine-portable results). The query side is broadcast — at any scale
+    the query set is small relative to the corpus, so the corpus never
+    shuffles."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = widen_for_compute(corpus).select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("match_id"))
+        .withColumn("cos", F.round(V.cosine("qv", "cv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "match_id", "cos", "rk")
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def signbit_bucket(vec_col, planes: list[list[float]]):
+    """Bucket id = sign bits of <v, plane_p> for each hyperplane."""
+    bits = []
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        proj = F.aggregate(
+            F.zip_with(V.as_double(vec_col), lit_plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1) * (2**p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: ``n_tables`` independent signbit hash tables;
+    candidates = union over tables of corpus rows sharing the query's
+    bucket (plus Hamming-1 neighbor buckets when ``multiprobe``); exact
+    cosine re-rank of the distinct candidate set.
+
+    Per-table candidate fraction ≈ (1+n_planes)/2^n_planes with multiprobe
+    (~3.5% at 8 planes); tables multiply recall ≈ 1-(1-p)^T while the
+    exact re-rank keeps precision. Scale: the candidate join shuffles only
+    (table, bucket, id) triples — vectors are re-joined by id afterwards,
+    so wide embedding arrays never fan out across tables."""
+    from pyspark.sql import Window
+
+    def bucket_struct(col: str, prefix: str):
+        per_table = []
+        for t in range(n_tables):
+            planes = _hyperplanes(n_planes, dim, seed + 1000 * t)
+            per_table.append(
+                F.struct(F.lit(t).alias("tbl"), signbit_bucket(col, planes).alias("bucket"))
+            )
+        return F.explode(F.array(*per_table)).alias(prefix)
+
+    corpus = widen_for_compute(corpus)
+    c_ids = corpus.select(
+        F.col(id_col).alias("match_id"), bucket_struct(vec_col, "tb")
+    ).select("match_id", "tb.tbl", "tb.bucket")
+    q_ids = queries.select(
+        F.col(id_col).alias("query_id"), bucket_struct(vec_col, "tb")
+    ).select("query_id", "tb.tbl", "tb.bucket")
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << p)).cast("int") for p in range(n_planes)],
+        )
+        q_ids = q_ids.select("query_id", "tbl", F.explode(probes).alias("bucket"))
+    cand = (
+        c_ids.join(F.broadcast(q_ids), ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id")
+        .distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "match_id")
+        .withColumn("cos", F.round(V.cosine("qv", "cv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "match_id", "cos", "rk")
+    )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> float:
+    """Recall@k of an ANN result against the brute-force baseline."""
+    a = approx.filter(F.col("rk") <= k).select("query_id", "match_id")
+    e = exact.filter(F.col("rk") <= k).select("query_id", "match_id")
+    hit = a.join(e, ["query_id", "match_id"]).count()
+    total = e.count()
+    return hit / total if total else math.nan

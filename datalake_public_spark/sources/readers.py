@@ -70,6 +70,24 @@ def latest_partition(df: DataFrame, partition_col: str) -> DataFrame:
     return df.join(F.broadcast(mx), on=df[partition_col] == mx["__mx"], how="inner").drop("__mx")
 
 
+def widen_for_compute(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Ensure a compute-bound plan has enough partitions to use the cluster.
+
+    Small single-row-group parquet files arrive as ONE split regardless of
+    ``maxPartitionBytes`` (parquet splits at row-group granularity), which
+    serializes CPU-heavy per-row work (hashing, shingling, vector math)
+    onto one core. When the scan's partition count is below the cluster's
+    default parallelism, repartition round-robin; otherwise no-op — so at
+    100 TB (where scans produce thousands of splits) this inserts no
+    shuffle at all, while locally it unlocks all cores for the price of
+    shuffling the (small, by definition) input."""
+    sc = df.sparkSession.sparkContext
+    target = min_parallelism or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_testdata_tables(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] | None = None
 ) -> dict[str, DataFrame]:

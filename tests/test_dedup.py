@@ -1,0 +1,88 @@
+"""Dedup operator tests: exact semantics on crafted inputs, and the LSH
+approximation validated against the exact n-gram-Jaccard baseline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_public_spark.operators import dedup
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def test_exact_dedup_crafted(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")], "doc_id long, text string"
+    )
+    out = {r.keep_id: r.n_copies for r in dedup.exact_dedup(df).collect()}
+    assert out == {1: 3, 2: 1}  # min id survives, copies counted
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "a completely different sentence with other words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert len(pairs) == 1
+    assert (pairs[0].id_a, pairs[0].id_b, pairs[0].jaccard) == (1, 2, 1.0)
+
+
+def test_minhash_recall_vs_exact(spark, docs):
+    """LSH must recover (nearly) all true near-dup pairs at the threshold
+    its band/row config targets, with few false positives (candidates are
+    exact-verified, so precision is 1.0 by construction)."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert approx <= exact  # verify step ⇒ no false positives
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(exact)} true pairs"
+
+
+def test_simhash_finds_identical(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark engines shuffle data across many executors"),
+            (2, "spark engines shuffle data across many executors"),
+            (3, "unrelated text about gardening and tomato plants thriving"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dedup.simhash_clusters(df).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+    assert pairs[0].hamming == 0
+
+
+def test_embedding_neardup_self_similarity(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.99, 0.1, 0.0]),  # nearly parallel to 1
+            (3, [0.0, 1.0, 0.0]),  # orthogonal
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = dedup.embedding_neardup_pairs(df, threshold=0.9).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+
+
+def test_minhash_signature_width(spark, docs):
+    sigs = dedup.minhash_signatures(docs.limit(20), num_perm=64)
+    row = sigs.first()
+    assert len(row.sig) == 64  # constant-width signature regardless of doc size
+    assert sigs.schema["sig"].dataType.simpleString() == "array<bigint>"

@@ -1,0 +1,45 @@
+"""Driver-contract regression: every queries() entry vs its DuckDB oracle
+at sf0.001 (the driver runs the same comparison at sf0.01 — this is the
+fast local mirror of that gate)."""
+
+from __future__ import annotations
+
+import pytest
+
+from datalake_public_spark.driver_queries import REGISTRY
+from datalake_public_spark.driver_queries_llm import LLM_REGISTRY
+from tests.conftest import SF_SMOKE
+from tests.oracle_harness import compare, duck_connection
+
+ALL = {**REGISTRY, **LLM_REGISTRY}
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duck_connection(SF_SMOKE)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(ALL))
+def test_query_matches_oracle(spark, con, name):
+    spec = ALL[name]
+    df = spec.spark(spark, SF_SMOKE)
+    if spec.oracle is None:
+        assert df.count() >= 0  # rows-only contract (driver's weaker check)
+        assert len(df.columns) > 0
+    else:
+        compare(df, con, spec.oracle, name)
+
+
+def test_entry_smoke(spark):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    df = m.entry(spark)
+    assert df.count() > 0
+    assert set(m.oracle_sql()) <= set(m.queries())

@@ -1,0 +1,47 @@
+"""Similarity-search tests: brute-force correctness on crafted vectors,
+LSH candidate pruning + recall floor against the exact baseline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_public_spark.operators import similarity
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+def test_brute_force_exact_neighbors(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.brute_force_topk(
+        df.filter(F.col("vec_id") == 0), df, k=3
+    ).collect()
+    assert [r.match_id for r in sorted(out, key=lambda r: r.rk)] == [1, 2, 3]
+
+
+def test_lsh_recall_floor(spark, emb):
+    """ANN must beat random-candidate recall by a wide margin on random
+    data (multiprobe signbit buckets at 8 planes ≈ 3.5% candidates)."""
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.brute_force_topk(queries, emb, k=10)
+    approx = similarity.lsh_topk(queries, emb, k=10, n_planes=8, dim=64)
+    recall = similarity.recall_at_k(approx, exact, k=10)
+    # random candidate sets of the same size would land ≈0.035
+    assert recall >= 0.25, f"recall@10 = {recall:.3f}"
+
+
+def test_lsh_is_deterministic(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    a = similarity.lsh_topk(queries, emb, k=5).collect()
+    b = similarity.lsh_topk(queries, emb, k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
