@@ -1,0 +1,143 @@
+"""Driver-contract queries for the Structured Streaming surface.
+
+Each query drains the ``events`` table through the micro-batch engine
+(file streaming source + ``availableNow`` trigger, streaming/) and
+returns the materialized result, so the driver's DuckDB oracle checks
+real streaming execution — watermarks, state store, window merge — not a
+batch re-formulation. Window aggregations run in complete output mode
+(every window emitted ⇒ equals the batch run of the same plan); the
+stateful sessionizer runs in append mode and its oracle mirrors the
+emission contract (only sessions the watermark provably closed).
+
+Streaming is absent from the reference (3-hourly cron instead,
+``dags/dag_bike.py:36``; SURVEY §2.7) — this is the §7.2-step-7 upgrade
+path, exercised end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datalake_public_spark.driver_queries import QuerySpec
+from datalake_public_spark.streaming.runner import run_available_now
+from datalake_public_spark.streaming.sources import events_stream
+from datalake_public_spark.streaming.stateful import stateful_sessionize
+from datalake_public_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+
+def streaming_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1-hour windowed count/sum, computed by the streaming
+    engine. Scale: state store holds one row per (window, key); watermark
+    evicts windows older than 2 h, so state is bounded no matter how long
+    the stream runs."""
+    return run_available_now(tumbling_window_agg(events_stream(spark, sf)))
+
+
+STREAM_TUMBLING_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def streaming_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding 1-hour/30-min windowed count/sum (each event lands in 2
+    windows). Scale: the ×(window/slide) row fan-out happens BEFORE the
+    shuffle but map-side partial aggregation collapses it to one row per
+    (window, key) per partition — the shuffle stays narrow."""
+    return run_available_now(sliding_window_agg(events_stream(spark, sf)))
+
+
+STREAM_SLIDING_SQL = """
+WITH e AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS b, event_type, value FROM events
+), x AS (
+  SELECT b AS window_start, event_type, value FROM e
+  UNION ALL
+  SELECT b - INTERVAL '30 minutes' AS window_start, event_type, value FROM e
+)
+SELECT window_start, event_type, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM x GROUP BY 1, 2
+"""
+
+
+def streaming_session(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based session windows (30-min inactivity) per user via
+    ``F.session_window`` under the streaming engine, which merges
+    partial sessions across micro-batches in the state store."""
+    return run_available_now(session_window_agg(events_stream(spark, sf)))
+
+
+# Session boundaries are half-open: an event exactly at prev_ts + gap
+# starts a new session, hence >= in the oracle's gap predicate.
+STREAM_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 30*60*1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts) AS sess_no
+  FROM marked
+)
+SELECT min(ts) AS sess_start, user_id, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM sessions
+GROUP BY user_id, sess_no
+"""
+
+
+def streaming_stateful_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): closed
+    sessions only, emitted when the event-time watermark passes
+    ``sess_end + gap``. Scale: per-user state is one fixed-width tuple;
+    the Arrow-batched UDF sees each user's micro-batch slice, never
+    the whole history."""
+    return run_available_now(
+        stateful_sessionize(events_stream(spark, sf)), output_mode="append"
+    )
+
+
+# The trailing-session filter reproduces the streaming emission contract:
+# a session is emitted iff the final watermark (= max event time with the
+# 0-second delay) passed sess_end + 30 min.
+STREAM_STATEFUL_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 30*60*1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts) AS sess_no
+  FROM marked
+)
+SELECT user_id, min(ts) AS sess_start, max(ts) AS sess_end,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM sessions
+GROUP BY user_id, sess_no
+HAVING epoch_us(max(ts)) + 30*60*1000000 <= (SELECT max(epoch_us(ts)) FROM events)
+"""
+
+
+STREAMING_REGISTRY: dict[str, QuerySpec] = {
+    "streaming_tumbling": QuerySpec(streaming_tumbling, STREAM_TUMBLING_SQL),
+    "streaming_sliding": QuerySpec(streaming_sliding, STREAM_SLIDING_SQL),
+    "streaming_session": QuerySpec(streaming_session, STREAM_SESSION_SQL),
+    "streaming_stateful_sessions": QuerySpec(
+        streaming_stateful_sessions, STREAM_STATEFUL_SQL
+    ),
+}

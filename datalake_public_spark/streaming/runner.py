@@ -1,0 +1,79 @@
+"""Streaming query runners.
+
+``availableNow`` is the engine's bridge between streaming and batch: it
+drains everything currently in the source through the micro-batch engine
+(bounded batches, checkpointed) and stops — the Structured-Streaming
+replacement for the reference's 3-hourly cron (``dags/dag_bike.py:36``).
+A periodic scheduler restarting an availableNow query gets incremental,
+exactly-once processing of just the new snapshots; the operators don't
+change.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def run_available_now(
+    df: DataFrame,
+    *,
+    output_mode: str = "complete",
+    query_name: str | None = None,
+    checkpoint_dir: str | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Drain a streaming DataFrame through a memory sink and return the
+    materialized result as a batch DataFrame.
+
+    ``complete`` output mode emits every window/group regardless of
+    watermark, which makes the result equal to the batch run of the same
+    plan — that equivalence is what the driver's DuckDB oracle checks.
+    Memory sink is driver-local; for production-sized results use
+    ``write_available_now`` instead."""
+    name = query_name or f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+    spark = SparkSession.getActiveSession()
+    return spark.table(name)
+
+
+def write_available_now(
+    df: DataFrame,
+    path: str,
+    *,
+    checkpoint_dir: str | None = None,
+    partition_by: tuple[str, ...] = (),
+    timeout_s: int = 600,
+) -> None:
+    """Drain a streaming DataFrame to parquet (append — file sinks support
+    only append mode; aggregations need watermarks so finalized windows
+    can be appended)."""
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_")
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    q = writer.start()
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()

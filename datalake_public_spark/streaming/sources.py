@@ -1,0 +1,92 @@
+"""Streaming sources: file-based ``readStream`` over the lake zones.
+
+Replaces the reference's cron-plus-snapshot emulation
+(``dags/dag_bike.py:36``, boto3 folder listing at
+``index_to_elastic_with_spark.py:16-38``) with Spark's file streaming
+source: new files under a zone prefix are discovered incrementally,
+exactly-once, with checkpointed progress — no manual path surgery.
+
+Scale: the file source lists only new files per micro-batch;
+``maxFilesPerTrigger`` bounds batch size so a backlog (e.g. first run
+over years of snapshots) streams through in bounded-memory chunks
+instead of one giant batch. Schemas are always declared — streaming
+sources cannot infer, which is the same no-inference rule the batch
+readers enforce (SURVEY §1.4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def read_json_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming JSON source with a declared schema (FAILFAST like the
+    batch reader). One raw snapshot file = one or more rows per batch."""
+    reader = (
+        spark.readStream.schema(schema)
+        .option("mode", "FAILFAST")
+        .option("multiLine", "true")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(path)
+
+
+# events.parquet stores TIMESTAMP(NANOS); the streaming parquet reader has
+# the same limitation as the batch one (driver_queries._events), so we read
+# nanos as long and convert with integer division to microseconds.
+EVENTS_NANOS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanos-as-long
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _as_stream_dir(parquet_file: str) -> str:
+    """The file streaming source requires a DIRECTORY base path (a bare
+    file fails partition inference with "basePath must be a directory").
+    Stage a per-source temp directory holding a symlink to the file —
+    zero-copy, deterministic per absolute path."""
+    key = hashlib.md5(os.path.abspath(parquet_file).encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"stream_src_{key}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(parquet_file))
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(parquet_file), link)
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The testdata ``events`` table as an unbounded stream.
+
+    Same rows as ``driver_queries._events`` — nanos→micros via integer
+    ``DIV 1000`` so values match DuckDB's truncating read — but delivered
+    through the file streaming source, so every downstream operator runs
+    under the micro-batch engine."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src_dir = _as_stream_dir(f"{sf_dir.rstrip('/')}/events.parquet")
+    raw = spark.readStream.schema(EVENTS_NANOS_SCHEMA).parquet(src_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

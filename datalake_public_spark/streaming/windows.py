@@ -1,0 +1,107 @@
+"""Event-time windowed aggregations (tumbling / sliding / session).
+
+Absent from the reference (SURVEY §2.7 explicit-absence list) but part of
+this engine's surface. Each operator is a plain DataFrame→DataFrame
+function over built-in expressions, so the SAME code path serves batch
+frames (driver oracle checks) and streaming frames (micro-batch engine):
+Catalyst plans ``window()``/``session_window()`` identically in both.
+
+Watermarking: ``watermark`` is applied only when the input is streaming —
+batch frames have no late-data concept. In append-mode streaming output a
+window emits once the watermark passes its end; in complete mode (what
+``run_available_now`` uses for oracle parity) every window is emitted.
+
+Scale: windowed aggregation is a hash aggregate keyed on
+(window, group cols) — partial aggregation map-side, one shuffle, state
+store bounded by watermark eviction. A sliding window with slide s and
+size w multiplies each row into w/s keys BEFORE the shuffle; keep w/s
+small (2 here) or pre-aggregate to the slide granularity first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _maybe_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
+    if watermark is not None and df.isStreaming:
+        return df.withWatermark(ts_col, watermark)
+    return df
+
+
+def tumbling_window_agg(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Non-overlapping fixed windows: count + sum per (window, key)."""
+    ev = _maybe_watermark(events, ts_col, watermark)
+    return (
+        ev.groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), key_col, "n_events", "sum_value")
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Overlapping windows (size ``window``, advancing every ``slide``):
+    each row lands in window/slide windows."""
+    ev = _maybe_watermark(events, ts_col, watermark)
+    return (
+        ev.groupBy(F.window(ts_col, window, slide).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), key_col, "n_events", "sum_value")
+    )
+
+
+def session_window_agg(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    gap: str = "30 minutes",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Gap-based session windows per key: a session extends while
+    successive events arrive within ``gap``; the window is half-open, so
+    an event landing exactly at ``prev_ts + gap`` starts a NEW session.
+
+    This is the declarative equivalent of the batch lag+running-sum
+    sessionize in driver_queries.py — same boundaries, but expressed as
+    ``F.session_window`` so the streaming engine maintains/merges session
+    state incrementally instead of re-sorting history every run."""
+    ev = _maybe_watermark(events, ts_col, watermark)
+    return (
+        ev.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("sess_start"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )

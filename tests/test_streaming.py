@@ -1,0 +1,128 @@
+"""Structured Streaming surface: availableNow parity with batch.
+
+The engine's claim is that its operators run unchanged under the
+micro-batch engine (SURVEY §7.2 step 7). These tests drain real
+streaming queries and assert exact equality with the batch formulation:
+
+  * windowed aggs (tumbling/sliding/session) == batch run of same plan;
+  * stateful sessionizer (applyInPandasWithState) == batch sessions,
+    restricted to watermark-closed ones (the append-mode contract);
+  * streaming GBFS flatten == batch flatten, incl. incremental pickup of
+    a second snapshot on restart from the same checkpoint.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_public_spark.driver_queries import _events
+from datalake_public_spark.operators.flatten import (
+    VELIB_STATION_STATUS_SPEC,
+    flatten_feed,
+)
+from datalake_public_spark.streaming.pipeline import run_streaming_format_stage
+from datalake_public_spark.streaming.runner import run_available_now
+from datalake_public_spark.streaming.sources import events_stream, read_json_stream
+from datalake_public_spark.streaming.stateful import stateful_sessionize
+from datalake_public_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+from tests.conftest import EPOCH, make_station_status_snapshot, write_snapshot
+
+SF = "/root/testdata/sf0.001"
+
+
+def _assert_same(a, b):
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+@pytest.mark.parametrize(
+    "op", [tumbling_window_agg, sliding_window_agg, session_window_agg]
+)
+def test_windowed_agg_stream_equals_batch(spark, op):
+    got = run_available_now(op(events_stream(spark, SF)))
+    want = op(_events(spark, SF))
+    assert got.count() > 0
+    _assert_same(got, want)
+
+
+def test_stateful_sessionize_closed_sessions(spark):
+    """Append-mode emission == batch sessions whose end + gap the final
+    watermark passed (trailing open sessions stay in state)."""
+    from pyspark.sql import Window
+
+    got = run_available_now(
+        stateful_sessionize(events_stream(spark, SF)), output_mode="append"
+    ).select("user_id", "sess_start", "sess_end", "n_events", "sum_value")
+
+    ev = _events(spark, SF)
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))) >= gap_us),
+        1,
+    ).otherwise(0)
+    want = (
+        ev.withColumn("sess_no", F.sum(new_sess).over(w))
+        .groupBy("user_id", "sess_no")
+        .agg(
+            F.min("ts").alias("sess_start"),
+            F.max("ts").alias("sess_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .filter(F.unix_micros(F.col("sess_end")) + gap_us <= F.unix_micros(F.lit(mx)))
+        .select("user_id", "sess_start", "sess_end", "n_events", "sum_value")
+    )
+    assert got.count() > 0
+    _assert_same(got, want)
+
+
+def test_streaming_flatten_incremental(spark, tmp_path):
+    """availableNow flatten: snapshot 1 → restart with snapshot 2 landed →
+    only the new file is processed; union equals batch flatten of both."""
+    raw_dir = tmp_path / "raw"
+    out = str(tmp_path / "formatted")
+    ckpt = str(tmp_path / "ckpt")
+    spec = VELIB_STATION_STATUS_SPEC
+
+    snap1 = make_station_status_snapshot(epoch=EPOCH, n_stations=30, seed=1)
+    write_snapshot(tmp_path, "raw/snap1.json", snap1)
+    run_streaming_format_stage(spark, str(raw_dir), out, spec, checkpoint_dir=ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 30
+
+    snap2 = make_station_status_snapshot(epoch=EPOCH + 3600, n_stations=40, seed=2)
+    write_snapshot(tmp_path, "raw/snap2.json", snap2)
+    run_streaming_format_stage(spark, str(raw_dir), out, spec, checkpoint_dir=ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 70
+
+    batch = flatten_feed(
+        spark.read.schema(spec.raw_schema)
+        .option("multiLine", "true")
+        .json(str(raw_dir)),
+        spec,
+    )
+    _assert_same(got, batch)
+
+
+def test_streaming_source_schema_matches_batch(spark, tmp_path):
+    """read_json_stream yields the same rows/schema as the batch reader."""
+    spec = VELIB_STATION_STATUS_SPEC
+    write_snapshot(
+        tmp_path, "raw/s.json", make_station_status_snapshot(epoch=EPOCH, n_stations=10)
+    )
+    stream = read_json_stream(spark, str(tmp_path / "raw"), spec.raw_schema)
+    assert stream.isStreaming
+    flat = flatten_feed(stream, spec)
+    got = run_available_now(flat, output_mode="append")
+    assert got.count() == 10
+    assert [f.name for f in got.schema.fields] == [
+        f.name for f in spec.out_schema.fields
+    ]
