@@ -1,0 +1,312 @@
+"""Driver-contract queries: relational surface beyond the reference.
+
+SURVEY §2.7 lists the operators the reference *lacks*; a user migrating
+to this engine gets them natively from Spark, and each is exposed here
+as a driver-checkable query: as-of join, range join, semi/anti join,
+cube, intersect/except, pivot, JSON extraction, string functions, and
+approximate aggregates (HLL / quantile sketches — implementation-
+specific values, so rows-only driver checks with accuracy asserted in
+tests/test_ext_queries.py).
+
+Scale notes per query; the shared theme: joins either broadcast a tiny
+side or shuffle once on an equi-key — never a cross product — and the
+as-of join is the union+window formulation (one shuffle, no range
+explosion), which is the only formulation that survives 100 TB event
+tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_public_spark.driver_queries import QuerySpec, _events, _t
+
+
+# --------------------------------------------------------------------------
+# Time-series joins
+# --------------------------------------------------------------------------
+
+
+def asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: for every 'click' event, the most recent 'view'
+    timestamp of the same user at-or-before the click.
+
+    Formulated as union + last(ignorenulls) over (user, time) — ONE
+    shuffle on user_id, linear scan per partition. The naive range join
+    (clicks × views with v_ts <= c_ts + max-per-click) explodes
+    quadratically in events-per-user; this doesn't, which is why it's
+    the 100 TB formulation. DuckDB's native ASOF JOIN is the oracle."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf).select("event_id", "user_id", "ts", "event_type")
+    tagged = ev.filter(F.col("event_type").isin("click", "view")).withColumn(
+        "is_click", (F.col("event_type") == "click").cast("int")
+    )
+    # views sort before clicks at equal ts → a same-instant view is visible
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    asof = tagged.withColumn(
+        "asof_view_ts",
+        F.last(F.when(F.col("is_click") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return asof.filter(F.col("is_click") == 1).select(
+        "event_id", "user_id", F.col("ts").alias("click_ts"), "asof_view_ts"
+    )
+
+
+ASOF_SQL = """
+SELECT c.event_id, c.user_id, c.ts AS click_ts, v.ts AS asof_view_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
+def range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Band/range join: events bucketed against a generated table of
+    [lo, hi) value ranges. The range side is tiny → broadcast; Spark
+    plans BroadcastNestedLoopJoin with the band predicate pushed into
+    the probe — no shuffle of the fact side at all."""
+    ev = _events(spark, sf)
+    ranges = spark.range(10).select(
+        (F.col("id") * 50.0).alias("lo"), ((F.col("id") + 1) * 50.0).alias("hi")
+    )
+    return (
+        ev.join(
+            F.broadcast(ranges),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT lo, hi, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+JOIN (SELECT id * 50.0 AS lo, (id + 1) * 50.0 AS hi FROM range(10) t(id)) r
+  ON value >= lo AND value < hi
+GROUP BY lo, hi
+"""
+
+
+# --------------------------------------------------------------------------
+# Semi / anti / set operators
+# --------------------------------------------------------------------------
+
+
+def join_semi(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-semi join: customers having ≥1 order. Semi joins shuffle only
+    the distinct keys of the right side — at scale vastly cheaper than
+    inner-join + dropDuplicates."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
+JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name, c_nationkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-anti join: customers with no orders (TPC-H Q22 shape)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def set_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT: customers ordering in both 1994 and 1995. Plans as a
+    semi-join under the hood; dedup via aggregate on the key."""
+    o = _t(spark, sf, "orders")
+    y94 = o.filter(F.year("o_orderdate") == 1994).select("o_custkey")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    return y94.intersect(y95)
+
+
+SET_INTERSECT_SQL = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+"""
+
+
+def set_except(spark: SparkSession, sf: str) -> DataFrame:
+    """EXCEPT: customers ordering in 1994 but not in 1995."""
+    o = _t(spark, sf, "orders")
+    y94 = o.filter(F.year("o_orderdate") == 1994).select("o_custkey")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    return y94.exceptAll(y95).distinct()
+
+
+SET_EXCEPT_SQL = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+"""
+
+
+# --------------------------------------------------------------------------
+# Multi-dimensional aggregation
+# --------------------------------------------------------------------------
+
+
+def cube_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping combinations in
+    one pass — Spark expands grouping sets BEFORE the shuffle, so partial
+    aggregation still applies per set."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def pivot_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot: per-user event counts, event types as columns. The value
+    list is declared (not discovered) so the plan is a single hash
+    aggregate — discovery would need an extra distinct pass."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = _events(spark, sf)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS click,
+       count(*) FILTER (event_type = 'error')    AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup')   AS signup,
+       count(*) FILTER (event_type = 'view')     AS view
+FROM events GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Scalar function surface (JSON, strings)
+# --------------------------------------------------------------------------
+
+
+def json_extract_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured access: pull ``$.k`` out of the JSON props column,
+    aggregate per event type. get_json_object evaluates without full
+    parse-to-struct; at scale prefer from_json with a declared schema
+    once per pipeline, then columnar access."""
+    ev = _events(spark, sf)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+JSON_EXTRACT_SQL = """
+SELECT event_type, count(k) AS n_k, round(avg(k), 4) AS avg_k, max(k) AS max_k
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t
+GROUP BY event_type
+"""
+
+
+def string_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """String scalar surface over part: regexp extraction, case mapping,
+    substring, length, concat — all codegen'd row-local expressions."""
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.col("p_name")).alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract("p_name", "^([a-z]+)", 1).alias("first_word"),
+        F.substring("p_brand", 7, 10).alias("brand_num"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+STRING_FUNCS_SQL = """
+SELECT p_partkey, upper(p_name) AS name_upper, length(p_name) AS name_len,
+       coalesce(regexp_extract(p_name, '^([a-z]+)', 1), '') AS first_word,
+       substring(p_brand, 7, 10) AS brand_num,
+       concat_ws('/', p_brand, p_type) AS brand_type
+FROM part
+"""
+
+
+# --------------------------------------------------------------------------
+# Approximate aggregates (sketches — values are implementation-specific,
+# so the driver records rows-only; accuracy is asserted in tests)
+# --------------------------------------------------------------------------
+
+
+def approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type. At 100 TB this is THE
+    distinct-count operator: fixed-size sketch per group, mergeable
+    map-side, no key shuffle of raw values (vs exact countDistinct's
+    expand+dedup)."""
+    ev = _events(spark, sf)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )
+
+
+def approx_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate percentiles of event value per type (KLL-style sketch;
+    single pass, mergeable, bounded memory — the scale path for
+    p50/p95/p99 dashboards)."""
+    ev = _events(spark, sf)
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("pcts"),
+    )
+
+
+EXT_REGISTRY: dict[str, QuerySpec] = {
+    "asof_join": QuerySpec(asof_join, ASOF_SQL),
+    "range_join": QuerySpec(range_join, RANGE_JOIN_SQL),
+    "join_semi": QuerySpec(join_semi, JOIN_SEMI_SQL),
+    "join_anti": QuerySpec(join_anti, JOIN_ANTI_SQL),
+    "set_intersect": QuerySpec(set_intersect, SET_INTERSECT_SQL),
+    "set_except": QuerySpec(set_except, SET_EXCEPT_SQL),
+    "cube_agg": QuerySpec(cube_agg, CUBE_SQL),
+    "pivot_agg": QuerySpec(pivot_agg, PIVOT_SQL),
+    "json_extract_agg": QuerySpec(json_extract_agg, JSON_EXTRACT_SQL),
+    "string_funcs": QuerySpec(string_funcs, STRING_FUNCS_SQL),
+    "approx_distinct": QuerySpec(approx_distinct, None),
+    "approx_quantiles": QuerySpec(approx_quantiles, None),
+}

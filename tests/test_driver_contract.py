@@ -7,11 +7,13 @@ from __future__ import annotations
 import pytest
 
 from datalake_public_spark.driver_queries import REGISTRY
+from datalake_public_spark.driver_queries_ext import EXT_REGISTRY
 from datalake_public_spark.driver_queries_llm import LLM_REGISTRY
+from datalake_public_spark.driver_queries_streaming import STREAMING_REGISTRY
 from tests.conftest import SF_SMOKE
 from tests.oracle_harness import compare, duck_connection
 
-ALL = {**REGISTRY, **LLM_REGISTRY}
+ALL = {**REGISTRY, **LLM_REGISTRY, **EXT_REGISTRY, **STREAMING_REGISTRY}
 
 
 @pytest.fixture(scope="module")

@@ -1,0 +1,78 @@
+"""Extended-surface checks that the oracle gate can't express:
+sketch accuracy bounds and as-of join edge semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalake_public_spark.driver_queries import _events
+from datalake_public_spark.driver_queries_ext import (
+    approx_distinct,
+    approx_quantiles,
+    asof_join,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_approx_distinct_within_rsd(spark):
+    approx = {
+        r.event_type: r.approx_users for r in approx_distinct(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in _events(spark, SF_SMOKE)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(2, 0.05 * n), (t, approx[t], n)
+
+
+def test_approx_quantiles_sane(spark):
+    rows = approx_quantiles(spark, SF_SMOKE).collect()
+    exact = {
+        r.event_type: r.q
+        for r in _events(spark, SF_SMOKE)
+        .groupBy("event_type")
+        .agg(F.expr("percentile(value, array(0.5, 0.95, 0.99))").alias("q"))
+        .collect()
+    }
+    for r in rows:
+        p50, p95, p99 = r.pcts
+        assert p50 <= p95 <= p99
+        e50, e95, e99 = exact[r.event_type]
+        assert abs(p50 - e50) <= 0.05 * max(e50, 1)
+        assert abs(p95 - e95) <= 0.05 * max(e95, 1)
+
+
+def test_asof_join_semantics(spark):
+    """A click with no prior view → null; a view at the exact click
+    instant counts; later views don't."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    ev = spark.createDataFrame(
+        [
+            (1, 100, ts(0), "view", 0.0, "{}"),
+            (2, 100, ts(10), "click", 0.0, "{}"),  # sees view@0
+            (3, 100, ts(20), "view", 0.0, "{}"),
+            (4, 100, ts(20), "click", 0.0, "{}"),  # same-instant view counts
+            (5, 200, ts(5), "click", 0.0, "{}"),  # no view ever → null
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string, value double, props string",
+    )
+    import datalake_public_spark.driver_queries_ext as ext
+
+    orig = ext._events
+    ext._events = lambda spark_, sf_: ev
+    try:
+        got = {r.event_id: r.asof_view_ts for r in asof_join(spark, "ignored").collect()}
+    finally:
+        ext._events = orig
+    assert got == {2: ts(0), 4: ts(20), 5: None}
