@@ -296,6 +296,80 @@ def approx_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Skew mitigation (semantics-preserving → oracle = the plain formulation)
+# --------------------------------------------------------------------------
+
+
+def skew_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage salted aggregation over events. Value sums go through
+    integer cents (values have 2 decimals) so partial-merge order can't
+    perturb float low bits — the result is bit-identical to plain
+    GROUP BY, which is exactly what the oracle asserts."""
+    from datalake_public_spark.operators.skew import salted_agg
+
+    ev = _events(spark, sf).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    return salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("event_id", "count"),
+            "sum_cents": ("cents", "sum"),
+            "max_cents": ("cents", "max"),
+        },
+        n_salt=16,
+        salt_cols=["event_id"],
+    )
+
+
+SKEW_AGG_SQL = """
+SELECT event_type, count(event_id) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+       max(CAST(round(value * 100) AS BIGINT)) AS max_cents
+FROM events GROUP BY event_type
+"""
+
+
+def skew_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted fact×dim join (lineitem × orders on orderkey), aggregated
+    to order priority. Plan: the small side replicates ×8 and the hot
+    keys of the large side spread over 8 reducers; results identical to
+    the plain join — asserted by the oracle."""
+    from datalake_public_spark.operators.skew import salted_join
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", F.round(F.col("l_quantity") * 100).cast("long").alias("qty_cents")
+    )
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, "l_orderkey", n_salt=8, large_salt_cols=["qty_cents"])
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("qty_cents").alias("sum_qty_cents"),
+    )
+
+
+SKEW_JOIN_SQL = """
+SELECT o_orderpriority, count(*) AS n_items,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def similarity_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF approximate nearest neighbors (no SQL oracle — approximate by
+    design; recall vs brute force asserted in tests/test_similarity.py)."""
+    from datalake_public_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(queries, emb, k=10, n_cells=16, n_probe=4)
+
+
 EXT_REGISTRY: dict[str, QuerySpec] = {
     "asof_join": QuerySpec(asof_join, ASOF_SQL),
     "range_join": QuerySpec(range_join, RANGE_JOIN_SQL),
@@ -309,4 +383,7 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "string_funcs": QuerySpec(string_funcs, STRING_FUNCS_SQL),
     "approx_distinct": QuerySpec(approx_distinct, None),
     "approx_quantiles": QuerySpec(approx_quantiles, None),
+    "skew_salted_agg": QuerySpec(skew_salted_agg, SKEW_AGG_SQL),
+    "skew_salted_join": QuerySpec(skew_salted_join, SKEW_JOIN_SQL),
+    "similarity_ivf": QuerySpec(similarity_ivf, None),
 }

@@ -172,6 +172,109 @@ def lsh_topk(
     )
 
 
+def _train_centroids_numpy(
+    vectors: list, n_cells: int, iters: int, seed: int
+) -> "np.ndarray":
+    """Deterministic Lloyd iterations on L2-normalized vectors (spherical
+    k-means). Training happens driver-side on a bounded sample — the same
+    regime IVF indexes use at any corpus scale; only assignment is
+    distributed."""
+    M = np.array([np.asarray(v, dtype=np.float64) for v in vectors])
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    rng = random.Random(seed)
+    idx = sorted(rng.sample(range(len(M)), min(n_cells, len(M))))
+    C = M[idx].copy()
+    for _ in range(iters):
+        assign = (M @ C.T).argmax(axis=1)
+        for c in range(len(C)):
+            members = M[assign == c]
+            if len(members):
+                mean = members.mean(axis=0)
+                C[c] = mean / max(np.linalg.norm(mean), 1e-12)
+    return C
+
+
+def _cell_udf(C: "np.ndarray", topn: int):
+    """Nearest-``topn`` IVF cells per vector (cosine): one matmul per
+    Arrow batch against the broadcast centroid matrix."""
+
+    @F.pandas_udf("array<int>")
+    def kernel(vecs: pd.Series) -> pd.Series:
+        M = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if M.size == 0:
+            return pd.Series([])
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        scores = M @ C.T  # (B, n_cells)
+        top = np.argsort(-scores, axis=1)[:, :topn].astype(np.int32)
+        return pd.Series(list(top))
+
+    return kernel
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    train_size: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    ``n_cells`` centroid cells, probe the query's ``n_probe`` nearest
+    cells, exact cosine re-rank inside them.
+
+    The alternative scale path to ``lsh_topk``: data-adaptive cells beat
+    data-oblivious hyperplanes when the corpus is clustered. Scan
+    fraction ≈ n_probe/n_cells. Scale: centroids train on a bounded
+    deterministic sample driver-side (like any IVF index build); the
+    per-row cell assignment is one broadcast matmul kernel; candidates
+    shuffle on the cell id — analogous cost profile to the LSH bucket
+    join, with recall controlled by n_probe instead of table count."""
+    from pyspark.sql import Window
+
+    sample = [
+        r[0]
+        for r in corpus.select(vec_col, id_col)
+        .orderBy(id_col)
+        .limit(train_size)
+        .collect()
+    ]
+    C = _train_centroids_numpy(sample, n_cells, iters, seed)
+
+    corpus = widen_for_compute(corpus)
+    c_cells = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.element_at(_cell_udf(C, 1)(F.col(vec_col)), 1).alias("cell"),
+    )
+    q_cells = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(_cell_udf(C, n_probe)(F.col(vec_col))).alias("cell"),
+    )
+    cand = (
+        c_cells.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id")
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "match_id")
+        .withColumn("cos", F.round(V.cosine("qv", "cv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "match_id", "cos", "rk")
+    )
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> float:
     """Recall@k of an ANN result against the brute-force baseline."""
     a = approx.filter(F.col("rk") <= k).select("query_id", "match_id")

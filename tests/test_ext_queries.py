@@ -76,3 +76,34 @@ def test_asof_join_semantics(spark):
     finally:
         ext._events = orig
     assert got == {2: ts(0), 4: ts(20), 5: None}
+
+
+def test_salted_agg_equals_plain(spark):
+    from datalake_public_spark.operators.skew import salted_agg
+
+    ev = _events(spark, SF_SMOKE)
+    got = salted_agg(
+        ev,
+        ["event_type"],
+        {"n": ("event_id", "count"), "mx": ("value", "max")},
+        n_salt=8,
+        salt_cols=["event_id"],
+    )
+    want = ev.groupBy("event_type").agg(
+        F.count("event_id").alias("n"), F.max("value").alias("mx")
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_salted_join_equals_plain(spark):
+    from datalake_public_spark.operators.skew import salted_join
+    from datalake_public_spark.driver_queries import _t
+
+    li = _t(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    o = _t(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    got = salted_join(li, o, "l_orderkey", n_salt=4)
+    want = li.join(o, "l_orderkey")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0

@@ -45,3 +45,20 @@ def test_lsh_is_deterministic(spark, emb):
     a = similarity.lsh_topk(queries, emb, k=5).collect()
     b = similarity.lsh_topk(queries, emb, k=5).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ivf_recall_floor(spark, emb):
+    """IVF probes 4/16 cells (25% scan fraction) — recall must clear the
+    random-candidate baseline by a wide margin."""
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.brute_force_topk(queries, emb, k=10)
+    approx = similarity.ivf_topk(queries, emb, k=10, n_cells=16, n_probe=4)
+    recall = similarity.recall_at_k(approx, exact, k=10)
+    assert recall >= 0.4, f"recall@10 = {recall:.3f}"
+
+
+def test_ivf_is_deterministic(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    a = similarity.ivf_topk(queries, emb, k=5).collect()
+    b = similarity.ivf_topk(queries, emb, k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
