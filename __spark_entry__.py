@@ -45,7 +45,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query. Omitted
-    (rows-only check) for: dedup_minhash_lsh (xxhash64 signatures are
-    JVM-specific), similarity_ann_lsh (approximate by design; recall
-    asserted in tests), ml_kmeans_embeddings (iterative MLlib fit)."""
+    (rows-only check) for: dedup_minhash_lsh, similarity_ann_lsh,
+    similarity_ivf (approximate by design; recall vs exact baselines
+    asserted in tests), ml_kmeans_embeddings (iterative MLlib fit),
+    approx_distinct / approx_quantiles (sketch values are
+    implementation-specific; accuracy bounds asserted in tests)."""
     return {name: spec.oracle for name, spec in _ALL.items() if spec.oracle is not None}
