@@ -59,6 +59,18 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/documents.parquet").limit(1000).write.format(
         "noop"
     ).mode("overwrite").save()
+    # spin up the reusable Python workers (numpy/pandas import once per
+    # executor thread) so Arrow-kernel queries measure compute, not fork
+    from pyspark.sql import functions as F
+    import pandas as pd
+
+    @F.pandas_udf("long")
+    def _warm(x: pd.Series) -> pd.Series:
+        return x
+
+    spark.range(0, int(cpus) * 4, 1, int(cpus)).select(_warm("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -51,6 +51,44 @@ def run_available_now(
     return spark.table(name)
 
 
+def write_fanout_available_now(
+    df: DataFrame,
+    sinks: list,
+    *,
+    output_mode: str = "update",
+    checkpoint_dir: str | None = None,
+    timeout_s: int = 600,
+) -> None:
+    """Drain a stream into MULTIPLE sinks with each micro-batch computed
+    once: ``foreachBatch`` + persist, then one write per sink.
+
+    The streaming answer to the reference's double-write
+    (``k_means_with_spark.py:157`` parquet then ``:161-172`` ES, which
+    recomputes the whole plan for the second action — SURVEY §4
+    "caching: absent"). Each sink is a callable ``(batch_df) -> None``."""
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_")
+
+    def _fanout(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for sink in sinks:
+                sink(batch_df)
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        df.writeStream.foreachBatch(_fanout)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+
+
 def write_available_now(
     df: DataFrame,
     path: str,

@@ -74,6 +74,28 @@ def sliding_window_agg(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    *,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first-seen row per key, with state
+    bounded by the watermark (``dropDuplicatesWithinWatermark`` evicts a
+    key's entry once the watermark passes its event time — the property
+    that makes exact dedup runnable on an unbounded stream; plain
+    ``dropDuplicates`` would grow state forever).
+
+    Contract: duplicates arriving within the watermark horizon of the
+    first occurrence are dropped; later-than-watermark duplicates (by
+    definition out-of-contract late data) may reappear. On a batch frame
+    this degrades to plain dropDuplicates."""
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def session_window_agg(
     events: DataFrame,
     *,

@@ -126,3 +126,40 @@ def test_streaming_source_schema_matches_batch(spark, tmp_path):
     assert [f.name for f in got.schema.fields] == [
         f.name for f in spec.out_schema.fields
     ]
+
+
+def test_streaming_dedup_counts(spark):
+    """First-seen-per-key dedup under the micro-batch engine: same key set
+    as batch distinct (which row survives per key is arrival-order
+    dependent, so compare keys, not rows)."""
+    from datalake_public_spark.streaming.windows import streaming_dedup
+
+    got = run_available_now(
+        streaming_dedup(events_stream(spark, SF), ["user_id", "event_type"]),
+        output_mode="append",
+    )
+    want = _events(spark, SF).dropDuplicates(["user_id", "event_type"])
+    assert got.count() == want.count()
+    gk = got.select("user_id", "event_type")
+    wk = want.select("user_id", "event_type")
+    assert gk.exceptAll(wk).count() == 0 and wk.exceptAll(gk).count() == 0
+
+
+def test_streaming_fanout_single_compute(spark, tmp_path):
+    """foreachBatch fan-out: both sinks receive the full, identical batch."""
+    from datalake_public_spark.streaming.runner import write_fanout_available_now
+
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    agg = tumbling_window_agg(events_stream(spark, SF))
+
+    write_fanout_available_now(
+        agg,
+        [
+            lambda b: b.write.mode("append").parquet(out_a),
+            lambda b: b.write.mode("append").parquet(out_b),
+        ],
+    )
+    a = spark.read.parquet(out_a)
+    b = spark.read.parquet(out_b)
+    assert a.count() > 0
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
