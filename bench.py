@@ -15,6 +15,9 @@ import os
 import sys
 import time
 
+import pandas as pd
+from pyspark.sql import functions as F
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from datalake_public_spark import EngineConfig, get_spark
@@ -61,9 +64,6 @@ def main() -> None:
     ).mode("overwrite").save()
     # spin up the reusable Python workers (numpy/pandas import once per
     # executor thread) so Arrow-kernel queries measure compute, not fork
-    from pyspark.sql import functions as F
-    import pandas as pd
-
     @F.pandas_udf("long")
     def _warm(x: pd.Series) -> pd.Series:
         return x

@@ -370,6 +370,128 @@ def similarity_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_topk(queries, emb, k=10, n_cells=16, n_probe=4)
 
 
+# --------------------------------------------------------------------------
+# Window frames / statistics / time-series spine
+# --------------------------------------------------------------------------
+
+
+def window_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Analytic window frames over per-customer order history: running
+    total (rows unbounded-preceding), 3-row moving average, and frame-wide
+    first/last. One shuffle on o_custkey serves all four functions —
+    Catalyst plans a single Window operator for same-partitioning frames."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf, "orders").withColumn(
+        # exact integer cents: running/moving sums of raw doubles differ
+        # from the oracle in the last bit and can flip a round(…,2) boundary
+        "cents",
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+    )
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = wo.rowsBetween(-2, Window.currentRow)
+    full = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("cents").over(run) / 100.0, 2).alias("running_total"),
+        # round to 4dp: counts<=3 make cents-averages end in .0/.5/.33/.67,
+        # so no decimal-5 sits at the 5th place — boundary-safe cross-engine
+        F.round(F.avg("cents").over(mov) / 100.0, 4).alias("moving_avg3"),
+        F.first("o_orderdate").over(full).alias("first_order"),
+        F.last("o_orderdate").over(full).alias("last_order"),
+    )
+
+
+WINDOW_FRAMES_SQL = """
+SELECT o_orderkey, o_custkey,
+       round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0, 2) AS running_total,
+       round(avg(CAST(round(o_totalprice * 100) AS BIGINT))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0, 4) AS moving_avg3,
+       first_value(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_order,
+       last_value(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+FROM orders
+"""
+
+
+def stats_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregates per event type: stddev, variance, and the
+    value↔user correlation — all single-pass algebraic (sum of squares /
+    cross products combine map-side like any sum)."""
+    ev = _events(spark, sf)
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev("value"), 4).alias("sd_value"),
+        F.round(F.var_samp("value"), 4).alias("var_value"),
+        F.round(F.covar_samp("value", F.col("user_id").cast("double")), 4).alias(
+            "covar_vu"
+        ),
+        F.round(F.corr("value", F.col("user_id").cast("double")), 4).alias("corr_vu"),
+    )
+
+
+STATS_AGG_SQL = """
+SELECT event_type,
+       round(stddev_samp(value), 4) AS sd_value,
+       round(var_samp(value), 4) AS var_value,
+       round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS covar_vu,
+       round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_vu
+FROM events GROUP BY event_type
+"""
+
+
+def time_spine_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Dense hourly time spine per event type with zero-filled gaps:
+    sequence() generates the spine from the observed min/max (a scalar
+    subquery — no driver round-trip), cross join with the type dim, left
+    join the hourly aggregate. The standard shape for gap-free
+    time-series features at any scale: the spine is |hours|×|types| rows
+    — tiny next to the fact table — and the fact side aggregates BEFORE
+    the join, so the expensive side shuffles once at hour granularity."""
+    ev = _events(spark, sf)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(hourly, ["hour", "event_type"], "left")
+        .select(
+            "hour", "event_type", F.coalesce("n_events", F.lit(0)).alias("n_events")
+        )
+    )
+
+
+TIME_SPINE_SQL = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT s.hour, t.event_type, coalesce(h.n_events, 0) AS n_events
+FROM spine s
+CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type
+"""
+
+
 EXT_REGISTRY: dict[str, QuerySpec] = {
     "asof_join": QuerySpec(asof_join, ASOF_SQL),
     "range_join": QuerySpec(range_join, RANGE_JOIN_SQL),
@@ -386,4 +508,7 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "skew_salted_agg": QuerySpec(skew_salted_agg, SKEW_AGG_SQL),
     "skew_salted_join": QuerySpec(skew_salted_join, SKEW_JOIN_SQL),
     "similarity_ivf": QuerySpec(similarity_ivf, None),
+    "window_frames": QuerySpec(window_frames, WINDOW_FRAMES_SQL),
+    "stats_agg": QuerySpec(stats_agg, STATS_AGG_SQL),
+    "time_spine_gapfill": QuerySpec(time_spine_gapfill, TIME_SPINE_SQL),
 }
