@@ -74,6 +74,39 @@ def sliding_window_agg(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback: str = "INTERVAL 30 MINUTES",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream (or batch) interval join: rows pair when keys match
+    and the right event's time is within ``lookback`` before the left's.
+
+    In streaming BOTH sides are watermarked and the time-bound predicate
+    is what lets the engine evict join state — without it a stream-stream
+    join buffers forever (Spark rejects it in append mode). Column names
+    get ``l_``/``r_`` prefixes (a self-join of one stream would otherwise
+    collide). Scale: state per key is bounded by watermark + lookback."""
+    lt, rt = left, right
+    if lt.isStreaming:
+        lt = lt.withWatermark(left_ts, watermark)
+    if rt.isStreaming:
+        rt = rt.withWatermark(right_ts, watermark)
+    lt = lt.select([F.col(c).alias(f"l_{c}") for c in lt.columns])
+    rt = rt.select([F.col(c).alias(f"r_{c}") for c in rt.columns])
+    cond = (
+        (F.col(f"l_{key}") == F.col(f"r_{key}"))
+        & (F.col(f"r_{right_ts}") >= F.expr(f"l_{left_ts} - {lookback}"))
+        & (F.col(f"r_{right_ts}") <= F.col(f"l_{left_ts}"))
+    )
+    return lt.join(rt, cond, "inner")
+
+
 def streaming_dedup(
     events: DataFrame,
     keys: list[str],

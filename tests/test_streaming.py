@@ -163,3 +163,27 @@ def test_streaming_fanout_single_compute(spark, tmp_path):
     b = spark.read.parquet(out_b)
     assert a.count() > 0
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_stream_stream_interval_join(spark):
+    """Watermarked stream-stream interval join == the batch interval join
+    on a finite source (no late data → nothing evicted early)."""
+    from datalake_public_spark.streaming.windows import interval_join
+
+    cols = ["event_id", "user_id", "ts", "event_type"]
+
+    def split(df):
+        base = df.select(*cols)
+        return (
+            base.filter(F.col("event_type") == "click"),
+            base.filter(F.col("event_type") == "view"),
+        )
+
+    sc, sv = split(events_stream(spark, SF))
+    got = run_available_now(
+        interval_join(sc, sv, "user_id"), output_mode="append"
+    )
+    bc, bv = split(_events(spark, SF))
+    want = interval_join(bc, bv, "user_id")
+    assert got.count() > 0
+    _assert_same(got, want)
