@@ -22,11 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from datalake_public_spark.driver_queries import REGISTRY  # noqa: E402
+from datalake_public_spark.driver_queries_adv import ADV_REGISTRY  # noqa: E402
 from datalake_public_spark.driver_queries_ext import EXT_REGISTRY  # noqa: E402
 from datalake_public_spark.driver_queries_llm import LLM_REGISTRY  # noqa: E402
 from datalake_public_spark.driver_queries_streaming import STREAMING_REGISTRY  # noqa: E402
 
-_ALL = {**REGISTRY, **LLM_REGISTRY, **EXT_REGISTRY, **STREAMING_REGISTRY}
+_ALL = {**REGISTRY, **LLM_REGISTRY, **EXT_REGISTRY, **STREAMING_REGISTRY, **ADV_REGISTRY}
 
 
 def entry(spark: SparkSession) -> DataFrame:

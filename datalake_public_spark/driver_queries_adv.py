@@ -1,0 +1,151 @@
+"""Driver-contract queries: advanced relational + UDAF surface (round-1b).
+
+Fills the remaining SURVEY §2.7 absences: explicit GROUPING SETS,
+correlated scalar subqueries, correlated EXISTS (both through the
+``spark.sql`` surface so Catalyst's subquery decorrelation is exercised,
+not hand-rewritten joins), and an Arrow UDAF (grouped-agg pandas UDF)
+for rank statistics Spark has no built-in for.
+
+Determinism (cross-checked against DuckDB per the repo's oracle rules):
+money flows as integer cents (no double-sum rounding), quantity
+averages are exact (integer-valued doubles sum exactly), and the UDAF
+outputs are np.median-based, which bit-matches DuckDB median/mad.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_public_spark.driver_queries import QuerySpec, _t
+
+
+# --------------------------------------------------------------------------
+# Grouping sets (explicit — cube/rollup are the degenerate forms)
+# --------------------------------------------------------------------------
+
+
+def grouping_sets_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS ((flag, status), (flag), ()) in one pass.
+
+    Spark expands the sets BEFORE the shuffle (Expand node), so partial
+    aggregation still combines map-side; the shuffle carries
+    |sets| × |groups| rows, not |sets| × |input|. At 100 TB this is one
+    scan + one shuffle — strictly better than three separate groupBys."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+# --------------------------------------------------------------------------
+# Correlated subqueries (SQL surface → Catalyst decorrelation)
+# --------------------------------------------------------------------------
+
+_Q17_SQL = """
+SELECT p_brand,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS small_qty_revenue_cents,
+       count(*) AS n_lineitems
+FROM {li} JOIN {pt} ON p_partkey = l_partkey
+WHERE l_quantity < 0.5 * (
+    SELECT avg(l2.l_quantity) FROM {li} l2 WHERE l2.l_partkey = p_partkey
+)
+GROUP BY p_brand
+"""
+
+
+def correlated_scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: per-part correlated AVG threshold → revenue of
+    small-quantity lineitems, via Spark SQL's correlated scalar subquery.
+
+    Catalyst decorrelates this into (lineitem ⟕ per-part-avg aggregate)
+    — one extra aggregation + equi-join on l_partkey, NOT a per-row
+    re-scan. At 100 TB both sides shuffle-partition on l_partkey once;
+    AQE picks broadcast if the part filter ever makes the avg side small.
+    Money stays in integer cents so the sum is order-independent; the
+    quantity average is exact (integer-valued doubles)."""
+    _t(spark, sf, "lineitem").createOrReplaceTempView("adv_lineitem")
+    _t(spark, sf, "part").createOrReplaceTempView("adv_part")
+    return spark.sql(_Q17_SQL.format(li="adv_lineitem", pt="adv_part"))
+
+
+CORRELATED_SCALAR_SQL = _Q17_SQL.format(li="lineitem", pt="part")
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM {orders} o
+WHERE EXISTS (
+    SELECT 1 FROM {li} WHERE l_orderkey = o.o_orderkey AND l_discount > l_tax
+)
+GROUP BY o_orderpriority
+"""
+
+
+def exists_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS → order counts per priority.
+
+    Catalyst rewrites EXISTS to a LEFT SEMI join on l_orderkey — the
+    lineitem side is filtered (discount > tax) before the join, so the
+    shuffle carries only qualifying keys. Same plan the hand-written
+    semi join (driver_queries_ext.join_semi) produces; this entry pins
+    the SQL-subquery path specifically."""
+    _t(spark, sf, "orders").createOrReplaceTempView("adv_orders")
+    _t(spark, sf, "lineitem").createOrReplaceTempView("adv_lineitem")
+    return spark.sql(_Q4_SQL.format(orders="adv_orders", li="adv_lineitem"))
+
+
+EXISTS_SQL = _Q4_SQL.format(orders="orders", li="lineitem")
+
+
+# --------------------------------------------------------------------------
+# Arrow UDAF (grouped-agg pandas UDF — rank statistics)
+# --------------------------------------------------------------------------
+
+
+def udaf_robust_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-nation robust account-balance stats via Arrow UDAFs: exact
+    median + MAD, neither available as a Spark built-in (percentile_approx
+    is a sketch; this is exact rank math).
+
+    Plan: hash-partition customer on c_nationkey (one shuffle), each
+    group crosses to Python as ONE Arrow batch. Groups here are
+    ~1/25th of customer — bounded; see functions/udaf.py for the
+    100 TB guidance (sketches for unbounded groups)."""
+    from datalake_public_spark.functions.udaf import count_udaf, mad_udaf, median_udaf
+
+    cust = _t(spark, sf, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        median_udaf("c_acctbal").alias("median_bal"),
+        mad_udaf("c_acctbal").alias("mad_bal"),
+        count_udaf("c_acctbal").alias("n_cust"),
+    )
+
+
+UDAF_ROBUST_SQL = """
+SELECT c_nationkey, median(c_acctbal) AS median_bal, mad(c_acctbal) AS mad_bal,
+       count(*) AS n_cust
+FROM customer GROUP BY c_nationkey
+"""
+
+
+ADV_REGISTRY: dict[str, QuerySpec] = {
+    "grouping_sets_agg": QuerySpec(grouping_sets_agg, GROUPING_SETS_SQL),
+    "correlated_scalar_subquery": QuerySpec(correlated_scalar_subquery, CORRELATED_SCALAR_SQL),
+    "exists_subquery": QuerySpec(exists_subquery, EXISTS_SQL),
+    "udaf_robust_stats": QuerySpec(udaf_robust_stats, UDAF_ROBUST_SQL),
+}
