@@ -133,6 +133,41 @@ HAVING epoch_us(max(ts)) + 30*60*1000000 <= (SELECT max(epoch_us(ts)) FROM event
 """
 
 
+def streaming_transform_state(spark: SparkSession, sf: str) -> DataFrame:
+    """Arbitrary stateful processing via ``transformWithStateInPandas``
+    (Spark 4 StatefulProcessor API): per-user running count + cents-sum
+    in RocksDB-backed value state. One data batch under availableNow ⇒
+    the Update-mode emission equals the batch groupBy, giving an exact
+    oracle. The RocksDB provider is required by the operator; the conf
+    is scoped to this query and restored after (it binds at stream
+    start, so concurrent non-TWS queries are unaffected)."""
+    from datalake_public_spark.streaming.transform_state import (
+        ROCKSDB_PROVIDER,
+        transform_with_state_user_stats,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        return run_available_now(
+            transform_with_state_user_stats(events_stream(spark, sf)),
+            output_mode="update",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+STREAM_TWS_SQL = """
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY user_id
+"""
+
+
 STREAMING_REGISTRY: dict[str, QuerySpec] = {
     "streaming_tumbling": QuerySpec(streaming_tumbling, STREAM_TUMBLING_SQL),
     "streaming_sliding": QuerySpec(streaming_sliding, STREAM_SLIDING_SQL),
@@ -141,3 +176,12 @@ STREAMING_REGISTRY: dict[str, QuerySpec] = {
         streaming_stateful_sessions, STREAM_STATEFUL_SQL
     ),
 }
+
+# transformWithStateInPandas needs the protobuf runtime in the Python
+# workers (Spark's TWS state protocol); register only where it can run.
+from datalake_public_spark.streaming.transform_state import HAVE_PROTOBUF  # noqa: E402
+
+if HAVE_PROTOBUF:
+    STREAMING_REGISTRY["streaming_transform_state"] = QuerySpec(
+        streaming_transform_state, STREAM_TWS_SQL
+    )
