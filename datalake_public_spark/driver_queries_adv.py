@@ -143,9 +143,139 @@ FROM customer GROUP BY c_nationkey
 """
 
 
+# --------------------------------------------------------------------------
+# Training-data pipeline: dedup clustering, splits, packing
+# --------------------------------------------------------------------------
+
+
+def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup GROUPS (not just pairs): connected components over the
+    exact n-gram-Jaccard pair graph, every document labeled with the min
+    doc_id of its duplicate cluster (singletons label themselves).
+
+    This is the transitive-closure step a dedup pipeline needs before
+    it can keep one doc per cluster. Iterative hash-min propagation —
+    rounds = graph diameter (2-3 for clique-ish near-dup graphs); see
+    operators/components.py for the O(log n) large-star/small-star
+    upgrade path at 100 TB. Oracle: DuckDB recursive CTE reachability."""
+    from datalake_public_spark.operators.components import connected_components
+    from datalake_public_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf, "documents")
+    edges = ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    labels = connected_components(
+        edges,
+        src="id_a",
+        dst="id_b",
+        vertices=docs.select(F.col("doc_id").alias("node")),
+    )
+    return labels.select(F.col("node").alias("doc_id"), "component")
+
+
+def _components_sql() -> str:
+    from datalake_public_spark.driver_queries_llm import DEDUP_NGRAM_SQL
+
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({DEDUP_NGRAM_SQL}) q
+),
+und AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT u.dst, r.root FROM reach r JOIN und u ON u.src = r.node
+)
+SELECT node AS doc_id, min(root) AS component FROM reach GROUP BY node
+"""
+
+
+def dataset_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by multiplicative
+    hash of doc_id — membership is a function of the key, stable under
+    any repartitioning or engine (randomSplit is neither). Grouped
+    counts per (split, lang) so the oracle checks the full assignment."""
+    from datalake_public_spark.operators.sampling import assign_split
+
+    docs = _t(spark, sf, "documents")
+    return (
+        assign_split(docs, "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+def _dataset_split_sql() -> str:
+    from datalake_public_spark.operators.sampling import split_bucket_sql
+
+    b = split_bucket_sql("doc_id")
+    return f"""
+WITH s AS (
+  SELECT CASE WHEN {b} < 80 THEN 'train'
+              WHEN {b} < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         lang, n_chars
+  FROM documents
+)
+SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+FROM s GROUP BY split, lang
+"""
+
+
+def sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window packing: docs laid end-to-end per source in doc_id
+    order, binned into 2048-token windows by exclusive running token sum
+    (the concatenate-then-chunk layout LLM dataloaders use). One window
+    shuffle; bin sizes returned per (source, bin)."""
+    from datalake_public_spark.functions import text_funcs as T
+    from datalake_public_spark.operators.sampling import pack_sequences
+
+    docs = _t(spark, sf, "documents").select(
+        "source", "doc_id", F.size(T.tokens("text")).alias("n_tokens")
+    )
+    return (
+        pack_sequences(docs)
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )
+
+
+def _sequence_packing_sql() -> str:
+    from datalake_public_spark.functions import text_funcs as T
+
+    toks = T.tokens_sql("text")
+    return f"""
+WITH t AS (
+  SELECT source, doc_id, len({toks}) AS n_tokens FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+  FROM t
+)
+SELECT source, CAST(floor(cum_excl / 2048) AS BIGINT) AS bin,
+       count(*) AS n_docs, sum(n_tokens) AS sum_tokens
+FROM c GROUP BY source, bin
+"""
+
+
 ADV_REGISTRY: dict[str, QuerySpec] = {
     "grouping_sets_agg": QuerySpec(grouping_sets_agg, GROUPING_SETS_SQL),
     "correlated_scalar_subquery": QuerySpec(correlated_scalar_subquery, CORRELATED_SCALAR_SQL),
     "exists_subquery": QuerySpec(exists_subquery, EXISTS_SQL),
     "udaf_robust_stats": QuerySpec(udaf_robust_stats, UDAF_ROBUST_SQL),
+    "dedup_components": QuerySpec(dedup_components, _components_sql()),
+    "dataset_split": QuerySpec(dataset_split, _dataset_split_sql()),
+    "sequence_packing": QuerySpec(sequence_packing, _sequence_packing_sql()),
 }

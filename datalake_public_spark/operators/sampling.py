@@ -1,0 +1,80 @@
+"""Dataset assembly operators for training pipelines: deterministic
+splits and context-window sequence packing.
+
+Both are pure Catalyst expressions — no UDFs, no randomness. Train/val/
+test assignment must be a FUNCTION OF THE KEY, not of a random stream:
+``df.randomSplit`` changes membership when partitioning changes, which
+silently leaks validation docs into training across re-runs. A
+multiplicative hash of the stable id gives the same split on any
+cluster, any partition count, any engine (the arithmetic is plain
+64-bit modular math, so the DuckDB oracle reproduces it exactly —
+engine-native hash() functions differ and would not be portable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Knuth's multiplicative hash constant (2^32 / golden ratio); max key id
+# ~2^32 keeps key*KNUTH < 2^63 — overflow-free in int64 on both engines.
+KNUTH = 2654435761
+M32 = 2**32
+
+
+def split_bucket(key: Column | str, n_buckets: int = 100) -> Column:
+    """Deterministic [0, n_buckets) bucket from an integer key."""
+    k = F.col(key) if isinstance(key, str) else key
+    return (k * F.lit(KNUTH)) % F.lit(M32) % F.lit(n_buckets)
+
+
+def split_bucket_sql(key: str, n_buckets: int = 100) -> str:
+    return f"(({key} * {KNUTH}) % {M32}) % {n_buckets}"
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    *,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Add a ``split`` column: train/val/test by hash bucket of the key.
+
+    Scale: embarrassingly parallel (no shuffle, no state) — the split
+    of a row is decided by its own key, so 100 TB splits at scan speed
+    and membership is stable under any repartitioning."""
+    b = split_bucket(key_col)
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    order_col: str = "doc_id",
+    group_col: str = "source",
+    tokens_col: str = "n_tokens",
+    ctx_len: int = 2048,
+) -> DataFrame:
+    """Assign each doc to a context-window bin: docs are laid end-to-end
+    in ``order_col`` order within each group, and a doc starting at
+    token offset T lands in bin floor(T / ctx_len) — the streaming
+    concatenate-then-chunk packing LLM dataloaders use.
+
+    Deterministic: the bin is a function of the exclusive running token
+    sum, an integer; ctx_len is a power of two so the division is exact
+    in any engine. Scale: one window (one shuffle on ``group_col``) —
+    no driver-side loop; skewed groups split fine because the window is
+    a running sum, which Spark computes in one pass per partition."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return docs.withColumn("bin", F.floor(cum_excl / F.lit(ctx_len)))

@@ -1,0 +1,67 @@
+"""Unit tests for the dataset-assembly operators: connected components
+(known graphs), split determinism under repartitioning, packing layout."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalake_public_spark.operators.components import connected_components
+from datalake_public_spark.operators.sampling import assign_split, pack_sequences
+
+
+def _labels(df):
+    return {r.node: r.component for r in df.collect()}
+
+
+def test_components_chain_and_singleton(spark):
+    # chain 1-2-3-4 plus isolated 9: one component {1,2,3,4}, singleton {9}
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 9)], ["node"])
+    got = _labels(connected_components(edges, vertices=verts))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}
+
+
+def test_components_two_cliques_bridge(spark):
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (10, 12), (20, 21), (21, 22), (12, 20)], ["src", "dst"]
+    )
+    got = _labels(connected_components(edges))
+    assert set(got.values()) == {10}  # bridge merges both cliques
+
+
+def test_components_without_vertices_only_edge_nodes(spark):
+    edges = spark.createDataFrame([(5, 6)], ["src", "dst"])
+    assert _labels(connected_components(edges)) == {5: 5, 6: 5}
+
+
+def test_split_stable_under_repartition(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in assign_split(df, "doc_id").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in assign_split(df.repartition(17, "doc_id"), "doc_id").collect()
+    }
+    assert a == b
+    # ratios roughly 80/10/10
+    n = len(a)
+    train = sum(1 for s in a.values() if s == "train")
+    assert 0.75 < train / n < 0.85
+
+
+def test_pack_sequences_layout(spark):
+    # tokens: 1000, 1500, 600, 2048, 1 → exclusive cumsum 0,1000,2500,3100,5148
+    # bins (ctx 2048):                    0,   0,    1,   1,    2
+    rows = [("s", i, t) for i, t in enumerate([1000, 1500, 600, 2048, 1])]
+    docs = spark.createDataFrame(rows, ["source", "doc_id", "n_tokens"])
+    got = {r.doc_id: r.bin for r in pack_sequences(docs).collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_pack_sequences_groups_independent(spark):
+    docs = spark.createDataFrame(
+        [("a", 1, 3000), ("b", 1, 3000), ("a", 2, 10), ("b", 2, 10)],
+        ["source", "doc_id", "n_tokens"],
+    )
+    got = {(r.source, r.doc_id): r.bin for r in pack_sequences(docs).collect()}
+    # each group starts at offset 0
+    assert got == {("a", 1): 0, ("b", 1): 0, ("a", 2): 1, ("b", 2): 1}
