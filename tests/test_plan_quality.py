@@ -1,0 +1,77 @@
+"""Physical-plan regression tests: the scale properties the engine
+claims (pushdown, pruning, broadcast strategy, shuffle budgets) are
+asserted here so a refactor that silently loses one fails CI, not a
+100 TB run.
+
+Exchange counts use simple-mode explain (each node printed once).
+AQE may merge/replace nodes at runtime; these bounds are on the static
+plan, which is what code changes affect.
+"""
+
+from __future__ import annotations
+
+from datalake_public_spark.driver_queries import (
+    q1_pricing_summary,
+    q3_top_orders,
+    q5_regional_revenue,
+)
+from datalake_public_spark.driver_queries_adv import (
+    dataset_split,
+    sequence_packing,
+)
+from datalake_public_spark.driver_queries_ext import asof_join
+from tests.conftest import SF_SMOKE
+
+
+def _plan(spark, df, mode: str = "simple") -> str:
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_q1_pushdown_and_pruning(spark):
+    p = _plan(spark, q1_pricing_summary(spark, SF_SMOKE), "formatted")
+    # the shipdate filter reaches the parquet scan (row-group skipping)
+    assert "LessThanOrEqual(l_shipdate" in p
+    # column pruning: key columns not in the projection never leave the scan
+    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_q1_single_shuffle(spark):
+    # scan → partial agg → ONE exchange → final agg
+    assert _plan(spark, q1_pricing_summary(spark, SF_SMOKE)).count("Exchange") == 1
+
+
+def test_q3_q5_broadcast_dims_no_sort_merge(spark):
+    for q in (q3_top_orders, q5_regional_revenue):
+        p = _plan(spark, q(spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in p, q.__name__
+        # dims are small at every SF — a sort-merge join would mean a
+        # lost broadcast hint and two extra full-table sort-shuffles
+        assert "SortMergeJoin" not in p, q.__name__
+
+
+def test_asof_join_is_one_shuffle(spark):
+    # the union+window formulation's whole point: ONE exchange on
+    # user_id, no range-explosion join
+    p = _plan(spark, asof_join(spark, SF_SMOKE))
+    assert p.count("Exchange") == 1
+    assert "Join" not in p  # no join nodes at all
+
+
+def test_dataset_split_is_scan_plus_one_agg_shuffle(spark):
+    p = _plan(spark, dataset_split(spark, SF_SMOKE))
+    assert p.count("Exchange") == 1
+    # split assignment itself is embarrassingly parallel — no shuffle
+    # before the partial aggregate; scan reads only the 3 needed columns
+    f = _plan(spark, dataset_split(spark, SF_SMOKE), "formatted")
+    read_schema = next(l for l in f.splitlines() if "ReadSchema" in l)
+    assert "text" not in read_schema  # the wide column stays on disk
+
+
+def test_sequence_packing_reuses_window_partitioning(spark):
+    # window shuffles on `source`; the (source, bin) aggregate is
+    # satisfied by that same clustering — Catalyst must NOT add a second
+    # exchange
+    p = _plan(spark, sequence_packing(spark, SF_SMOKE))
+    assert p.count("Exchange") == 1
