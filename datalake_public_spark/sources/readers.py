@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 
 def read_json_snapshots(
@@ -46,6 +46,49 @@ def read_json_snapshots(
         .option("mode", mode)
         .json(path)
     )
+
+
+def read_json_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    *,
+    multiline: bool = False,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """JSON read that ROUTES malformed records instead of failing or
+    silently nulling them: returns ``(good, quarantined)``.
+
+    The third option between FAILFAST (one bad snapshot kills a 100 TB
+    backfill) and bare PERMISSIVE (corruption silently becomes nulls —
+    the reference's silent-failure class, ``velib_data_fetcher.py:68-71``):
+    PERMISSIVE with a corrupt-record column, then split. ``good`` drops
+    the marker column; ``quarantined`` carries the raw malformed text for
+    a dead-letter sink + reconciliation counts (rows_in == good + bad).
+
+    Spark refuses a query whose referenced columns are ONLY the corrupt
+    column ([UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN]); the
+    documented pattern — used here — is caching the parsed frame, which
+    also means the good/bad branches share one parse of the input
+    instead of re-scanning. The caller owns unpersisting (the handle is
+    reachable from either returned frame's lineage).
+    """
+    # StructType.add mutates in place — build a fresh schema so the
+    # caller's declared schema object stays pristine
+    aug = StructType(list(schema.fields) + [StructField(corrupt_col, StringType())])
+    raw = (
+        spark.read.schema(aug)
+        .option("multiLine", multiline)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+        .cache()
+    )
+    good = raw.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = raw.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_record")
+    )
+    return good, bad
 
 
 def read_parquet_table(

@@ -68,3 +68,28 @@ def test_land_snapshot_verbatim(tmp_path):
     raw = b'{"data": {"stations": []}, "lastUpdatedOther": 1}'
     p = land_snapshot(raw, str(tmp_path), "velib", "ss", TS1)
     assert open(p, "rb").read() == raw
+
+
+def test_quarantine_splits_good_and_bad(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from datalake_public_spark.sources.readers import read_json_with_quarantine
+
+    p = tmp_path / "snap.json"
+    p.write_text(
+        '{"station_id": "s1", "bikes": 3}\n'
+        "{this is not json}\n"
+        '{"station_id": "s2", "bikes": 5}\n'
+        '{"station_id": "s3", "bikes": "not-a-number"}\n'
+    )
+    schema = StructType(
+        [StructField("station_id", StringType()), StructField("bikes", LongType())]
+    )
+    good, bad = read_json_with_quarantine(spark, str(p), schema)
+    assert {(r.station_id, r.bikes) for r in good.collect()} == {("s1", 3), ("s2", 5)}
+    bad_rows = [r.raw_record for r in bad.collect()]
+    assert len(bad_rows) == 2 and any("not json" in b for b in bad_rows)
+    # reconciliation: nothing silently dropped
+    assert good.count() + bad.count() == 4
+    # caller's schema object not mutated by the corrupt-column augmentation
+    assert len(schema.fields) == 2
