@@ -133,6 +133,39 @@ HAVING epoch_us(max(ts)) + 30*60*1000000 <= (SELECT max(epoch_us(ts)) FROM event
 """
 
 
+def streaming_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked stream-stream interval join (clicks ⋈ views of the
+    same user within a 30-min lookback), aggregated to per-user pair
+    counts. Both sides are watermarked so join state evicts; on the
+    finite availableNow drain nothing is late, so the emission equals
+    the batch interval join — giving an exact oracle. Scale: state per
+    key bounded by watermark + lookback; the join shuffles both streams
+    once on user_id."""
+    from pyspark.sql import functions as F
+
+    from datalake_public_spark.streaming.windows import interval_join
+
+    ev = events_stream(spark, sf).select("event_id", "user_id", "ts", "event_type")
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view")
+    joined = run_available_now(
+        interval_join(clicks, views, "user_id"), output_mode="append"
+    )
+    return joined.groupBy(F.col("l_user_id").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+STREAM_INTERVAL_JOIN_SQL = """
+SELECT c.user_id, count(*) AS n_pairs
+FROM events c JOIN events v
+  ON v.user_id = c.user_id
+ AND c.event_type = 'click' AND v.event_type = 'view'
+ AND v.ts >= c.ts - INTERVAL 30 MINUTE AND v.ts <= c.ts
+GROUP BY c.user_id
+"""
+
+
 def streaming_transform_state(spark: SparkSession, sf: str) -> DataFrame:
     """Arbitrary stateful processing via ``transformWithStateInPandas``
     (Spark 4 StatefulProcessor API): per-user running count + cents-sum
@@ -174,6 +207,9 @@ STREAMING_REGISTRY: dict[str, QuerySpec] = {
     "streaming_session": QuerySpec(streaming_session, STREAM_SESSION_SQL),
     "streaming_stateful_sessions": QuerySpec(
         streaming_stateful_sessions, STREAM_STATEFUL_SQL
+    ),
+    "streaming_interval_join": QuerySpec(
+        streaming_interval_join, STREAM_INTERVAL_JOIN_SQL
     ),
 }
 
