@@ -270,11 +270,72 @@ FROM c GROUP BY source, bin
 """
 
 
+_STRATA_RATES = {"view": 0.10, "click": 0.50, "error": 1.0, "purchase": 1.0, "signup": 1.0}
+
+
+def stratified_sample_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified downsample of the event stream: keep 10%
+    of views, 50% of clicks, all rare types — the source-rebalancing
+    primitive of a training mixture. Row-level result (event_id, type)
+    so the oracle checks the exact membership, not just counts.
+
+    Scale: a scan-time filter (no shuffle, no sort, no sample state);
+    membership is a pure function of the key so re-runs and engines
+    agree, and lowering a rate yields a strict subset (nested samples)."""
+    from datalake_public_spark.operators.sampling import stratified_sample
+
+    ev = _t(spark, sf, "events").select("event_id", "event_type")
+    return stratified_sample(ev, "event_id", "event_type", _STRATA_RATES)
+
+
+def _stratified_sql() -> str:
+    from datalake_public_spark.operators.sampling import split_bucket_sql
+
+    b = split_bucket_sql("event_id")
+    cases = " ".join(
+        f"WHEN '{s}' THEN {rate * 100.0}" for s, rate in sorted(_STRATA_RATES.items())
+    )
+    return f"""
+SELECT event_id, event_type FROM events
+WHERE {b} < CASE event_type {cases} ELSE 0.0 END
+"""
+
+
+_Q18_SQL = """
+SELECT o_orderkey, o_orderdate, o_totalprice,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM {orders}
+JOIN {li} ON l_orderkey = o_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM {li}
+    GROUP BY l_orderkey
+    HAVING sum(l_quantity) > 150
+)
+GROUP BY o_orderkey, o_orderdate, o_totalprice
+"""
+
+
+def in_subquery_having(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders via IN over a grouped+HAVING
+    subquery, through the spark.sql surface. Catalyst rewrites the IN to
+    a left-semi join against the pre-aggregated keys — both sides
+    shuffle once on orderkey; quantity sums are exact (integer-valued
+    doubles), so no rounding hazard in the HAVING boundary."""
+    _t(spark, sf, "orders").createOrReplaceTempView("adv_orders")
+    _t(spark, sf, "lineitem").createOrReplaceTempView("adv_lineitem")
+    return spark.sql(_Q18_SQL.format(orders="adv_orders", li="adv_lineitem"))
+
+
+IN_SUBQUERY_SQL = _Q18_SQL.format(orders="orders", li="lineitem")
+
+
 ADV_REGISTRY: dict[str, QuerySpec] = {
     "grouping_sets_agg": QuerySpec(grouping_sets_agg, GROUPING_SETS_SQL),
     "correlated_scalar_subquery": QuerySpec(correlated_scalar_subquery, CORRELATED_SCALAR_SQL),
     "exists_subquery": QuerySpec(exists_subquery, EXISTS_SQL),
     "udaf_robust_stats": QuerySpec(udaf_robust_stats, UDAF_ROBUST_SQL),
+    "stratified_sample": QuerySpec(stratified_sample_events, _stratified_sql()),
+    "in_subquery_having": QuerySpec(in_subquery_having, IN_SUBQUERY_SQL),
     "dedup_components": QuerySpec(dedup_components, _components_sql()),
     "dataset_split": QuerySpec(dataset_split, _dataset_split_sql()),
     "sequence_packing": QuerySpec(sequence_packing, _sequence_packing_sql()),

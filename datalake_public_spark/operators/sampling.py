@@ -53,6 +53,33 @@ def assign_split(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    *,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its key's
+    hash bucket falls under the stratum's rate (``rates`` in [0, 1]).
+
+    The training-mixture primitive: rebalance sources/classes by keeping
+    e.g. 100% of rare strata and 5% of dominant ones. Same guarantees as
+    ``assign_split`` — membership is a pure function of (key, rate), so
+    re-runs, engines, and partitionings all agree, and a row kept at
+    rate r stays kept at any rate ≥ r (nested samples for ablations).
+    Scale: no shuffle — a scan-time filter; Catalyst folds the rate
+    lookup into a CASE expression."""
+    b = split_bucket(key_col)
+    rate_expr: Column = F.lit(float(default_rate) * 100.0)
+    for stratum, rate in sorted(rates.items()):
+        rate_expr = F.when(
+            F.col(stratum_col) == stratum, F.lit(float(rate) * 100.0)
+        ).otherwise(rate_expr)
+    return df.filter(b < rate_expr)
+
+
 def pack_sequences(
     docs: DataFrame,
     *,

@@ -6,7 +6,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from datalake_public_spark.operators.components import connected_components
-from datalake_public_spark.operators.sampling import assign_split, pack_sequences
+from datalake_public_spark.operators.sampling import (
+    assign_split,
+    pack_sequences,
+    stratified_sample,
+)
 
 
 def _labels(df):
@@ -65,3 +69,33 @@ def test_pack_sequences_groups_independent(spark):
     got = {(r.source, r.doc_id): r.bin for r in pack_sequences(docs).collect()}
     # each group starts at offset 0
     assert got == {("a", 1): 0, ("b", 1): 0, ("a", 2): 1, ("b", 2): 1}
+
+
+def test_stratified_sample_nested_and_deterministic(spark):
+    from datalake_public_spark.driver_queries import _events
+
+    ev = _events(spark, "/root/testdata/sf0.001").select("event_id", "event_type")
+    lo = stratified_sample(ev, "event_id", "event_type", {"view": 0.05}, default_rate=1.0)
+    hi = stratified_sample(ev, "event_id", "event_type", {"view": 0.20}, default_rate=1.0)
+    lo_ids = {r.event_id for r in lo.collect()}
+    hi_ids = {r.event_id for r in hi.collect()}
+    assert lo_ids <= hi_ids  # raising a rate only ADDS rows (nested samples)
+    # repartitioning can't change membership
+    lo2 = {
+        r.event_id
+        for r in stratified_sample(
+            ev.repartition(13), "event_id", "event_type", {"view": 0.05}, default_rate=1.0
+        ).collect()
+    }
+    assert lo2 == lo_ids
+
+
+def test_stratified_sample_rates_roughly_hold(spark):
+    from datalake_public_spark.driver_queries import _events
+
+    ev = _events(spark, "/root/testdata/sf0.01").select("event_id", "event_type")
+    total = ev.filter("event_type = 'view'").count()
+    kept = stratified_sample(
+        ev, "event_id", "event_type", {"view": 0.10}
+    ).count()
+    assert 0.07 * total < kept < 0.13 * total

@@ -75,3 +75,16 @@ def test_sequence_packing_reuses_window_partitioning(spark):
     # exchange
     p = _plan(spark, sequence_packing(spark, SF_SMOKE))
     assert p.count("Exchange") == 1
+
+
+def test_in_subquery_plans_as_semi_join_no_extra_scan(spark):
+    from datalake_public_spark.driver_queries_adv import in_subquery_having
+
+    p = _plan(spark, in_subquery_having(spark, SF_SMOKE))
+    assert "LeftSemi" in p  # IN rewritten, not re-executed per row
+
+
+def test_stratified_sample_is_shuffle_free(spark):
+    from datalake_public_spark.driver_queries_adv import stratified_sample_events
+
+    assert _plan(spark, stratified_sample_events(spark, SF_SMOKE)).count("Exchange") == 0
