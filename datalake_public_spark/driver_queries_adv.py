@@ -329,6 +329,49 @@ def in_subquery_having(spark: SparkSession, sf: str) -> DataFrame:
 IN_SUBQUERY_SQL = _Q18_SQL.format(orders="orders", li="lineitem")
 
 
+def scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 fold: bootstrap customer as an open history, apply a CDC
+    delta (30% of keys get +1000 balance, another 10% arrive unchanged
+    → must be detected as no-ops), return the full versioned table.
+    Every SCD2 path is exercised: close, open-new-version, no-op
+    passthrough; the oracle reconstructs the expected history set-wise."""
+    from datalake_public_spark.operators.sampling import split_bucket
+    from datalake_public_spark.operators.scd import scd2_apply, snapshot_open
+
+    cust = _t(spark, sf, "customer")
+    hist = snapshot_open(cust, effective_ts="2024-01-01")
+    b = split_bucket("c_custkey")
+    delta = cust.filter(b < 40).withColumn(
+        "c_acctbal",
+        F.col("c_acctbal") + F.when(b < 30, F.lit(1000.0)).otherwise(F.lit(0.0)),
+    )
+    return scd2_apply(
+        hist,
+        delta,
+        key_cols=("c_custkey",),
+        tracked_cols=("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+        effective_ts="2024-06-01",
+    )
+
+
+def _scd2_sql() -> str:
+    from datalake_public_spark.operators.sampling import split_bucket_sql
+
+    b = split_bucket_sql("c_custkey")
+    return f"""
+WITH x AS (SELECT *, {b} AS bkt FROM customer)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       TIMESTAMP '2024-01-01' AS valid_from,
+       CASE WHEN bkt < 30 THEN TIMESTAMP '2024-06-01' END AS valid_to,
+       bkt >= 30 AS is_current
+FROM x
+UNION ALL
+SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0, c_mktsegment,
+       TIMESTAMP '2024-06-01', NULL, true
+FROM x WHERE bkt < 30
+"""
+
+
 ADV_REGISTRY: dict[str, QuerySpec] = {
     "grouping_sets_agg": QuerySpec(grouping_sets_agg, GROUPING_SETS_SQL),
     "correlated_scalar_subquery": QuerySpec(correlated_scalar_subquery, CORRELATED_SCALAR_SQL),
@@ -339,4 +382,5 @@ ADV_REGISTRY: dict[str, QuerySpec] = {
     "dedup_components": QuerySpec(dedup_components, _components_sql()),
     "dataset_split": QuerySpec(dataset_split, _dataset_split_sql()),
     "sequence_packing": QuerySpec(sequence_packing, _sequence_packing_sql()),
+    "scd2_history": QuerySpec(scd2_history, _scd2_sql()),
 }
