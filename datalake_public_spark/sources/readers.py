@@ -12,6 +12,8 @@ Replaces the reference's three read idioms (SURVEY §2.1):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
@@ -113,20 +115,55 @@ def latest_partition(df: DataFrame, partition_col: str) -> DataFrame:
     return df.join(F.broadcast(mx), on=df[partition_col] == mx["__mx"], how="inner").drop("__mx")
 
 
+def _parse_bytes_conf(v: str) -> int:
+    v = v.strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    if v.endswith("b"):
+        v = v[:-1]
+    if v and v[-1] in units:
+        return int(float(v[:-1]) * units[v[-1]])
+    return int(v)
+
+
 def widen_for_compute(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     """Ensure a compute-bound plan has enough partitions to use the cluster.
 
     Small single-row-group parquet files arrive as ONE split regardless of
     ``maxPartitionBytes`` (parquet splits at row-group granularity), which
     serializes CPU-heavy per-row work (hashing, shingling, vector math)
-    onto one core. When the scan's partition count is below the cluster's
-    default parallelism, repartition round-robin; otherwise no-op — so at
-    100 TB (where scans produce thousands of splits) this inserts no
-    shuffle at all, while locally it unlocks all cores for the price of
-    shuffling the (small, by definition) input."""
-    sc = df.sparkSession.sparkContext
-    target = min_parallelism or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    onto one core. When the scan's estimated split count is below the
+    cluster's default parallelism, repartition round-robin; otherwise
+    no-op — so at 100 TB (where scans produce thousands of splits) this
+    inserts no shuffle at all, while locally it unlocks all cores for the
+    price of shuffling the (small, by definition) input.
+
+    Split estimation reads file sizes (``inputFiles`` + local stat,
+    ~30 ms) instead of ``df.rdd.getNumPartitions()`` — the RDD conversion
+    forces physical planning and costs ~0.6 s PER CALL, which dominated
+    the small-SF latency of every Arrow-kernel operator. The estimate is
+    a lower bound (row-group granularity can only reduce splits), so it
+    errs toward widening — correct for compute-bound callers. Non-file
+    plans and remote filesystems fall back to the exact RDD count."""
+    spark = df.sparkSession
+    target = min_parallelism or spark.sparkContext.defaultParallelism
+
+    est: int | None = None
+    try:
+        files = df.inputFiles()
+        if files and all(f.startswith(("file:", "/")) for f in files):
+            max_bytes = _parse_bytes_conf(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+            )
+            est = sum(
+                max(1, -(-os.path.getsize(f.removeprefix("file:")) // max_bytes))
+                for f in files
+            )
+    except Exception:
+        est = None
+    if est is None:
+        est = df.rdd.getNumPartitions()
+
+    if est < target:
         return df.repartition(target)
     return df
 
