@@ -1,0 +1,136 @@
+"""Incremental materialized-view maintenance: keep a pre-aggregated
+rollup table up to date from a growing source WITHOUT rescanning
+history.
+
+The reference recomputes everything every 3 hours (whole-prefix
+overwrite, ``dag_bike.py:36`` + ``transform_*:108``) — O(table) per
+tick. This composes the engine's existing pieces into O(new data) per
+tick:
+
+  file streaming source (exactly-once, checkpointed offsets)
+    → per-batch partial aggregate of ONLY the new files
+    → additive merge into the rollup (read back just the touched
+      partition slice, combine, dynamic-partition-overwrite it)
+
+Additivity is the contract: every aggregate column must be mergeable by
+SUM (counts and sums are; avg is maintained as sum+count and divided at
+read; min/max also merge, by their own functions). This is the same
+partial/final split Spark's own hash aggregation uses — applied across
+RUNS instead of across tasks.
+
+Scale: a tick's cost is O(new files) + O(touched rollup partitions).
+Checkpointed offsets give exactly-once across restarts — a crashed tick
+replays its batch, and the merge is applied per batch epoch, not per
+row. The rollup stays small (grouped), so the merge scan is tiny
+regardless of source size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_additive(
+    spark: SparkSession,
+    target_path: str,
+    delta: DataFrame,
+    *,
+    key_cols: tuple[str, ...],
+    partition_col: str,
+    sum_cols: tuple[str, ...],
+) -> None:
+    """Fold a pre-aggregated delta into the rollup: rows with the same
+    key combine by summing ``sum_cols``; only touched partitions are
+    read back and rewritten (``partition_col`` must be in ``key_cols``)."""
+    assert partition_col in key_cols, "partition column must be part of the key"
+    try:
+        existing = spark.read.parquet(target_path)
+        have_target = True
+    except Exception:  # AnalysisException: path does not exist — first tick
+        have_target = False
+
+    if have_target:
+        parts = [r[0] for r in delta.select(partition_col).distinct().collect()]
+        if not parts:
+            return
+        slice_ = existing.filter(F.col(partition_col).isin(parts))
+        merged = (
+            slice_.unionByName(delta)
+            .groupBy(*key_cols)
+            .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        )
+    else:
+        merged = delta
+
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(target_path)
+    )
+
+
+def incremental_rollup(
+    stream: DataFrame,
+    aggregate: Callable[[DataFrame], DataFrame],
+    target_path: str,
+    *,
+    key_cols: tuple[str, ...],
+    partition_col: str,
+    sum_cols: tuple[str, ...],
+    checkpoint_dir: str,
+    timeout_s: int = 300,
+) -> None:
+    """Drain the stream's currently-available data (availableNow) and
+    fold each micro-batch's partial aggregate into the rollup table.
+
+    ``aggregate`` maps a raw batch to the rollup's grouped shape (keys +
+    additive measures). Re-running after new files land processes ONLY
+    the new files (checkpointed offsets) and touches only their rollup
+    partitions."""
+    spark = stream.sparkSession
+
+    # foreachBatch is AT-LEAST-once: after a crash between the merge and
+    # the offset commit, the batch replays — and an additive merge applied
+    # twice double-counts. Batch-id markers make the fold idempotent
+    # (skip already-applied epochs). Markers are scoped to the CHECKPOINT
+    # lineage: batch ids are only stable within one checkpoint, so a
+    # fresh checkpoint must not silently skip (wiping the checkpoint
+    # without rebuilding the target is a rebuild, not a resume). The
+    # residual window is a crash between data write and marker write,
+    # which plain parquet cannot close (a transactional table format
+    # commits both atomically).
+    scope = hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
+    marker_dir = os.path.join(target_path, "_applied_batches")
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(marker_dir, f"{scope}-{batch_id}")
+        if os.path.exists(marker):
+            return
+        merge_additive(
+            spark,
+            target_path,
+            aggregate(batch_df),
+            key_cols=key_cols,
+            partition_col=partition_col,
+            sum_cols=sum_cols,
+        )
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("")
+
+    q = (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
