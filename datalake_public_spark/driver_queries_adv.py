@@ -372,6 +372,64 @@ FROM x WHERE bkt < 30
 """
 
 
+def scd2_pit_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time join — the SCD2 read path: each order joins the
+    customer VERSION that was valid on its order date (balances change
+    effective 1998-01-01 for 30% of keys; orders span 1995-2001, so both
+    versions participate). Plan: equi hash join on custkey with the
+    validity range as a post-join filter — one shuffle per side, no
+    range explosion (versions per key ≈ 2)."""
+    from datalake_public_spark.operators.sampling import split_bucket
+    from datalake_public_spark.operators.scd import scd2_apply, snapshot_open
+
+    cust = _t(spark, sf, "customer")
+    hist = snapshot_open(cust, effective_ts="1995-01-01")
+    b = split_bucket("c_custkey")
+    delta = cust.filter(b < 30).withColumn("c_acctbal", F.col("c_acctbal") + F.lit(1000.0))
+    hist2 = scd2_apply(
+        hist,
+        delta,
+        key_cols=("c_custkey",),
+        tracked_cols=("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+        effective_ts="1998-01-01",
+    )
+    orders = _t(spark, sf, "orders")
+    j = orders.join(
+        hist2,
+        (orders.o_custkey == hist2.c_custkey)
+        & (hist2.valid_from <= orders.o_orderdate)
+        & (hist2.valid_to.isNull() | (hist2.valid_to > orders.o_orderdate)),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias("bal_cents"),
+    )
+
+
+def _scd2_pit_sql() -> str:
+    from datalake_public_spark.operators.sampling import split_bucket_sql
+
+    b = split_bucket_sql("c_custkey")
+    return f"""
+WITH hist AS (
+  SELECT c_custkey, c_acctbal,
+         TIMESTAMP '1995-01-01' AS valid_from,
+         CASE WHEN {b} < 30 THEN TIMESTAMP '1998-01-01' END AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_acctbal + 1000.0, TIMESTAMP '1998-01-01', NULL
+  FROM customer WHERE {b} < 30
+)
+SELECT o_orderpriority, count(*) AS n_orders,
+       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS bal_cents
+FROM orders o JOIN hist h
+  ON h.c_custkey = o.o_custkey
+ AND h.valid_from <= o.o_orderdate
+ AND (h.valid_to IS NULL OR h.valid_to > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
 ADV_REGISTRY: dict[str, QuerySpec] = {
     "grouping_sets_agg": QuerySpec(grouping_sets_agg, GROUPING_SETS_SQL),
     "correlated_scalar_subquery": QuerySpec(correlated_scalar_subquery, CORRELATED_SCALAR_SQL),
@@ -383,4 +441,5 @@ ADV_REGISTRY: dict[str, QuerySpec] = {
     "dataset_split": QuerySpec(dataset_split, _dataset_split_sql()),
     "sequence_packing": QuerySpec(sequence_packing, _sequence_packing_sql()),
     "scd2_history": QuerySpec(scd2_history, _scd2_sql()),
+    "scd2_pit_join": QuerySpec(scd2_pit_join, _scd2_pit_sql()),
 }
