@@ -154,10 +154,10 @@ def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     doc_id of its duplicate cluster (singletons label themselves).
 
     This is the transitive-closure step a dedup pipeline needs before
-    it can keep one doc per cluster. Iterative hash-min propagation —
-    rounds = graph diameter (2-3 for clique-ish near-dup graphs); see
-    operators/components.py for the O(log n) large-star/small-star
-    upgrade path at 100 TB. Oracle: DuckDB recursive CTE reachability."""
+    it can keep one doc per cluster. Iterative hash-min propagation
+    with pointer doubling — O(log n) rounds on any graph shape (see
+    operators/components.py). Oracle: DuckDB recursive CTE
+    reachability."""
     from datalake_public_spark.operators.components import connected_components
     from datalake_public_spark.operators.dedup import ngram_jaccard_pairs
 

@@ -2,20 +2,22 @@
 every near-dup pipeline needs (pair lists from dedup.py say "A~B, B~C";
 keeping one doc per GROUP requires components, not pairs).
 
-Algorithm: iterative hash-min label propagation on DataFrames. Each
-round, every node adopts the minimum component label among itself and
-its neighbors; convergence when no label changes. Exact — on
-convergence every node holds min(id) of its component.
+Algorithm: iterative hash-min label propagation with pointer doubling.
+Each round every node adopts the minimum label among itself and its
+neighbors (relaxation), then follows its label one hop
+(``component := label(component)`` — shortcutting/path compression).
+Relaxation alone needs O(diameter) rounds; the doubling step halves
+label-path lengths each round, giving O(log n) rounds on any graph
+shape — same convergence class as the large-star/small-star
+alternation (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14) with simpler building blocks. Exact — on convergence
+every node holds min(id) of its component; non-convergence within
+``max_iter`` raises instead of silently returning partial labels.
 
-Scale: one shuffle-join + one aggregation per round, both keyed on node
-id. Rounds = graph diameter; near-dup graphs are clique-ish (diameter
-2-3), so this converges in a handful of rounds. For adversarial
-long-chain graphs at 100 TB, swap the propagation step for the
-large-star/small-star alternation (Kiveris et al., "Connected
-Components in MapReduce and Beyond", SoCC'14) — O(log n) rounds with
-the same join/agg building blocks. ``localCheckpoint`` per round
-truncates the lineage so the plan doesn't grow with iterations (same
-discipline MLlib's iterative algorithms use).
+Scale: two shuffle-joins + one aggregation per round, all keyed on node
+id. ``localCheckpoint`` per round truncates the lineage so the plan
+doesn't grow with iterations (same discipline MLlib's iterative
+algorithms use).
 """
 
 from __future__ import annotations
@@ -62,7 +64,7 @@ def connected_components(
             .groupBy(F.col("e.node").alias("node"))
             .agg(F.min(F.col("l.component")).alias("nbr_component"))
         )
-        new_labels = (
+        relaxed = (
             labels.alias("o")
             .join(nbr_min.alias("m"), F.col("o.node") == F.col("m.node"), "left")
             .select(
@@ -71,6 +73,25 @@ def connected_components(
                     F.col("o.component"),
                     F.coalesce(F.col("m.nbr_component"), F.col("o.component")),
                 ).alias("component"),
+            )
+        )
+        # pointer doubling (shortcutting): follow the label one hop —
+        # component := label(component). Neighbor relaxation alone needs
+        # O(diameter) rounds (a 1000-node chain would exhaust max_iter);
+        # with path compression each round roughly halves label paths,
+        # giving O(log n) rounds on any graph shape.
+        new_labels = (
+            relaxed.alias("x")
+            .join(
+                relaxed.select(
+                    F.col("node").alias("c_node"), F.col("component").alias("c_comp")
+                ).alias("y"),
+                F.col("x.component") == F.col("y.c_node"),
+                "left",
+            )
+            .select(
+                F.col("x.node").alias("node"),
+                F.coalesce(F.col("y.c_comp"), F.col("x.component")).alias("component"),
             )
             .localCheckpoint()
         )
@@ -82,6 +103,9 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
+            return labels
 
-    return labels
+    raise RuntimeError(
+        f"connected_components did not converge within max_iter={max_iter} "
+        "rounds; the graph is larger/deeper than expected — raise max_iter"
+    )

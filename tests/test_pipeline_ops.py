@@ -99,3 +99,21 @@ def test_stratified_sample_rates_roughly_hold(spark):
         ev, "event_id", "event_type", {"view": 0.10}
     ).count()
     assert 0.07 * total < kept < 0.13 * total
+
+
+def test_components_long_chain_converges_fast(spark):
+    # a 300-node chain has diameter 299: relaxation alone cannot finish
+    # inside max_iter=12, pointer doubling must (O(log n) rounds)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], ["src", "dst"]
+    )
+    got = _labels(connected_components(edges, max_iter=12))
+    assert set(got.values()) == {0} and len(got) == 301
+
+
+def test_components_raises_on_non_convergence(spark):
+    import pytest
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(80)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
