@@ -108,8 +108,8 @@ def q3_top_orders(spark: SparkSession, sf: str) -> DataFrame:
     Scale: customer filter first (segment) then broadcast to lineitem's
     join; top-10 via sort-limit (TakeOrdered — no full sort shuffle)."""
     cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = _t(spark, sf, "orders").filter(F.col("o_orderdate") < F.lit("2024-06-01"))
-    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderdate") < F.lit("1996-06-01"))
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > F.lit("1996-06-01"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -130,7 +130,9 @@ SELECT l_orderkey, o_orderdate, o_orderpriority,
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
-WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '2024-06-01 00:00:00'
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-06-01 00:00:00'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 10
@@ -187,8 +189,8 @@ def q6_revenue_forecast(spark: SparkSession, sf: str) -> DataFrame:
     li = _t(spark, sf, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("2024-01-01"))
-            & (F.col("l_shipdate") < F.lit("2025-01-01"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -204,10 +206,57 @@ Q6_SQL = """
 SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
        count(*) AS n_rows
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '2024-01-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '2025-01-01 00:00:00'
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: fact⋈dim with a CONDITIONAL aggregate — promo
+    revenue share per ship month.
+
+    Scale: part broadcasts (dimension); the date filter pushes to the
+    lineitem scan; revenue goes through per-row integer cents so the
+    promo/total ratio is a ratio of exact bigints, deterministic across
+    engines and partition orders."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-07-01"))
+    )
+    part = _t(spark, sf, "part")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))).alias(
+                "promo_cents"
+            ),
+            F.sum(cents).alias("total_cents"),
+        )
+        .withColumn(
+            "promo_pct",
+            F.round(F.lit(100.0) * F.col("promo_cents") / F.col("total_cents"), 6),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT date_trunc('month', l_shipdate) AS ship_month,
+       sum(CASE WHEN p_type = 'PROMO'
+                THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                ELSE 0 END) AS promo_cents,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS total_cents,
+       round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                ELSE 0 END) / sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)),
+             6) AS promo_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY 1
 """
 
 
@@ -676,6 +725,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "q3_top_orders": QuerySpec(q3_top_orders, Q3_SQL),
     "q5_regional_revenue": QuerySpec(q5_regional_revenue, Q5_SQL),
     "q6_revenue_forecast": QuerySpec(q6_revenue_forecast, Q6_SQL),
+    "q14_promo_revenue": QuerySpec(q14_promo_revenue, Q14_SQL),
     "r1_join_enrich": QuerySpec(r1_join_enrich, R1_SQL),
     "r3_union_by_name": QuerySpec(r3_union_by_name, R3_SQL),
     "r4_quality_checks": QuerySpec(r4_quality_checks, R4_SQL),

@@ -430,12 +430,39 @@ GROUP BY o_orderpriority
 """
 
 
+def weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sample without replacement (A-ES priority):
+    the 200 documents with the highest ``ln(u_key)/n_chars`` — long docs
+    proportionally more likely, membership a pure function of doc_id.
+
+    Scale: executes as TakeOrderedAndProject — per-partition top-k heaps,
+    no full sort, no data shuffle; 100 TB samples at scan speed."""
+    from datalake_public_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(docs, "doc_id", "n_chars", 200)
+
+
+def _weighted_sample_sql() -> str:
+    from datalake_public_spark.operators.sampling import sample_priority_sql
+
+    pr = sample_priority_sql("doc_id", "n_chars")
+    return f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE n_chars > 0
+ORDER BY {pr} DESC, doc_id ASC
+LIMIT 200
+"""
+
+
 ADV_REGISTRY: dict[str, QuerySpec] = {
     "grouping_sets_agg": QuerySpec(grouping_sets_agg, GROUPING_SETS_SQL),
     "correlated_scalar_subquery": QuerySpec(correlated_scalar_subquery, CORRELATED_SCALAR_SQL),
     "exists_subquery": QuerySpec(exists_subquery, EXISTS_SQL),
     "udaf_robust_stats": QuerySpec(udaf_robust_stats, UDAF_ROBUST_SQL),
     "stratified_sample": QuerySpec(stratified_sample_events, _stratified_sql()),
+    "weighted_sample": QuerySpec(weighted_sample_docs, _weighted_sample_sql()),
     "in_subquery_having": QuerySpec(in_subquery_having, IN_SUBQUERY_SQL),
     "dedup_components": QuerySpec(dedup_components, _components_sql()),
     "dataset_split": QuerySpec(dataset_split, _dataset_split_sql()),

@@ -492,6 +492,54 @@ LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Format roundtrips: CSV (ingest-only format) and ORC (columnar lake format)
+# --------------------------------------------------------------------------
+
+_ROUNDTRIP_SQL = """
+SELECT s_nationkey, count(*) AS n_suppliers,
+       sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS acctbal_cents
+FROM supplier
+GROUP BY s_nationkey
+"""
+
+
+def _format_roundtrip(spark: SparkSession, sf: str, fmt: str) -> DataFrame:
+    """Write supplier out in ``fmt``, read it back with the schema'd
+    reader, aggregate — proves lossless type fidelity for the format
+    (doubles round-trip via shortest-repr text in CSV; natively in ORC).
+
+    Scale: format conversion is a map-only job (no shuffle) — at 100 TB
+    it parallelizes per input split; the oracle aggregates the original
+    parquet, so any corruption in write→read shows up as a hash miss."""
+    import os
+    import tempfile
+
+    from datalake_public_spark.sources.readers import read_csv_table, read_orc_table
+
+    sup = _t(spark, sf, "supplier")
+    tag = sf.strip("/").replace("/", "_")
+    dest = os.path.join(tempfile.gettempdir(), f"dlps_roundtrip_{fmt}_{tag}")
+    if fmt == "csv":
+        sup.write.mode("overwrite").option("header", True).csv(dest)
+        back = read_csv_table(spark, dest, sup.schema)
+    else:
+        sup.write.mode("overwrite").orc(dest)
+        back = read_orc_table(spark, dest, sup.schema)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.round(F.col("s_acctbal") * 100).cast("long")).alias("acctbal_cents"),
+    )
+
+
+def csv_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
+    return _format_roundtrip(spark, sf, "csv")
+
+
+def orc_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
+    return _format_roundtrip(spark, sf, "orc")
+
+
 EXT_REGISTRY: dict[str, QuerySpec] = {
     "asof_join": QuerySpec(asof_join, ASOF_SQL),
     "range_join": QuerySpec(range_join, RANGE_JOIN_SQL),
@@ -511,4 +559,6 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "window_frames": QuerySpec(window_frames, WINDOW_FRAMES_SQL),
     "stats_agg": QuerySpec(stats_agg, STATS_AGG_SQL),
     "time_spine_gapfill": QuerySpec(time_spine_gapfill, TIME_SPINE_SQL),
+    "csv_roundtrip_agg": QuerySpec(csv_roundtrip_agg, _ROUNDTRIP_SQL),
+    "orc_roundtrip_agg": QuerySpec(orc_roundtrip_agg, _ROUNDTRIP_SQL),
 }

@@ -80,6 +80,60 @@ def stratified_sample(
     return df.filter(b < rate_expr)
 
 
+def sample_priority(key: Column | str, weight: Column | str) -> Column:
+    """A-ES weighted-sampling priority: ``ln(u) / w`` with a DETERMINISTIC
+    uniform ``u`` derived from the key's hash bucket.
+
+    Efraimidis–Spirakis sampling keeps the k rows with the largest
+    ``u^(1/w)`` — monotone-equivalent to ``ln(u)/w``, which avoids ``pow``.
+    ``u = ((key*KNUTH) mod 2^32 + 0.5) / 2^32`` is exact IEEE arithmetic
+    (integer + 0.5, divided by a power of two), so Spark and the DuckDB
+    oracle compute bit-identical ``u``; priorities then differ at most in
+    the last ulp of ``ln``, far below the inter-row gaps that decide
+    membership.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    w = F.col(weight) if isinstance(weight, str) else weight
+    u = ((k * F.lit(KNUTH)) % F.lit(M32) + F.lit(0.5)) / F.lit(float(M32))
+    return F.ln(u) / w
+
+
+def sample_priority_sql(key: str, weight: str) -> str:
+    return f"ln((({key} * {KNUTH}) % {M32} + 0.5) / {float(M32)}) / {weight}"
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement: the k rows with the highest
+    deterministic A-ES priority; inclusion probability ∝ weight.
+
+    The training-mixture counterpart to ``stratified_sample`` when the
+    budget is a fixed ROW COUNT rather than per-stratum rates: e.g. "pick
+    1M documents, long docs proportionally more often", reproducibly.
+
+    Scale: the global form is sort-limit, which Spark executes as
+    TakeOrderedAndProject — per-partition top-k heaps merged on the
+    driver, no full sort, no shuffle of the data. With ``group_col`` it
+    is one window (single shuffle on the group key) keeping k rows per
+    group. Rows with weight <= 0 are excluded (A-ES requires w > 0)."""
+    pr = sample_priority(key_col, weight_col)
+    pos = df.filter(F.col(weight_col) > 0)
+    if group_col is None:
+        return pos.orderBy(pr.desc(), F.col(key_col).asc()).limit(k)
+    w = Window.partitionBy(group_col).orderBy(pr.desc(), F.col(key_col).asc())
+    return (
+        pos.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     *,

@@ -93,6 +93,43 @@ def read_json_with_quarantine(
     return good, bad
 
 
+def read_csv_table(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    *,
+    header: bool = True,
+    delimiter: str = ",",
+    mode: str = "FAILFAST",
+) -> DataFrame:
+    """CSV scan with a declared schema — same contract as the JSON reader:
+    no inference (inference costs an extra full pass over the data, fatal
+    at 100 TB), FAILFAST so a malformed extract cannot silently become
+    nulls. CSV supports no predicate/column pushdown (row-oriented text),
+    so it is an INGEST format only: land it, convert to parquet, query
+    the parquet."""
+    return (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("delimiter", delimiter)
+        .option("mode", mode)
+        .csv(path)
+    )
+
+
+def read_orc_table(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """ORC scan, optionally schema-pinned. ORC is columnar with stripe
+    statistics, so Catalyst pushes filters and prunes columns exactly as
+    for parquet — a drop-in lake format for sources that arrive as ORC
+    (Hive exports); the vectorized reader is on by default."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def read_parquet_table(
     spark: SparkSession, path: str, schema: StructType | None = None
 ) -> DataFrame:

@@ -10,6 +10,7 @@ from datalake_public_spark.operators.sampling import (
     assign_split,
     pack_sequences,
     stratified_sample,
+    weighted_sample,
 )
 
 
@@ -99,6 +100,37 @@ def test_stratified_sample_rates_roughly_hold(spark):
         ev, "event_id", "event_type", {"view": 0.10}
     ).count()
     assert 0.07 * total < kept < 0.13 * total
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"),
+        # ids < 1000 get weight 100, the rest weight 1
+        F.when(F.col("id") < 1000, 100).otherwise(1).alias("w"),
+    )
+    got = {r.doc_id for r in weighted_sample(df, "doc_id", "w", 500).collect()}
+    assert len(got) == 500
+    # same membership under repartitioning (pure function of the key)
+    got2 = {
+        r.doc_id
+        for r in weighted_sample(df.repartition(13), "doc_id", "w", 500).collect()
+    }
+    assert got == got2
+    # heavy rows (20% of population, 100× weight) should dominate the sample
+    heavy = sum(1 for d in got if d < 1000)
+    assert heavy > 400
+
+
+def test_weighted_sample_excludes_nonpositive_and_grouped_k(spark):
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 2), (i % 7) - 1) for i in range(200)],
+        ["doc_id", "grp", "w"],
+    )
+    flat = weighted_sample(df, "doc_id", "w", 1000)
+    assert flat.filter(F.col("w") <= 0).count() == 0
+    per_group = weighted_sample(df, "doc_id", "w", 5, group_col="grp")
+    counts = {r.grp: r.n for r in per_group.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"g0": 5, "g1": 5}
 
 
 def test_components_long_chain_converges_fast(spark):
