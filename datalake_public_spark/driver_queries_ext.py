@@ -120,9 +120,12 @@ WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 
 
 def join_anti(spark: SparkSession, sf: str) -> DataFrame:
-    """Left-anti join: customers with no orders (TPC-H Q22 shape)."""
+    """Left-anti join: customers with no order since 2000 — lapsed
+    customers (TPC-H Q22 shape). The date filter makes the right side
+    selective (and the result non-empty at every SF: ~1.4% of
+    customers), so the anti join is exercised for real."""
     c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_acctbal"
     )
@@ -130,38 +133,44 @@ def join_anti(spark: SparkSession, sf: str) -> DataFrame:
 
 JOIN_ANTI_SQL = """
 SELECT c_custkey, c_name, c_acctbal FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
 """
 
 
 def set_intersect(spark: SparkSession, sf: str) -> DataFrame:
-    """INTERSECT: customers ordering in both 1994 and 1995. Plans as a
+    """INTERSECT: customers ordering in both 1995 and 1996. Plans as a
     semi-join under the hood; dedup via aggregate on the key."""
     o = _t(spark, sf, "orders")
-    y94 = o.filter(F.year("o_orderdate") == 1994).select("o_custkey")
     y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
-    return y94.intersect(y95)
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96)
 
 
 SET_INTERSECT_SQL = """
-SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
-INTERSECT
 SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
 """
 
 
 def set_except(spark: SparkSession, sf: str) -> DataFrame:
-    """EXCEPT: customers ordering in 1994 but not in 1995."""
+    """EXCEPT: customers ordering in 1995 but not in 1996.
+
+    ``subtract`` is SQL EXCEPT (set difference); ``exceptAll().distinct()``
+    would be WRONG — multiset semantics keep any key whose 1995 multiplicity
+    exceeds its 1996 one, even if it appears in both years."""
     o = _t(spark, sf, "orders")
-    y94 = o.filter(F.year("o_orderdate") == 1994).select("o_custkey")
     y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
-    return y94.exceptAll(y95).distinct()
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.subtract(y96)
 
 
 SET_EXCEPT_SQL = """
-SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
-EXCEPT
 SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
 """
 
 
