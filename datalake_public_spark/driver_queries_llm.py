@@ -282,6 +282,48 @@ FROM b
 """
 
 
+def decontaminate_train_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: flag train-split docs sharing ≥2 distinct
+    3-gram shingles with the held-out test split (hash buckets 90-99) —
+    the leak check every train/eval split needs before training.
+
+    Scale: the benchmark shingle set broadcasts; corpus side is map-side
+    join + one agg — linear in corpus size, no pair explosion."""
+    from datalake_public_spark.operators.sampling import split_bucket
+
+    docs = _t(spark, sf, "documents")
+    b = split_bucket("doc_id")
+    return dedup.contamination_check(
+        docs.filter(b < 80), docs.filter(b >= 90), min_common=2
+    )
+
+
+def _decontaminate_sql() -> str:
+    from datalake_public_spark.operators.sampling import split_bucket_sql
+
+    b = split_bucket_sql("doc_id")
+    sh = T.shingles_sql("toks")
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS id, {sh} AS shingles, {b} AS bkt
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+  WHERE len({sh}) > 0
+),
+bench AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE bkt >= 90
+),
+inv AS (
+  SELECT id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+  FROM sh WHERE bkt < 80
+)
+SELECT id, n_sh, count(*) AS n_common,
+       round(count(*) / n_sh, 6) AS contamination
+FROM inv JOIN bench USING (shingle)
+GROUP BY id, n_sh
+HAVING count(*) >= 2
+"""
+
+
 LLM_REGISTRY: dict[str, QuerySpec] = {
     "text_token_stats": QuerySpec(text_token_stats, TOKEN_STATS_SQL),
     "text_language_id": QuerySpec(text_language_id, LANGUAGE_ID_SQL),
@@ -289,6 +331,7 @@ LLM_REGISTRY: dict[str, QuerySpec] = {
     "doc_fingerprint": QuerySpec(doc_fingerprint, FINGERPRINT_SQL),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
+    "decontaminate_train_split": QuerySpec(decontaminate_train_split, _decontaminate_sql()),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, None),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),

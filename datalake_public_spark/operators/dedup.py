@@ -91,6 +91,50 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    min_common: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: for each corpus doc, the number of
+    distinct token n-grams it shares with ANY benchmark doc, and the
+    containment ratio ``n_common / n_shingles(doc)``; rows with
+    ``n_common >= min_common`` are returned (candidates to drop before
+    training so eval data doesn't leak into the train set).
+
+    Unlike pairwise dedup this is corpus×SET containment — the benchmark
+    side collapses to one distinct-shingle set, so which benchmark doc
+    matched is irrelevant and no pair explosion occurs.
+
+    Scale: benchmarks are tiny next to a 100 TB corpus, so the distinct
+    benchmark shingles BROADCAST; the corpus side is scan → shingle →
+    explode → broadcast-hash-join (map-side, no shuffle of corpus data)
+    → one aggregation on doc id. Corpus cost is linear in corpus size."""
+    bench_sh = (
+        benchmark.select(T.shingles(text_col, n).alias("shingles"))
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    sh = (
+        widen_for_compute(corpus)
+        .select(F.col(id_col).alias("id"), T.shingles(text_col, n).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
+    inv = sh.select("id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle"))
+    return (
+        inv.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("id", "n_sh")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+        .withColumn("contamination", F.round(F.col("n_common") / F.col("n_sh"), 6))
+        .select("id", "n_sh", "n_common", "contamination")
+    )
+
+
 MERSENNE_P = 2_147_483_647  # 2^31 - 1, prime
 
 

@@ -86,3 +86,39 @@ def test_minhash_signature_width(spark, docs):
     row = sigs.first()
     assert len(row.sig) == 64  # constant-width signature regardless of doc size
     assert sigs.schema["sig"].dataType.simpleString() == "array<bigint>"
+
+
+def test_contamination_check_counts_and_ratio(spark):
+    corpus = spark.createDataFrame(
+        [
+            # shares "the quick brown" and "quick brown fox" with benchmark
+            (1, "the quick brown fox jumps high"),
+            # shares exactly one shingle ("lazy dogs sleep") → below min_common=2
+            (2, "all lazy dogs sleep here daily"),
+            # no overlap at all
+            (3, "completely different subject matter entirely unrelated"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox ran away"), (101, "lazy dogs sleep soundly")],
+        "doc_id long, text string",
+    )
+    got = {r.id: r for r in dedup.contamination_check(corpus, bench, min_common=2).collect()}
+    assert set(got) == {1}
+    # doc 1 has 4 shingles, 2 shared
+    assert got[1].n_sh == 4 and got[1].n_common == 2
+    assert abs(got[1].contamination - 0.5) < 1e-9
+    # min_common=1 also surfaces doc 2
+    got1 = {r.id for r in dedup.contamination_check(corpus, bench, min_common=1).collect()}
+    assert got1 == {1, 2}
+
+
+def test_contamination_benchmark_side_broadcasts(spark):
+    corpus = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta doc "), F.col("id")).alias("text"),
+    )
+    bench = spark.createDataFrame([(999, "alpha beta gamma delta shared")], "doc_id long, text string")
+    plan = dedup.contamination_check(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
