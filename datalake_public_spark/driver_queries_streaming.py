@@ -166,6 +166,44 @@ GROUP BY c.user_id
 """
 
 
+def streaming_enrich_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static enrichment: the events stream decorated with the
+    customer dimension (broadcast per micro-batch, stateless), then a
+    tumbling-hour aggregate per market segment under the streaming
+    engine. Complete-mode emission == the batch run of the same plan,
+    giving an exact oracle. Scale: no join state, no stream-side join
+    shuffle — only the windowed agg shuffles, on (window, segment)."""
+    from pyspark.sql import functions as F
+
+    from datalake_public_spark.streaming.windows import stream_static_enrich
+
+    ev = events_stream(spark, sf).select("user_id", "ts", "value")
+    cust = spark.read.parquet(f"{sf.rstrip('/')}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = stream_static_enrich(
+        ev, cust, on=[("user_id", "c_custkey")], dim_cols=["c_mktsegment"]
+    )
+    return run_available_now(
+        enriched.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("c_mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(F.col("w.start").alias("window_start"), "c_mktsegment", "n_events", "value_cents")
+    )
+
+
+STREAM_ENRICH_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, c_mktsegment,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
 def streaming_transform_state(spark: SparkSession, sf: str) -> DataFrame:
     """Arbitrary stateful processing via ``transformWithStateInPandas``
     (Spark 4 StatefulProcessor API): per-user running count + cents-sum
@@ -211,6 +249,7 @@ STREAMING_REGISTRY: dict[str, QuerySpec] = {
     "streaming_interval_join": QuerySpec(
         streaming_interval_join, STREAM_INTERVAL_JOIN_SQL
     ),
+    "streaming_enrich_join": QuerySpec(streaming_enrich_join, STREAM_ENRICH_SQL),
 }
 
 # transformWithStateInPandas needs the protobuf runtime in the Python

@@ -107,6 +107,35 @@ def interval_join(
     return lt.join(rt, cond, "inner")
 
 
+def stream_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    on: list[tuple[str, str]],
+    dim_cols: list[str],
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream is
+    joined against the (re-read per batch) static dimension — the
+    canonical "decorate events with reference data" streaming pattern.
+
+    ``on`` is [(stream_col, dim_col), ...]; ``dim_cols`` are the
+    dimension attributes to carry. Inner join: events without a
+    dimension row are dropped (use a left join variant for keep-and-null
+    semantics).
+
+    Scale: the dimension BROADCASTS (dimensions are small by
+    construction), so the stream side never shuffles for the join and no
+    join state accumulates — unlike a stream-stream join this is
+    stateless. Works identically on a batch frame (same Catalyst plan),
+    which is what gives it an exact oracle."""
+    cond = None
+    for s_col, d_col in on:
+        c = events[s_col] == dim[d_col]
+        cond = c if cond is None else (cond & c)
+    return events.join(F.broadcast(dim), cond, "inner").select(
+        *[events[c] for c in events.columns], *[dim[c] for c in dim_cols]
+    )
+
+
 def streaming_dedup(
     events: DataFrame,
     keys: list[str],

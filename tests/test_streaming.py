@@ -187,3 +187,29 @@ def test_stream_stream_interval_join(spark):
     want = interval_join(bc, bv, "user_id")
     assert got.count() > 0
     _assert_same(got, want)
+
+
+def test_stream_static_enrich_matches_batch_and_is_stateless(spark):
+    """Stream-static broadcast join: streaming emission equals the batch
+    plan, and the join itself keeps no state (stateless per micro-batch)."""
+    from datalake_public_spark.streaming.windows import stream_static_enrich
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+    def enrich(ev):
+        return stream_static_enrich(
+            ev.select("event_id", "user_id", "value"),
+            cust,
+            on=[("user_id", "c_custkey")],
+            dim_cols=["c_mktsegment"],
+        )
+
+    got = run_available_now(enrich(events_stream(spark, SF)), output_mode="append")
+    want = enrich(_events(spark, SF))
+    assert got.count() > 0
+    _assert_same(got, want)
+    # the static side must broadcast: the streamed batches never shuffle
+    plan = want._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
