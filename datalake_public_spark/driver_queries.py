@@ -260,6 +260,52 @@ GROUP BY 1
 """
 
 
+def q7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume — revenue between every
+    (supplier nation, customer nation) pair per ship year.
+
+    Scale: both nation lookups are dimension chains (supplier⋈nation,
+    customer⋈nation) that BROADCAST; only lineitem⋈orders shuffles, on
+    the shared orderkey. The group-by keys are low-cardinality (25×25×2),
+    so partial aggregation collapses the shuffle to almost nothing."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01")) & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    orders = _t(spark, sf, "orders")
+    nation = _t(spark, sf, "nation")
+    sup = _t(spark, sf, "supplier").join(
+        nation, F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = _t(spark, sf, "customer").join(
+        nation, F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(cents).alias("revenue_cents"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q7_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
 # --------------------------------------------------------------------------
 # Relational core R1-R4 (SURVEY §2.4) on testdata shapes
 # --------------------------------------------------------------------------
@@ -726,6 +772,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "q5_regional_revenue": QuerySpec(q5_regional_revenue, Q5_SQL),
     "q6_revenue_forecast": QuerySpec(q6_revenue_forecast, Q6_SQL),
     "q14_promo_revenue": QuerySpec(q14_promo_revenue, Q14_SQL),
+    "q7_nation_volume": QuerySpec(q7_nation_volume, Q7_SQL),
     "r1_join_enrich": QuerySpec(r1_join_enrich, R1_SQL),
     "r3_union_by_name": QuerySpec(r3_union_by_name, R3_SQL),
     "r4_quality_checks": QuerySpec(r4_quality_checks, R4_SQL),

@@ -501,6 +501,37 @@ LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type
 """
 
 
+def profile_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass column profile of the orders table (row/non-null/distinct
+    counts + stringified min/max per column) — the pre-ingest sanity scan.
+    Scale: one aggregation over one scan for ALL columns; swap exact
+    distinct for approx_count_distinct at 100 TB (same plan shape)."""
+    from datalake_public_spark.operators.quality import profile_table
+
+    return profile_table(_t(spark, sf, "orders"))
+
+
+def _profile_sql() -> str:
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    parts = [
+        f"""
+SELECT '{c}' AS "column", count(*) AS n_rows, count({c}) AS n_nonnull,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value
+FROM orders"""
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
 # --------------------------------------------------------------------------
 # Format roundtrips: CSV (ingest-only format) and ORC (columnar lake format)
 # --------------------------------------------------------------------------
@@ -569,5 +600,6 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "stats_agg": QuerySpec(stats_agg, STATS_AGG_SQL),
     "time_spine_gapfill": QuerySpec(time_spine_gapfill, TIME_SPINE_SQL),
     "csv_roundtrip_agg": QuerySpec(csv_roundtrip_agg, _ROUNDTRIP_SQL),
+    "profile_orders": QuerySpec(profile_orders, _profile_sql()),
     "orc_roundtrip_agg": QuerySpec(orc_roundtrip_agg, _ROUNDTRIP_SQL),
 }

@@ -282,6 +282,36 @@ FROM b
 """
 
 
+def text_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition quality signals per doc: duplicate-2-gram
+    fraction and modal-token mass. One codegen stage over the scan."""
+    return text.repetition_stats(_t(spark, sf, "documents"))
+
+
+def _repetition_sql() -> str:
+    # non-distinct 2-grams (duplication IS the signal — contrast shingles_sql)
+    grams = (
+        "list_transform(range(1, greatest(len(toks) - 1, 0) + 1), "
+        "i -> toks[i] || ' ' || toks[i + 1])"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, len(toks) AS n_tokens, {grams} AS grams FROM t
+),
+u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+cnt AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY doc_id, tok),
+top AS (SELECT doc_id, max(c) AS top_c FROM cnt GROUP BY doc_id)
+SELECT g.doc_id AS doc_id, g.n_tokens, len(grams) AS n_grams,
+       round(CASE WHEN len(grams) > 0
+                  THEN 1.0 - len(list_distinct(grams)) / len(grams)
+                  ELSE 0.0 END, 6) AS dup_ngram_frac,
+       round(CASE WHEN g.n_tokens > 0
+                  THEN top.top_c / g.n_tokens ELSE 0.0 END, 6) AS top_token_frac
+FROM g LEFT JOIN top ON g.doc_id = top.doc_id
+"""
+
+
 def decontaminate_train_split(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination: flag train-split docs sharing ≥2 distinct
     3-gram shingles with the held-out test split (hash buckets 90-99) —
@@ -332,6 +362,7 @@ LLM_REGISTRY: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "decontaminate_train_split": QuerySpec(decontaminate_train_split, _decontaminate_sql()),
+    "text_repetition_stats": QuerySpec(text_repetition_stats, _repetition_sql()),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, None),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),

@@ -75,3 +75,38 @@ def run_gate(df: DataFrame, *, not_null: tuple[str, ...] = (), unique: tuple[str
     if failed:
         raise QualityError(f"quality gate failed: {failed}")
     return results
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One-pass column profile: per column, the row count, non-null
+    count, exact distinct count, and min/max (cast to string for a
+    uniform schema) — the scan a lake operator runs before trusting a
+    new table (null-rate drift, key-cardinality checks, range sanity).
+
+    Scale: ONE aggregation job over one scan — all columns' stats are
+    computed together, not via per-column passes. Multiple exact
+    DISTINCTs expand the shuffle (one Expand branch per column); for
+    100 TB profiling swap ``F.countDistinct`` for
+    ``F.approx_count_distinct`` — same plan shape, sketch-width shuffle.
+    The single wide row then unpivots via ``stack`` (driver-side-free)."""
+    from pyspark.sql import functions as F
+
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    parts = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    return wide.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(cols)}, {parts}) AS (column, n_nonnull, n_distinct, min_value, max_value)"
+        ),
+    ).select("column", "n_rows", "n_nonnull", "n_distinct", "min_value", "max_value")

@@ -62,6 +62,59 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition signals: the fraction of DUPLICATE token
+    n-grams (``1 - distinct/total``) and the most-frequent-token mass
+    (occurrences of the modal token / total tokens). High values flag
+    boilerplate, keyword stuffing, and degenerate generations — the
+    standard drop-rule inputs for training-data quality filtering.
+
+    Pure Catalyst expressions (shingle machinery from text_funcs), so the
+    operator is one codegen stage over the scan: no shuffle, no UDF;
+    100 TB scores at scan speed. Docs with < n tokens emit 0 for both
+    ratios (no n-grams, no repetition evidence)."""
+    toks = T.tokens(text_col)
+    n_toks = F.size(toks)
+    # all n-grams (NOT distinct — duplication is the signal here)
+    idx = F.when(n_toks >= n, F.sequence(F.lit(1), n_toks - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    parts = lambda i: [F.element_at(toks, i + j) for j in range(n)]  # noqa: E731
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+    n_grams = F.size(grams)
+    dup_frac = F.when(
+        n_grams > 0, 1.0 - F.size(F.array_distinct(grams)) / n_grams
+    ).otherwise(F.lit(0.0))
+    # Modal-token count: single O(n) pass over the SORTED tokens (longest
+    # run of equal neighbours). The naive per-distinct-token filter would
+    # nest higher-order functions, which re-evaluate captured inputs per
+    # element (interpreted, no CSE) — quadratic per doc. This lambda
+    # captures nothing.
+    acc = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("cur"), F.lit(0).alias("best")
+        ),
+        lambda a, t: F.struct(
+            t.alias("prev"),
+            F.when(t == a.prev, a.cur + 1).otherwise(F.lit(1)).alias("cur"),
+            F.greatest(
+                a.best, F.when(t == a.prev, a.cur + 1).otherwise(F.lit(1))
+            ).alias("best"),
+        ),
+    )
+    top_frac = F.when(n_toks > 0, acc.best / n_toks).otherwise(F.lit(0.0))
+    return widen_for_compute(docs).select(
+        F.col(id_col),
+        n_toks.alias("n_tokens"),
+        n_grams.alias("n_grams"),
+        F.round(dup_frac, 6).alias("dup_ngram_frac"),
+        F.round(top_frac, 6).alias("top_token_frac"),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Rolling-hash document fingerprint (first 256 chars) + 32-bit simhash.
     Both engine-portable modular arithmetic (functions/text_funcs.py)."""

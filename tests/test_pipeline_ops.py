@@ -149,3 +149,27 @@ def test_components_raises_on_non_convergence(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(80)], ["src", "dst"])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=2)
+
+
+def test_repetition_stats_known_values(spark):
+    from datalake_public_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            # 6 tokens, 5 bigrams all distinct; modal token count 1
+            (1, "a b c d e f"),
+            # "x y x y x": bigrams [x y, y x, x y, y x] -> 2 distinct of 4
+            # dup_frac 0.5; modal token x appears 3/5
+            (2, "x y x y x"),
+            # single token: no bigrams -> both 0-ish; top_frac 1.0
+            (3, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert got[1].n_grams == 5 and got[1].dup_ngram_frac == 0.0
+    assert abs(got[1].top_token_frac - 1 / 6) < 1e-6
+    assert got[2].dup_ngram_frac == 0.5
+    assert got[2].top_token_frac == 0.6
+    assert got[3].n_grams == 0 and got[3].dup_ngram_frac == 0.0
+    assert got[3].top_token_frac == 1.0

@@ -48,3 +48,20 @@ def test_gate_passes_clean(clean_df):
 def test_reconcile_counts(clean_df):
     assert quality.reconcile_counts(clean_df, 3).passed
     assert not quality.reconcile_counts(clean_df, 2).passed
+
+
+def test_profile_table_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "a", None), (3, None, 2.5), (3, "b", 2.5)],
+        "k long, s string, v double",
+    )
+    from datalake_public_spark.operators.quality import profile_table
+
+    got = {r.column: r for r in profile_table(df).collect()}
+    assert set(got) == {"k", "s", "v"}
+    assert all(r.n_rows == 4 for r in got.values())
+    assert (got["k"].n_nonnull, got["k"].n_distinct) == (4, 3)
+    assert (got["s"].n_nonnull, got["s"].n_distinct) == (3, 2)
+    assert (got["v"].n_nonnull, got["v"].n_distinct) == (3, 2)
+    assert (got["k"].min_value, got["k"].max_value) == ("1", "3")
+    assert (got["s"].min_value, got["s"].max_value) == ("a", "b")
