@@ -166,6 +166,29 @@ GROUP BY c.user_id
 """
 
 
+def streaming_dedup_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming exact dedup on (user_id, event_type) with watermark-
+    bounded state (``dropDuplicatesWithinWatermark``), projected to the
+    key columns so the emission is deterministic — which COPY survives
+    is engine-dependent, which KEYS survive is not. On the finite
+    availableNow drain every duplicate falls inside the watermark
+    horizon, so the result equals batch SELECT DISTINCT — the exact
+    oracle. Scale: state holds one entry per key inside the horizon;
+    eviction keeps it bounded on an unbounded stream."""
+    from datalake_public_spark.streaming.windows import streaming_dedup
+
+    ev = events_stream(spark, sf).select("user_id", "event_type", "ts")
+    out = run_available_now(
+        streaming_dedup(ev, ["user_id", "event_type"]), output_mode="append"
+    )
+    return out.select("user_id", "event_type")
+
+
+STREAM_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 def streaming_enrich_join(spark: SparkSession, sf: str) -> DataFrame:
     """Stream-static enrichment: the events stream decorated with the
     customer dimension (broadcast per micro-batch, stateless), then a
@@ -250,6 +273,7 @@ STREAMING_REGISTRY: dict[str, QuerySpec] = {
         streaming_interval_join, STREAM_INTERVAL_JOIN_SQL
     ),
     "streaming_enrich_join": QuerySpec(streaming_enrich_join, STREAM_ENRICH_SQL),
+    "streaming_dedup": QuerySpec(streaming_dedup_keys, STREAM_DEDUP_SQL),
 }
 
 # transformWithStateInPandas needs the protobuf runtime in the Python
