@@ -501,6 +501,40 @@ LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type
 """
 
 
+def ntile_quartiles(spark: SparkSession, sf: str) -> DataFrame:
+    """NTILE window: value quartiles within each event type, summarized
+    to per-(type, quartile) count + cents. The total order (value, then
+    event_id) makes tile assignment engine-deterministic.
+
+    Scale: one shuffle on event_type; NTILE is a single sorted pass per
+    partition. Skewed types sort within their partition — for extreme
+    skew pre-aggregate or use approx percentiles instead."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+
+
+NTILE_SQL = """
+WITH q AS (
+  SELECT event_type, value,
+         ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile
+  FROM events
+)
+SELECT event_type, quartile, count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+FROM q GROUP BY event_type, quartile
+"""
+
+
 def profile_orders(spark: SparkSession, sf: str) -> DataFrame:
     """One-pass column profile of the orders table (row/non-null/distinct
     counts + stringified min/max per column) — the pre-ingest sanity scan.
@@ -601,5 +635,6 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "time_spine_gapfill": QuerySpec(time_spine_gapfill, TIME_SPINE_SQL),
     "csv_roundtrip_agg": QuerySpec(csv_roundtrip_agg, _ROUNDTRIP_SQL),
     "profile_orders": QuerySpec(profile_orders, _profile_sql()),
+    "ntile_quartiles": QuerySpec(ntile_quartiles, NTILE_SQL),
     "orc_roundtrip_agg": QuerySpec(orc_roundtrip_agg, _ROUNDTRIP_SQL),
 }

@@ -312,6 +312,34 @@ FROM g LEFT JOIN top ON g.doc_id = top.doc_id
 """
 
 
+def vocab_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary building: global token frequencies, top 200 by count
+    (tiebreak: token) — the corpus-statistics pass behind tokenizer
+    training and stopword lists.
+
+    Scale: explode fans each doc into its tokens BEFORE the shuffle, but
+    partial aggregation collapses them map-side to one row per distinct
+    token per partition — the shuffle carries |vocab| × partitions rows,
+    not corpus token count. Top-k is TakeOrdered (no full sort)."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.select(F.explode(T.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(200)
+    )
+
+
+VOCAB_SQL = f"""
+SELECT token, count(*) AS n_occurrences
+FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT 200
+"""
+
+
 def decontaminate_train_split(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination: flag train-split docs sharing ≥2 distinct
     3-gram shingles with the held-out test split (hash buckets 90-99) —
@@ -363,6 +391,7 @@ LLM_REGISTRY: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "decontaminate_train_split": QuerySpec(decontaminate_train_split, _decontaminate_sql()),
     "text_repetition_stats": QuerySpec(text_repetition_stats, _repetition_sql()),
+    "vocab_top_tokens": QuerySpec(vocab_top_tokens, VOCAB_SQL),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, None),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
