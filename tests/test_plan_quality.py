@@ -88,3 +88,55 @@ def test_stratified_sample_is_shuffle_free(spark):
     from datalake_public_spark.driver_queries_adv import stratified_sample_events
 
     assert _plan(spark, stratified_sample_events(spark, SF_SMOKE)).count("Exchange") == 0
+
+
+def test_q7_q14_broadcast_dims_single_fact_shuffle_pair(spark):
+    from datalake_public_spark.driver_queries import q7_nation_volume, q14_promo_revenue
+
+    # part / supplier⋈nation / customer⋈nation all broadcast; no
+    # sort-merge join anywhere in either star query
+    for q in (q7_nation_volume, q14_promo_revenue):
+        p = _plan(spark, q(spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in p, q.__name__
+        assert "SortMergeJoin" not in p, q.__name__
+    # q14's date filter reaches the lineitem scan
+    f = _plan(spark, q14_promo_revenue(spark, SF_SMOKE), "formatted")
+    assert "GreaterThanOrEqual(l_shipdate" in f
+
+
+def test_weighted_sample_is_take_ordered_no_shuffle(spark):
+    from datalake_public_spark.driver_queries_adv import weighted_sample_docs
+
+    p = _plan(spark, weighted_sample_docs(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p
+    assert p.count("Exchange") == 0
+    f = _plan(spark, weighted_sample_docs(spark, SF_SMOKE), "formatted")
+    assert "GreaterThan(n_chars,0)" in f  # weight predicate pushed to scan
+
+
+def test_decontamination_broadcasts_benchmark(spark):
+    from datalake_public_spark.driver_queries_llm import decontaminate_train_split
+
+    p = _plan(spark, decontaminate_train_split(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_vocab_single_agg_shuffle_prunes_to_text(spark):
+    from datalake_public_spark.driver_queries_llm import vocab_top_tokens
+
+    p = _plan(spark, vocab_top_tokens(spark, SF_SMOKE))
+    # partial agg map-side → one exchange → final agg → TakeOrdered
+    assert p.count("Exchange") == 1
+    assert "TakeOrderedAndProject" in p
+    f = _plan(spark, vocab_top_tokens(spark, SF_SMOKE), "formatted")
+    read_schema = next(l for l in f.splitlines() if "ReadSchema" in l)
+    assert "doc_id" not in read_schema  # only the text column leaves the scan
+
+
+def test_profile_table_is_one_scan(spark):
+    from datalake_public_spark.driver_queries_ext import profile_orders
+
+    # all columns' stats in one pass: exactly one parquet scan node
+    p = _plan(spark, profile_orders(spark, SF_SMOKE))
+    assert p.count("Scan parquet") == 1
