@@ -62,14 +62,29 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
     return sorted(out, key=repr)
 
 
-def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?") -> None:
-    """Raise AssertionError with a diff preview on any mismatch."""
+def compare(
+    spark_df,
+    con: duckdb.DuckDBPyConnection,
+    sql: str,
+    name: str = "?",
+    *,
+    allow_empty: bool = False,
+) -> None:
+    """Raise AssertionError with a diff preview on any mismatch.
+
+    Empty results are rejected by default: a 0=0 hash match proves
+    nothing, and empty inputs have already masked a real semantics bug
+    (exceptAll-vs-subtract) behind trivially-passing oracles."""
     s = spark_df.toPandas()
     o = con.execute(sql).fetchdf()
     assert sorted(s.columns) == sorted(o.columns), (
         f"{name}: column names differ: spark={sorted(s.columns)} oracle={sorted(o.columns)}"
     )
     assert len(s) == len(o), f"{name}: row count differs: spark={len(s)} oracle={len(o)}"
+    assert allow_empty or len(s) > 0, (
+        f"{name}: query returned 0 rows — a degenerate oracle match; "
+        f"make the predicate select real data (or pass allow_empty=True)"
+    )
     ns, no = normalize(s), normalize(o)
     if ns != no:
         diffs = [(a, b) for a, b in zip(ns, no) if a != b][:5]
