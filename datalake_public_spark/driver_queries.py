@@ -41,15 +41,33 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
 
 
+def _events_ts_unit(path: str) -> str:
+    """Physical unit of the ``ts`` column ('ns'/'us'/...), probed from the
+    parquet footer only (no data read). Driver-generated testdata has
+    shipped both TIMESTAMP(NANOS) and timestamp[us] encodings across
+    rounds, so the readers branch on the actual file."""
+    import pyarrow.parquet as pq
+
+    return pq.read_schema(path).field("ts").type.unit
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects; read nanos as long and convert with *integer*
-    division (``ts DIV 1000`` — double division would lose precision at
-    1.7e18) to microsecond timestamps, matching DuckDB's truncating
-    nanos→micros read."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    """Events reader, adaptive to the parquet timestamp encoding.
+
+    TIMESTAMP(NANOS) files are rejected by Spark's vectorized reader:
+    read nanos as long and convert with *integer* division (``ts DIV
+    1000`` — double division would lose precision at 1.7e18), matching
+    DuckDB's truncating nanos→micros read. timestamp[us] files read
+    natively as TIMESTAMP_NTZ; cast to session-tz TIMESTAMP (identity
+    under the engine's pinned UTC session) so downstream plans and
+    oracles see one type either way."""
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    if _events_ts_unit(path) == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(path)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    raw = spark.read.parquet(path)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # --------------------------------------------------------------------------

@@ -28,6 +28,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 
@@ -50,19 +51,20 @@ def read_json_stream(
     return reader.json(path)
 
 
-# events.parquet stores TIMESTAMP(NANOS); the streaming parquet reader has
-# the same limitation as the batch one (driver_queries._events), so we read
-# nanos as long and convert with integer division to microseconds.
-EVENTS_NANOS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanos-as-long
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+# events.parquet has shipped as TIMESTAMP(NANOS) or timestamp[us] across
+# testdata generations; the streaming reader declares a schema matching the
+# actual file (probed from the footer, driver_queries._events_ts_unit).
+def _events_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def _as_stream_dir(parquet_file: str) -> str:
@@ -82,11 +84,18 @@ def _as_stream_dir(parquet_file: str) -> str:
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The testdata ``events`` table as an unbounded stream.
 
-    Same rows as ``driver_queries._events`` — nanos→micros via integer
-    ``DIV 1000`` so values match DuckDB's truncating read — but delivered
+    Same rows as ``driver_queries._events`` — encoding-adaptive (nanos
+    files convert via integer ``DIV 1000`` so values match DuckDB's
+    truncating read; micros files cast NTZ→timestamp) — but delivered
     through the file streaming source, so every downstream operator runs
     under the micro-batch engine."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src_dir = _as_stream_dir(f"{sf_dir.rstrip('/')}/events.parquet")
-    raw = spark.readStream.schema(EVENTS_NANOS_SCHEMA).parquet(src_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    from datalake_public_spark.driver_queries import _events_ts_unit
+
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    src_dir = _as_stream_dir(path)
+    if _events_ts_unit(path) == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.readStream.schema(_events_schema(LongType())).parquet(src_dir)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    raw = spark.readStream.schema(_events_schema(TimestampNTZType())).parquet(src_dir)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
