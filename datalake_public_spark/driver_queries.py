@@ -260,12 +260,15 @@ def q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# date_trunc yields DATE and sum(BIGINT) yields HUGEINT in DuckDB; cast both
+# to Spark's output types (TIMESTAMP / BIGINT) for the dtype-sensitive hash.
 Q14_SQL = """
-SELECT date_trunc('month', l_shipdate) AS ship_month,
-       sum(CASE WHEN p_type = 'PROMO'
+SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+       CAST(sum(CASE WHEN p_type = 'PROMO'
                 THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
-                ELSE 0 END) AS promo_cents,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS total_cents,
+                ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
        round(100.0 * sum(CASE WHEN p_type = 'PROMO'
                 THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
                 ELSE 0 END) / sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)),
@@ -307,10 +310,13 @@ def q7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# DuckDB sum(BIGINT) widens to HUGEINT and year() yields BIGINT; the driver's
+# value-hash is dtype-sensitive, so both are cast back to Spark's output types.
 Q7_SQL = """
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-       year(l_shipdate) AS l_year,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
        count(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -514,20 +520,26 @@ FROM events
 
 def p8_array_assembly(spark: SparkSession, sf: str) -> DataFrame:
     """P8 parity: positional array assembly ([lon,lat]-style) from scalar
-    columns, plus element access back out."""
+    columns, plus element access and length back out. The output carries
+    only scalar columns — the driver's canonicalizer sorts rows via pandas
+    and cannot hash a raw array cell — but the array is assembled and
+    consumed inside the plan, so P8 is still exercised."""
     li = _t(spark, sf, "lineitem")
+    rates = F.array(F.col("l_discount"), F.col("l_tax"))
     return li.select(
         F.col("l_orderkey"),
         F.col("l_linenumber"),
-        F.array(F.col("l_discount"), F.col("l_tax")).alias("rates"),
-        F.element_at(F.array(F.col("l_discount"), F.col("l_tax")), 1).alias("first_rate"),
+        F.element_at(rates, 1).alias("first_rate"),
+        F.element_at(rates, 2).alias("second_rate"),
+        F.size(rates).alias("n_rates"),
     )
 
 
 P8_SQL = """
 SELECT l_orderkey, l_linenumber,
-       [l_discount, l_tax] AS rates,
-       l_discount AS first_rate
+       [l_discount, l_tax][1] AS first_rate,
+       [l_discount, l_tax][2] AS second_rate,
+       CAST(len([l_discount, l_tax]) AS INT) AS n_rates
 FROM lineitem
 """
 
@@ -545,7 +557,7 @@ def p9_weight_clamp(spark: SparkSession, sf: str) -> DataFrame:
 
 P9_SQL = """
 SELECT l_orderkey, l_linenumber,
-       GREATEST(CAST(FLOOR(l_quantity - 25) AS INT), 1) AS weight
+       CAST(GREATEST(CAST(FLOOR(l_quantity - 25) AS INT), 1) AS INT) AS weight
 FROM lineitem
 """
 
@@ -658,7 +670,8 @@ def window_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 WINDOW_TOPK_SQL = """
-SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total, rk
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total,
+       CAST(rk AS INT) AS rk
 FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
          ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -744,8 +757,10 @@ WITH marked AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessions AS (
+  -- CAST: DuckDB windowed sum(INT) widens to HUGEINT; Spark emits BIGINT
   SELECT user_id, ts,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_no
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+           AS sess_no
   FROM marked
 )
 SELECT user_id, sess_no, min(ts) AS sess_start, max(ts) AS sess_end,

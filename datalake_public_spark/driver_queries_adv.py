@@ -223,7 +223,7 @@ WITH s AS (
          lang, n_chars
   FROM documents
 )
-SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM s GROUP BY split, lang
 """
 
@@ -265,7 +265,7 @@ c AS (
   FROM t
 )
 SELECT source, CAST(floor(cum_excl / 2048) AS BIGINT) AS bin,
-       count(*) AS n_docs, sum(n_tokens) AS sum_tokens
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
 FROM c GROUP BY source, bin
 """
 
@@ -421,7 +421,7 @@ WITH hist AS (
   FROM customer WHERE {b} < 30
 )
 SELECT o_orderpriority, count(*) AS n_orders,
-       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS bal_cents
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
 FROM orders o JOIN hist h
   ON h.c_custkey = o.o_custkey
  AND h.valid_from <= o.o_orderdate

@@ -91,7 +91,9 @@ def range_join(spark: SparkSession, sf: str) -> DataFrame:
 RANGE_JOIN_SQL = """
 SELECT lo, hi, count(*) AS n_events, round(sum(value), 2) AS sum_value
 FROM events
-JOIN (SELECT id * 50.0 AS lo, (id + 1) * 50.0 AS hi FROM range(10) t(id)) r
+JOIN (SELECT CAST(id * 50.0 AS DOUBLE) AS lo,
+             CAST((id + 1) * 50.0 AS DOUBLE) AS hi
+      FROM range(10) t(id)) r
   ON value >= lo AND value < hi
 GROUP BY lo, hi
 """
@@ -270,7 +272,8 @@ def string_funcs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 STRING_FUNCS_SQL = """
-SELECT p_partkey, upper(p_name) AS name_upper, length(p_name) AS name_len,
+SELECT p_partkey, upper(p_name) AS name_upper,
+       CAST(length(p_name) AS INT) AS name_len,
        coalesce(regexp_extract(p_name, '^([a-z]+)', 1), '') AS first_word,
        substring(p_brand, 7, 10) AS brand_num,
        concat_ws('/', p_brand, p_type) AS brand_type
@@ -335,7 +338,7 @@ def skew_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
 
 SKEW_AGG_SQL = """
 SELECT event_type, count(event_id) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
        max(CAST(round(value * 100) AS BIGINT)) AS max_cents
 FROM events GROUP BY event_type
 """
@@ -363,7 +366,7 @@ def skew_salted_join(spark: SparkSession, sf: str) -> DataFrame:
 
 SKEW_JOIN_SQL = """
 SELECT o_orderpriority, count(*) AS n_items,
-       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
@@ -529,8 +532,8 @@ WITH q AS (
          ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile
   FROM events
 )
-SELECT event_type, quartile, count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+SELECT event_type, CAST(quartile AS INT) AS quartile, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM q GROUP BY event_type, quartile
 """
 
@@ -572,7 +575,7 @@ FROM orders"""
 
 _ROUNDTRIP_SQL = """
 SELECT s_nationkey, count(*) AS n_suppliers,
-       sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS acctbal_cents
+       CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
 FROM supplier
 GROUP BY s_nationkey
 """

@@ -26,13 +26,14 @@ def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     return text.token_stats(_t(spark, sf, "documents"))
 
 
+# CAST(... AS INT): DuckDB length/len return BIGINT; Spark length/size emit INT
 TOKEN_STATS_SQL = f"""
 SELECT doc_id,
-       length(text) AS n_chars,
-       strlen(text) AS n_bytes,
-       len({T.tokens_sql('text')}) AS n_ws_tokens,
-       len({T.regex_tokens_sql('text')}) AS n_re_tokens,
-       len(list_distinct({T.tokens_sql('text')})) AS n_uniq_tokens
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(strlen(text) AS INT) AS n_bytes,
+       CAST(len({T.tokens_sql('text')}) AS INT) AS n_ws_tokens,
+       CAST(len({T.regex_tokens_sql('text')}) AS INT) AS n_re_tokens,
+       CAST(len(list_distinct({T.tokens_sql('text')})) AS INT) AS n_uniq_tokens
 FROM documents
 """
 
@@ -46,7 +47,8 @@ LANGUAGE_ID_SQL = (
     + T.language_id_sql("text")
     + " AS pred_lang, "
     + ", ".join(
-        f"{T.lang_hits_sql('text', lang)} AS hits_{lang}" for lang in T.LANG_MARKERS
+        f"CAST({T.lang_hits_sql('text', lang)} AS INT) AS hits_{lang}"
+        for lang in T.LANG_MARKERS
     )
     + " FROM documents"
 )
@@ -61,7 +63,7 @@ QUALITY_SQL = f"""
 WITH t AS (SELECT doc_id, n_chars, {_TOKS} AS toks FROM documents),
 m AS (
   SELECT doc_id, n_chars,
-         len(toks) AS n_tokens,
+         CAST(len(toks) AS INT) AS n_tokens,
          len(list_distinct(toks)) / len(toks) AS uniq_ratio,
          list_sum(list_transform(toks, tk -> length(tk)::DOUBLE)) / len(toks) AS mean_tok_len
   FROM t
@@ -147,7 +149,7 @@ WITH fp AS (
   SELECT doc_id AS id, {T.simhash32_sql('text')} AS simhash FROM documents
 )
 SELECT a.id AS id_a, b.id AS id_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM fp a JOIN fp b
   ON a.id < b.id
  AND (a.simhash % 65536 = b.simhash % 65536
@@ -208,7 +210,7 @@ ranked AS (
                             ORDER BY cos DESC, match_id ASC) AS rk
   FROM scored
 )
-SELECT query_id, match_id, cos, rk FROM ranked WHERE rk <= 10
+SELECT query_id, match_id, cos, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 10
 """
 
 
@@ -250,7 +252,7 @@ def multimodal_metadata(spark: SparkSession, sf: str) -> DataFrame:
 MULTIMODAL_META_SQL = """
 SELECT doc_id,
        'text/plain' AS media_type,
-       strlen(text) AS byte_len,
+       CAST(strlen(text) AS INT) AS byte_len,
        md5(text) AS content_md5
 FROM documents
 """
@@ -297,12 +299,12 @@ def _repetition_sql() -> str:
     return f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 g AS (
-  SELECT doc_id, len(toks) AS n_tokens, {grams} AS grams FROM t
+  SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens, {grams} AS grams FROM t
 ),
 u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
 cnt AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY doc_id, tok),
 top AS (SELECT doc_id, max(c) AS top_c FROM cnt GROUP BY doc_id)
-SELECT g.doc_id AS doc_id, g.n_tokens, len(grams) AS n_grams,
+SELECT g.doc_id AS doc_id, g.n_tokens, CAST(len(grams) AS INT) AS n_grams,
        round(CASE WHEN len(grams) > 0
                   THEN 1.0 - len(list_distinct(grams)) / len(grams)
                   ELSE 0.0 END, 6) AS dup_ngram_frac,
@@ -371,7 +373,7 @@ bench AS (
   SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE bkt >= 90
 ),
 inv AS (
-  SELECT id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+  SELECT id, CAST(len(shingles) AS INT) AS n_sh, unnest(shingles) AS shingle
   FROM sh WHERE bkt < 80
 )
 SELECT id, n_sh, count(*) AS n_common,

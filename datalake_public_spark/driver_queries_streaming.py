@@ -221,7 +221,7 @@ def streaming_enrich_join(spark: SparkSession, sf: str) -> DataFrame:
 STREAM_ENRICH_SQL = """
 SELECT date_trunc('hour', ts) AS window_start, c_mktsegment,
        count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY 1, 2
 """

@@ -1,9 +1,21 @@
 """Local mimic of the driver's DuckDB-oracle comparison.
 
 Runs a Spark query and its oracle SQL side-by-side, then compares
-row-count + column names + order-insensitive values (columns sorted by
-name, rows sorted by all columns — approximating the driver's value-hash).
-Used by tests/test_driver_contract.py and ad-hoc while developing queries.
+row-count + column names + **Arrow-level result dtypes** + order-insensitive
+values. The dtype check exists because the driver's value-hash is
+type-sensitive: round-1 shipped three queries whose VALUES matched but whose
+DuckDB output types (HUGEINT from sum(BIGINT), DATE from date_trunc, BIGINT
+from year()) differed from Spark's — they passed the old value-only harness
+and failed the driver. Local green must imply driver green.
+
+Defined coercions before comparing types (differences the driver's
+canonicalizer provably erases):
+  * any timestamp unit/tz → timestamp[us] naive (session tz is pinned UTC,
+    so Spark's timestamp[us, tz=UTC] and DuckDB's naive timestamp[us] carry
+    identical wall-clock values);
+  * large_string → string (Arrow encoding detail, same pandas object dtype).
+Everything else — integer width, decimal128 (HUGEINT), date32 vs timestamp,
+float width — must match exactly or the compare fails.
 """
 
 from __future__ import annotations
@@ -12,6 +24,7 @@ import math
 
 import duckdb
 import pandas as pd
+import pyarrow as pa
 
 TESTDATA_TABLES = (
     "region",
@@ -50,7 +63,15 @@ def _norm_cell(v):
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
     if isinstance(v, pd.Timestamp):
+        # Spark's Arrow export annotates tz=UTC; DuckDB's is naive. Session tz
+        # is pinned UTC so wall-clock values are identical — compare naive.
+        if v.tzinfo is not None:
+            v = v.tz_localize(None)
         return v.to_pydatetime()
+    import datetime
+
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        return v.replace(tzinfo=None)
     return v
 
 
@@ -60,6 +81,34 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
     for _, row in df[cols].iterrows():
         out.append(tuple(_norm_cell(row[c]) for c in cols))
     return sorted(out, key=repr)
+
+
+def _canon_type(t: pa.DataType) -> pa.DataType:
+    """Canonical Arrow type under the harness's defined coercion map."""
+    if pa.types.is_timestamp(t):
+        return pa.timestamp("us")
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return pa.string()
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return pa.list_(_canon_type(t.value_type))
+    if pa.types.is_struct(t):
+        return pa.struct([pa.field(f.name, _canon_type(f.type)) for f in t])
+    return t
+
+
+def assert_types_match(spark_tbl: pa.Table, oracle_tbl: pa.Table, name: str = "?") -> None:
+    """Dtype-strict schema compare (the driver's hash is type-sensitive)."""
+    s_types = {f.name: _canon_type(f.type) for f in spark_tbl.schema}
+    o_types = {f.name: _canon_type(f.type) for f in oracle_tbl.schema}
+    bad = [
+        f"{c}: spark={s_types[c]} oracle={o_types[c]}"
+        for c in sorted(set(s_types) & set(o_types))
+        if s_types[c] != o_types[c]
+    ]
+    assert not bad, (
+        f"{name}: result DTYPES differ (driver value-hash is type-sensitive; "
+        f"CAST the oracle SQL output to Spark's types):\n  " + "\n  ".join(bad)
+    )
 
 
 def compare(
@@ -75,11 +124,14 @@ def compare(
     Empty results are rejected by default: a 0=0 hash match proves
     nothing, and empty inputs have already masked a real semantics bug
     (exceptAll-vs-subtract) behind trivially-passing oracles."""
-    s = spark_df.toPandas()
-    o = con.execute(sql).fetchdf()
+    s_tbl = spark_df.toArrow()
+    o_tbl = con.execute(sql).fetch_arrow_table()
+    s = s_tbl.to_pandas()
+    o = o_tbl.to_pandas()
     assert sorted(s.columns) == sorted(o.columns), (
         f"{name}: column names differ: spark={sorted(s.columns)} oracle={sorted(o.columns)}"
     )
+    assert_types_match(s_tbl, o_tbl, name)
     assert len(s) == len(o), f"{name}: row count differs: spark={len(s)} oracle={len(o)}"
     assert allow_empty or len(s) > 0, (
         f"{name}: query returned 0 rows — a degenerate oracle match; "

@@ -34,6 +34,23 @@ def test_query_matches_oracle(spark, con, name):
         compare(df, con, spec.oracle, name)
 
 
+def test_harness_is_dtype_strict(spark, con):
+    """The harness must reproduce the round-1 driver failures: identical
+    VALUES but different result dtypes (HUGEINT from sum(BIGINT), DATE from
+    date_trunc, BIGINT from year()) have to fail locally."""
+    one_long = spark.sql("SELECT CAST(1996 AS BIGINT) AS v")
+    with pytest.raises(AssertionError, match="DTYPES"):
+        # DuckDB sum(BIGINT) widens to HUGEINT (decimal128) — same value 1996
+        compare(one_long, con, "SELECT sum(v) AS v FROM (SELECT CAST(1996 AS BIGINT) AS v)",
+                "hugeint-vs-bigint")
+    ts = spark.sql("SELECT TIMESTAMP '1996-01-01 00:00:00' AS d")
+    with pytest.raises(AssertionError, match="DTYPES"):
+        compare(ts, con, "SELECT DATE '1996-01-01' AS d", "date-vs-timestamp")
+    y = spark.sql("SELECT CAST(1996 AS INT) AS y")
+    with pytest.raises(AssertionError, match="DTYPES"):
+        compare(y, con, "SELECT CAST(1996 AS BIGINT) AS y", "int-width")
+
+
 def test_entry_smoke(spark):
     import importlib.util
 
