@@ -1,0 +1,114 @@
+"""Arrow/numpy kernel twins of the rolling-hash family.
+
+The Catalyst formulations in ``text_funcs.py`` (``rolling_hash``,
+``simhash32``) are per-character interpreted higher-order functions —
+nested lambdas re-evaluate captured inputs per element with no CSE
+(NOTES_r1: ~5 ms/doc), which makes them scale-weak as the heart of a
+per-document operator. These kernels compute the IDENTICAL values with
+vectorized numpy inside Arrow-batched pandas UDFs (the same fix already
+applied to minhash in ``operators/dedup.py::_minhash_kernel``); the
+Catalyst expressions remain the oracle-checkable spec, and
+``tests/test_text_kernels.py`` pins kernel ≡ Catalyst equivalence.
+
+Vectorization of the sequential hash: ``h = (h*B + c) % M`` over
+codepoints is a loop over CHARACTER POSITIONS (≤ max doc/token length),
+each step full-batch-wide — not a loop over documents. Codepoints come
+from ``str.encode('utf-32-le')`` → zero-copy uint32 view, matching
+Catalyst's ``ascii()`` codepoint semantics exactly. All arithmetic stays
+< 2^53 (module invariant in text_funcs), so int64 never overflows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql.functions import pandas_udf
+
+from datalake_public_spark.functions.text_funcs import (
+    HASH_BASE,
+    HASH_SEED,
+    M_FINGERPRINT,
+    M_SIMHASH,
+)
+
+
+def _rolling_hash_np(strings: list[str], modulus: int) -> np.ndarray:
+    """Vectorized ``h = (seed; h*B + codepoint) % M`` per string."""
+    n = len(strings)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    # Catalyst spec parity: Spark's split('', '') yields [''] and ascii('')
+    # is 0, so an empty string hashes one zero code — not the bare seed
+    zero = np.zeros(1, dtype=np.uint32)
+    cps = [
+        np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32) if s else zero
+        for s in strings
+    ]
+    lens = np.fromiter((len(a) for a in cps), dtype=np.int64, count=n)
+    max_len = int(lens.max()) if n else 0
+    h = np.full(n, HASH_SEED, dtype=np.int64)
+    if max_len == 0:
+        return h
+    mat = np.zeros((n, max_len), dtype=np.int64)
+    for i, a in enumerate(cps):
+        mat[i, : len(a)] = a
+    for j in range(max_len):
+        active = j < lens
+        h = np.where(active, (h * HASH_BASE + mat[:, j]) % modulus, h)
+    return h
+
+
+def _simhash_np(texts: list[str]) -> np.ndarray:
+    """Batch simhash32: per-token 32-bit rolling hash, per-bit ±1 majority
+    vote per document. Token hashing reuses the position-loop kernel over
+    the FLATTENED token list; votes segment-sum back per doc."""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    toks: list[str] = []
+    doc_of: list[int] = []
+    for i, s in enumerate(texts):
+        for t in s.split(" "):
+            if t:
+                toks.append(t)
+                doc_of.append(i)
+    if not toks:
+        return out  # zero tokens → all votes 0 → simhash 0 (matches Catalyst)
+    th = _rolling_hash_np(toks, M_SIMHASH)
+    bits = (((th[:, None] >> np.arange(32)) & 1) * 2 - 1).astype(np.int64)  # ±1
+    votes = np.zeros((n, 32), dtype=np.int64)
+    np.add.at(votes, np.asarray(doc_of, dtype=np.int64), bits)
+    weights = np.int64(1) << np.arange(32, dtype=np.int64)
+    return ((votes > 0) * weights).sum(axis=1).astype(np.int64)
+
+
+def _fingerprint256_fn(texts: pd.Series) -> pd.Series:
+    prefixes = texts.fillna("").str.slice(0, 256)
+    return pd.Series(_rolling_hash_np(prefixes.tolist(), M_FINGERPRINT))
+
+
+def _simhash32_fn(texts: pd.Series) -> pd.Series:
+    return pd.Series(_simhash_np(texts.fillna("").tolist()))
+
+
+# pandas_udf registration needs an active SparkSession (PySpark 4), so the
+# UDFs are built lazily on first use, then cached
+_UDF_CACHE: dict[str, object] = {}
+
+
+def _udf(name: str, fn):
+    if name not in _UDF_CACHE:
+        _UDF_CACHE[name] = pandas_udf("long")(fn)
+    return _UDF_CACHE[name]
+
+
+def fingerprint256_kernel(col: Column | str) -> Column:
+    """Arrow twin of ``text_funcs.rolling_hash(substring(col, 1, 256))``."""
+    return _udf("fp", _fingerprint256_fn)(col)
+
+
+def simhash32_kernel(col: Column | str) -> Column:
+    """Arrow twin of ``text_funcs.simhash32(col)``."""
+    return _udf("sim", _simhash32_fn)(col)

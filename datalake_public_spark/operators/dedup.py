@@ -294,9 +294,16 @@ def simhash_clusters(
     16-bit half-key blocking (a pair within Hamming ≤ 3 of 32 bits must
     agree exactly on at least one 16-bit half — pigeonhole over 4 chunks
     would be tighter; halves are the cheap variant), verified by exact
-    Hamming distance."""
+    Hamming distance.
+
+    Simhash computation uses the vectorized Arrow kernel
+    (functions/text_kernels.py; identical values to the Catalyst spec,
+    equivalence pinned in tests) — the interpreted char-level HOF was the
+    per-doc bottleneck."""
+    from datalake_public_spark.functions import text_kernels as K
+
     fp = widen_for_compute(docs).select(
-        F.col(id_col).alias("id"), T.simhash32(text_col).alias("simhash")
+        F.col(id_col).alias("id"), K.simhash32_kernel(text_col).alias("simhash")
     )
     halves = fp.select(
         "id",

@@ -5,11 +5,12 @@ way a 100 TB multimodal lake stores them (payload bytes inline or as
 object-store pointers; metadata queryable without touching bytes).
 
 The Spark-side plumbing — schemas, Arrow-batched ``mapInPandas``, batch
-shapes, partition sizing — is real and tested. The actual codec step is
-STUBBED: the decode libraries (PIL/ffmpeg/etc.) are not in this container,
-so ``decode_stub`` computes deterministic fake features (byte histogram
-moments) with the exact signature/batching a real decoder would use, and
-``decode_real`` raises NotImplementedError until a codec is wired in.
+shapes, partition sizing — is real and tested. Codecs: audio WAV decode is
+REAL (pure-stdlib RIFF chunk parsing in ``decode_real``); image/video
+decode libraries (PIL/ffmpeg/etc.) are not in this container, so
+``extract_features_stub`` computes deterministic byte statistics with the
+exact signature/batching a frame decoder would use, and non-WAV codecs in
+``decode_real`` raise until their libraries are wired in.
 """
 
 from __future__ import annotations
@@ -81,16 +82,104 @@ def extract_features_stub(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def decode_real(df: DataFrame, codec: str) -> DataFrame:
-    """Real media decode — requires codec libraries not present here.
+WAV_META_SCHEMA = (
+    "doc_id long, sample_rate int, n_channels int, bits int, n_samples int"
+)
 
-    When wiring in: same mapInPandas shape as extract_features_stub, with
-    ``spark.sql.execution.arrow.maxRecordsPerBatch`` sized so one batch of
-    decoded frames fits executor memory (images: ~128 rows/batch at 4 MP)."""
-    raise NotImplementedError(
-        f"codec {codec!r} unavailable in this environment; see extract_features_stub "
-        "for the distribution pattern"
-    )
+
+def wrap_wav(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Test-scaffold encoder: wrap utf-8 bytes as 8-bit PCM mono WAV
+    (RIFF/fmt/data chunks, little-endian) so the real decode path has
+    actual media bytes to parse in this container. Arrow-batched like
+    any payload producer; one WAV per row."""
+    import struct
+
+    def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for t in pdf[text_col]:
+                data = t.encode("utf-8")
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate, 1, 8)
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                )
+                payloads.append(hdr + data)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), "wav": payloads}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(enc, f"{id_col} long, wav binary")
+
+
+def decode_real(
+    df: DataFrame,
+    codec: str,
+    payload_col: str = "wav",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Real media decode. ``codec='wav'`` is implemented with a pure-stdlib
+    RIFF chunk walker (struct.unpack over fmt/data chunks — no external
+    codec library needed); image/video codecs still raise until their
+    libraries exist in the environment.
+
+    Distribution shape: Arrow-batched ``mapInPandas`` — one Python worker
+    per partition, columnar batches. When wiring a frame-heavy codec, size
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` so one decoded batch
+    fits executor memory (images: ~128 rows/batch at 4 MP)."""
+    if codec != "wav":
+        raise NotImplementedError(
+            f"codec {codec!r} unavailable in this environment; 'wav' is the "
+            "implemented reference decoder (same mapInPandas shape)"
+        )
+
+    import struct
+
+    def dec(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, srs, nchs, bits_, nsamps = [], [], [], [], []
+            for i, raw in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(raw)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError(f"doc {i}: not a RIFF/WAVE payload")
+                pos, sr, nch, bits, data_len = 12, None, None, None, None
+                while pos + 8 <= len(b):
+                    cid = b[pos : pos + 4]
+                    size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+                    if cid == b"fmt ":
+                        _fmt, nch, sr, _br, _ba, bits = struct.unpack(
+                            "<HHIIHH", b[pos + 8 : pos + 24]
+                        )
+                    elif cid == b"data":
+                        data_len = size
+                    pos += 8 + size + (size & 1)  # chunks are word-aligned
+                if sr is None or data_len is None:
+                    raise ValueError(f"doc {i}: missing fmt/data chunk")
+                ids.append(int(i))
+                srs.append(sr)
+                nchs.append(nch)
+                bits_.append(bits)
+                nsamps.append(data_len // (nch * bits // 8))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "sample_rate": pd.Series(srs, dtype="int32"),
+                    "n_channels": pd.Series(nchs, dtype="int32"),
+                    "bits": pd.Series(bits_, dtype="int32"),
+                    "n_samples": pd.Series(nsamps, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(dec, WAV_META_SCHEMA)
 
 
 def media_metadata(docs_with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:

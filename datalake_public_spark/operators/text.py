@@ -115,9 +115,29 @@ def repetition_stats(
     )
 
 
-def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def fingerprint(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    use_arrow: bool = True,
+) -> DataFrame:
     """Rolling-hash document fingerprint (first 256 chars) + 32-bit simhash.
-    Both engine-portable modular arithmetic (functions/text_funcs.py)."""
+    Engine-portable modular arithmetic (functions/text_funcs.py).
+
+    Default path: vectorized Arrow kernels (functions/text_kernels.py) —
+    the Catalyst formulation is per-character interpreted HOFs (~5 ms/doc,
+    scale-weak); the kernel computes identical values batch-wide
+    (equivalence pinned in tests/test_text_kernels.py). ``use_arrow=False``
+    keeps the pure-Catalyst spec path for oracle review."""
+    if use_arrow:
+        from datalake_public_spark.functions import text_kernels as K
+
+        return widen_for_compute(docs).select(
+            F.col(id_col),
+            K.fingerprint256_kernel(text_col).alias("fingerprint"),
+            K.simhash32_kernel(text_col).alias("simhash"),
+        )
     prefix = F.substring(F.col(text_col), 1, 256)
     return widen_for_compute(docs).select(
         F.col(id_col),

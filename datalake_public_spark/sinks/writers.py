@@ -62,25 +62,47 @@ class ElasticsearchSink:
     """K3: the es-spark connector sink (``org.elasticsearch.spark.sql``),
     config-compatible with ``index_to_elastic_with_spark.py:139-150``
     (``es.mapping.id``, ``es.index.auto.create=false`` — mappings are
-    externally managed). Requires the elasticsearch-spark jar on the
-    session classpath; unavailable in this container, so instantiation is
-    allowed but ``write`` raises unless the jar is present."""
+    externally managed).
 
-    def __init__(self, nodes: str, port: int = 9200, ssl: bool = False) -> None:
+    The connector jar is not in this container, so the save step is an
+    injectable ``transport`` — the default performs the real
+    ``df.write.format(...).save()`` (requires the jar); tests inject a
+    fake transport and assert the exact (format, options, mode) contract
+    plus K4 count reconciliation. Option drift therefore fails a test
+    even with no Elasticsearch anywhere."""
+
+    FORMAT = "org.elasticsearch.spark.sql"
+    MODE = "overwrite"
+
+    def __init__(
+        self,
+        nodes: str,
+        port: int = 9200,
+        ssl: bool = False,
+        transport=None,
+    ) -> None:
         self.nodes = nodes
         self.port = port
         self.ssl = ssl
+        # transport(df, format, options, mode) -> rows-indexed count
+        self._transport = transport if transport is not None else self._spark_save
+
+    def sink_options(self, index: str, id_col: str) -> dict[str, str]:
+        """The full es-spark option set (reference parity:
+        ``index_to_elastic_with_spark.py:139-150``)."""
+        return {
+            "es.nodes": self.nodes,
+            "es.port": str(self.port),
+            "es.net.ssl": str(self.ssl).lower(),
+            "es.resource": index,
+            "es.mapping.id": id_col,
+            "es.index.auto.create": "false",
+        }
+
+    @staticmethod
+    def _spark_save(df: DataFrame, fmt: str, options: dict[str, str], mode: str) -> int:
+        df.write.format(fmt).options(**options).mode(mode).save()
+        return df.count()
 
     def write(self, df: DataFrame, *, index: str, id_col: str) -> int:
-        (
-            df.write.format("org.elasticsearch.spark.sql")
-            .option("es.nodes", self.nodes)
-            .option("es.port", str(self.port))
-            .option("es.net.ssl", str(self.ssl).lower())
-            .option("es.resource", index)
-            .option("es.mapping.id", id_col)
-            .option("es.index.auto.create", "false")
-            .mode("overwrite")
-            .save()
-        )
-        return df.count()
+        return self._transport(df, self.FORMAT, self.sink_options(index, id_col), self.MODE)
