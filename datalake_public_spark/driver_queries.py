@@ -41,30 +41,67 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
 
 
-def _events_ts_unit(path: str) -> str:
-    """Physical unit of the ``ts`` column ('ns'/'us'/...), probed from the
-    parquet footer only (no data read). Driver-generated testdata has
-    shipped both TIMESTAMP(NANOS) and timestamp[us] encodings across
-    rounds, so the readers branch on the actual file."""
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def _events_ts_meta(path: str) -> tuple[str, str | None]:
+    """(unit, tz) of the ``ts`` column ('ns'/'us'/…, tz string or None),
+    probed from the parquet footer only (no data read). Driver-generated
+    testdata has shipped both TIMESTAMP(NANOS) and timestamp[us] encodings
+    across rounds, so the readers branch on the actual file. A plain int64
+    ``ts`` (epoch nanos without the logical type) maps to the nanos branch;
+    anything else fails loudly instead of an opaque AttributeError."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    return pq.read_schema(path).field("ts").type.unit
+    t = pq.read_schema(path).field("ts").type
+    if pa.types.is_timestamp(t):
+        return t.unit, t.tz
+    if t == pa.int64():
+        return "ns", None  # raw epoch-nanos int64 — same read path as NANOS
+    raise TypeError(
+        f"events.ts has unsupported parquet type {t!r}; expected a timestamp "
+        "(any unit/tz) or int64 epoch nanos — testdata encoding drifted"
+    )
+
+
+def _events_ts_unit(path: str) -> str:
+    """Back-compat shim: unit only (see ``_events_ts_meta``)."""
+    return _events_ts_meta(path)[0]
+
+
+def _read_nanos_as_long(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet TIMESTAMP(NANOS) read with ``nanosAsLong`` scoped to THIS
+    read: the conf is consulted at schema-resolution time (verified
+    empirically — a later action on the returned DataFrame succeeds with
+    the conf restored), so set/restore around ``spark.read`` leaves the
+    session untouched for any subsequent nanos-parquet read."""
+    prev = spark.conf.get(_NANOS_CONF, None)
+    spark.conf.set(_NANOS_CONF, "true")
+    try:
+        return spark.read.parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(_NANOS_CONF)
+        else:
+            spark.conf.set(_NANOS_CONF, prev)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events reader, adaptive to the parquet timestamp encoding.
 
     TIMESTAMP(NANOS) files are rejected by Spark's vectorized reader:
-    read nanos as long and convert with *integer* division (``ts DIV
-    1000`` — double division would lose precision at 1.7e18), matching
-    DuckDB's truncating nanos→micros read. timestamp[us] files read
-    natively as TIMESTAMP_NTZ; cast to session-tz TIMESTAMP (identity
+    read nanos as long (conf scoped to the read — see _read_nanos_as_long)
+    and convert with *integer* division (``ts DIV 1000`` — double division
+    would lose precision at 1.7e18), matching DuckDB's truncating
+    nanos→micros read. timestamp[us] files read natively (NTZ when naive,
+    LTZ when isAdjustedToUTC); cast to session-tz TIMESTAMP (identity
     under the engine's pinned UTC session) so downstream plans and
     oracles see one type either way."""
     path = f"{sf_dir.rstrip('/')}/events.parquet"
-    if _events_ts_unit(path) == "ns":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.parquet(path)
+    unit, _tz = _events_ts_meta(path)
+    if unit == "ns":
+        raw = _read_nanos_as_long(spark, path)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     raw = spark.read.parquet(path)
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))

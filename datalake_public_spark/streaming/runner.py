@@ -33,8 +33,11 @@ def run_available_now(
     plan — that equivalence is what the driver's DuckDB oracle checks.
     Memory sink is driver-local; for production-sized results use
     ``write_available_now`` instead."""
+    from datalake_public_spark.streaming.sources import restore_query_scoped_confs
+
     name = query_name or f"mem_{uuid.uuid4().hex[:12]}"
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_")
+    spark = df.sparkSession
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -43,11 +46,13 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
+    # the running query holds its own cloned conf — release any
+    # source-scoped session confs (e.g. parquet nanosAsLong) immediately
+    restore_query_scoped_confs(spark)
     try:
         q.awaitTermination(timeout_s)
     finally:
         q.stop()
-    spark = SparkSession.getActiveSession()
     return spark.table(name)
 
 
@@ -83,6 +88,9 @@ def write_fanout_available_now(
         .trigger(availableNow=True)
         .start()
     )
+    from datalake_public_spark.streaming.sources import restore_query_scoped_confs
+
+    restore_query_scoped_confs(df.sparkSession)
     try:
         q.awaitTermination(timeout_s)
     finally:
@@ -111,6 +119,9 @@ def write_available_now(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     q = writer.start()
+    from datalake_public_spark.streaming.sources import restore_query_scoped_confs
+
+    restore_query_scoped_confs(df.sparkSession)
     try:
         q.awaitTermination(timeout_s)
     finally:

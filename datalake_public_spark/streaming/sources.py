@@ -29,7 +29,31 @@ from pyspark.sql.types import (
     StructField,
     StructType,
     TimestampNTZType,
+    TimestampType,
 )
+
+
+# Confs a streaming SOURCE needs active at query start (streams clone the
+# session conf when they start, so the runner restores these right after —
+# the session is never left mutated once the query is running/finished).
+_PENDING_CONF_RESTORE: list[tuple[str, str | None]] = []
+
+
+def _set_query_scoped_conf(spark: SparkSession, key: str, value: str) -> None:
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    _PENDING_CONF_RESTORE.append((key, prev))
+
+
+def restore_query_scoped_confs(spark: SparkSession) -> None:
+    """Called by the streaming runners once the query has started (it
+    holds its own cloned conf from that point)."""
+    while _PENDING_CONF_RESTORE:
+        key, prev = _PENDING_CONF_RESTORE.pop()
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def read_json_stream(
@@ -86,16 +110,27 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same rows as ``driver_queries._events`` — encoding-adaptive (nanos
     files convert via integer ``DIV 1000`` so values match DuckDB's
-    truncating read; micros files cast NTZ→timestamp) — but delivered
-    through the file streaming source, so every downstream operator runs
-    under the micro-batch engine."""
-    from datalake_public_spark.driver_queries import _events_ts_unit
+    truncating read; micros files read natively) — but delivered through
+    the file streaming source, so every downstream operator runs under
+    the micro-batch engine.
+
+    The declared schema matches the file's tz-awareness: a
+    timestamp[us, tz=…] column (isAdjustedToUTC) must be declared
+    TimestampType (LTZ) — the vectorized reader rejects reading an
+    adjusted column into NTZ; a naive timestamp declares NTZ. Both cast
+    to session-tz TIMESTAMP (identity under pinned UTC). For NANOS files
+    the ``nanosAsLong`` conf must be active when each micro-batch plans
+    its scan, so it is scoped to the streaming QUERY by run_available_now
+    (which snapshots and restores it), not leaked into the session."""
+    from datalake_public_spark.driver_queries import _events_ts_meta
 
     path = f"{sf_dir.rstrip('/')}/events.parquet"
     src_dir = _as_stream_dir(path)
-    if _events_ts_unit(path) == "ns":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    unit, tz = _events_ts_meta(path)
+    if unit == "ns":
+        _set_query_scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.readStream.schema(_events_schema(LongType())).parquet(src_dir)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    raw = spark.readStream.schema(_events_schema(TimestampNTZType())).parquet(src_dir)
+    ts_type = TimestampType() if tz else TimestampNTZType()
+    raw = spark.readStream.schema(_events_schema(ts_type)).parquet(src_dir)
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
