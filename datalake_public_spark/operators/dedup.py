@@ -283,6 +283,61 @@ def minhash_lsh_pairs(
     return verified
 
 
+def near_dedup_pipeline(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """The production near-dup pipeline: exact-dup pre-pass IN FRONT of
+    MinHash+LSH — the skew guard for boilerplate-heavy corpora.
+
+    Why the composition matters at 100 TB: exact duplicates (mirrors,
+    crawls, templated pages) all produce IDENTICAL signatures, so k exact
+    copies inflate every LSH bucket they touch by k and the in-bucket
+    pair expansion by k² — the degenerate buckets ``max_bucket`` would
+    otherwise have to drop. Collapsing them first costs one cheap
+    16-byte-key shuffle (exact_dedup), shrinks the LSH input to unique
+    contents, and loses nothing: every member of an exact-dup group has
+    the same near-dup relations as its representative.
+
+    Returns near-dup pairs over REPRESENTATIVE ids (min id per distinct
+    content) with exact verified Jaccard; join ``exact_dedup``'s output
+    back on keep_id to expand to all members when needed.
+
+    Measured (local[32], ×10 exact-duplicated sf0.1 corpus = 50k docs;
+    NOTES_r2.md): raw LSH 9.8s / 150 MB shuffled / 250,600 output pairs;
+    with pre-pass 4.3s / 4.6 MB shuffled / 241 representative pairs —
+    2.2× wall, 33× less shuffle, and the output is the deduplicated
+    contract downstream actually wants. Pair-set equivalence (prepass ==
+    raw-minus-exact-pairs, remapped to representatives) is asserted in
+    tests/test_dedup.py."""
+    groups = exact_dedup(docs, text_col, id_col)
+    reps = (
+        docs.select(F.col(id_col), F.col(text_col))
+        .join(
+            groups.select(F.col("keep_id").alias(id_col)),
+            id_col,
+            "left_semi",
+        )
+    )
+    return minhash_lsh_pairs(
+        reps,
+        text_col,
+        id_col,
+        shingle_n=shingle_n,
+        num_perm=num_perm,
+        bands=bands,
+        threshold=threshold,
+        max_bucket=max_bucket,
+    )
+
+
 def simhash_clusters(
     docs: DataFrame,
     text_col: str = "text",

@@ -122,3 +122,43 @@ def test_contamination_benchmark_side_broadcasts(spark):
     bench = spark.createDataFrame([(999, "alpha beta gamma delta shared")], "doc_id long, text string")
     plan = dedup.contamination_check(corpus, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_near_dedup_pipeline_equals_raw_minus_exact_pairs(spark):
+    """The exact-dup pre-pass contract on a corpus with heavy exact
+    duplication (every doc replicated 3x): pipeline pairs == raw LSH
+    pairs with both sides remapped to their exact-dup representative,
+    minus pairs internal to one exact-dup group."""
+    from pyspark.sql import functions as F
+
+    from datalake_public_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rep = docs
+    for i in (1, 2):
+        rep = rep.unionByName(docs.withColumn("doc_id", F.col("doc_id") + i * 10_000_000))
+
+    base = dedup.minhash_lsh_pairs(docs).select("id_a", "id_b")
+    groups = dedup.exact_dedup(docs)
+    h = docs.select("doc_id", F.md5("text").alias("h"))
+    rep_of = h.join(
+        groups.select(F.col("content_hash").alias("h"), "keep_id"), "h"
+    ).select("doc_id", "keep_id")
+    ha = h.select(F.col("doc_id").alias("id_a"), F.col("h").alias("h_a"))
+    hb = h.select(F.col("doc_id").alias("id_b"), F.col("h").alias("h_b"))
+    expected = set(
+        map(
+            tuple,
+            base.join(ha, "id_a").join(hb, "id_b")
+            .filter(F.col("h_a") != F.col("h_b"))
+            .join(rep_of.select(F.col("doc_id").alias("id_a"), F.col("keep_id").alias("ra")), "id_a")
+            .join(rep_of.select(F.col("doc_id").alias("id_b"), F.col("keep_id").alias("rb")), "id_b")
+            .select(F.least("ra", "rb"), F.greatest("ra", "rb"))
+            .distinct()
+            .collect(),
+        )
+    )
+    got = set(
+        map(tuple, dedup.near_dedup_pipeline(rep).select("id_a", "id_b").collect())
+    )
+    assert got == expected and len(got) > 0

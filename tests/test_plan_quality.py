@@ -140,3 +140,34 @@ def test_profile_table_is_one_scan(spark):
     # all columns' stats in one pass: exactly one parquet scan node
     p = _plan(spark, profile_orders(spark, SF_SMOKE))
     assert p.count("Scan parquet") == 1
+
+
+def test_minhash_lsh_plan_shape(spark):
+    """The LSH pipeline's scale contract: no sort-merge joins, no
+    cartesian products anywhere; the verify joins hash/broadcast; the
+    static exchange budget holds (profiled at 50k docs: 2.6-4.6 MB total
+    shuffle — see NOTES_r2.md). A refactor that degrades any of these
+    shows up here, not in a 100 TB run."""
+    from datalake_public_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    p = _plan(spark, dedup.minhash_lsh_pairs(docs))
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange") <= 10
+    # signature kernel runs once per partition, Arrow-batched
+    assert "ArrowEvalPython" in p or "BatchEvalPython" not in p
+
+
+def test_near_dedup_pipeline_has_exact_prepass(spark):
+    """The boilerplate skew guard: the composed pipeline must contain the
+    exact-dup semi-join pre-pass (LeftSemi on the representative ids) and
+    stay free of sort-merge/cartesian joins."""
+    from datalake_public_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    p = _plan(spark, dedup.near_dedup_pipeline(docs))
+    assert "LeftSemi" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange") <= 22
