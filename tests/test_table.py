@@ -1,0 +1,111 @@
+"""ManifestTable: atomic commits, time travel, concurrency, compaction.
+
+The table layer owns what Delta/Iceberg would (their jars are absent):
+snapshot isolation over immutable manifests + optimistic concurrency on
+an atomic manifest create.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_public_spark.sinks.table import CommitConflict, ManifestTable
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return ManifestTable(str(tmp_path / "t"))
+
+
+def _df(spark, lo, hi, tag):
+    return spark.range(lo, hi).select(
+        F.col("id"), F.lit(tag).alias("tag"), (F.col("id") * 2).alias("v")
+    )
+
+
+def test_overwrite_append_and_read_head(spark, table):
+    s0 = table.overwrite(_df(spark, 0, 10, "a"))
+    assert (s0.version, s0.operation) == (0, "overwrite")
+    s1 = table.append(_df(spark, 10, 15, "b"))
+    assert (s1.version, s1.parent) == (1, 0)
+    assert table.read(spark).count() == 15
+    assert table.current_version() == 1
+
+
+def test_time_travel_reads_old_snapshots(spark, table):
+    table.overwrite(_df(spark, 0, 10, "a"))
+    table.append(_df(spark, 10, 15, "b"))
+    table.overwrite(_df(spark, 0, 3, "c"))
+    assert table.read(spark, version=0).count() == 10
+    assert table.read(spark, version=1).count() == 15
+    assert table.read(spark, version=2).count() == 3
+    ops = [s.operation for s in table.history()]
+    assert ops == ["overwrite", "append", "overwrite"]
+
+
+def test_append_carries_old_files_by_reference(spark, table):
+    s0 = table.overwrite(_df(spark, 0, 10, "a"))
+    s1 = table.append(_df(spark, 10, 12, "b"))
+    assert set(s0.files) <= set(s1.files)  # no rewrite of existing data
+
+
+def test_commit_conflict_on_racing_writers(spark, table):
+    table.overwrite(_df(spark, 0, 5, "a"))
+    # writer B stages + commits v1 while writer A is still staged on v0
+    files_a = table._stage_files(_df(spark, 5, 8, "A"))
+    table.append(_df(spark, 8, 9, "B"))
+    with pytest.raises(CommitConflict):
+        table._commit(files_a, "append", expected_parent=0)
+    # loser retries against the new head and succeeds
+    head = table.current_version()
+    base = list(table.snapshot(head).files)
+    s = table._commit(base + files_a, "append", expected_parent=head)
+    assert s.version == head + 1
+    assert table.read(spark).count() == 5 + 1 + 3
+
+
+def test_failed_stage_is_invisible_to_readers(spark, table):
+    table.overwrite(_df(spark, 0, 5, "a"))
+    table._stage_files(_df(spark, 0, 100, "junk"))  # staged, never committed
+    assert table.read(spark).count() == 5  # readers pin the manifest
+
+
+def test_delete_where_copy_on_write(spark, table):
+    table.overwrite(_df(spark, 0, 10, "a").repartition(4))
+    s = table.delete_where(spark, "id >= 7")
+    assert s.operation == "delete"
+    got = sorted(r.id for r in table.read(spark).collect())
+    assert got == list(range(7))
+    # prior version still has everything (time travel preserved)
+    assert table.read(spark, version=0).count() == 10
+
+
+def test_delete_where_no_match_is_noop_version(spark, table):
+    s0 = table.overwrite(_df(spark, 0, 5, "a"))
+    s = table.delete_where(spark, "id > 100")
+    assert s.version == s0.version  # nothing touched, no new commit
+
+
+def test_compact_then_vacuum_bounds_storage(spark, table):
+    table.overwrite(_df(spark, 0, 1000, "a").repartition(16))
+    assert table.snapshot().n_files >= 16
+    s = table.compact(spark, target_file_mb=128)
+    assert s.operation == "compact" and s.n_files < 16
+    assert table.read(spark).count() == 1000
+    # old files still on disk for time travel...
+    assert table.read(spark, version=0).count() == 1000
+    deleted = table.vacuum(retain_versions=1)
+    assert len(deleted) >= 16
+    # ...gone after vacuum; head still reads fine
+    assert table.read(spark).count() == 1000
+    assert table.versions() == [s.version]
+    for f in deleted:
+        assert not os.path.exists(f)
+
+
+def test_read_empty_table_raises(spark, table):
+    with pytest.raises(FileNotFoundError):
+        table.read(spark)
