@@ -45,9 +45,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query. Omitted
-    (rows-only check) for: dedup_minhash_lsh and similarity_ann
-    (approximate by design; recall vs exact baselines asserted in
-    tests), ml_kmeans_embeddings (iterative MLlib fit), and
-    approx_sketches (sketch values are implementation-specific;
-    accuracy bounds asserted in tests)."""
+    (rows-only check) for: similarity_ann (approximate by design —
+    recall floors vs the exact baseline asserted in tests),
+    ml_kmeans_embeddings (iterative MLlib fit), and approx_sketches
+    (sketch values are implementation-specific; accuracy bounds
+    asserted in tests). dedup_minhash_lsh IS oracled: its verified
+    exact-Jaccard output deterministically equals the n-gram baseline
+    on this corpus (see its docstring)."""
     return {name: spec.oracle for name, spec in _ALL.items() if spec.oracle is not None}

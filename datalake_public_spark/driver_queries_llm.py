@@ -134,9 +134,20 @@ WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash+LSH (xxhash64 signatures — JVM-only, no SQL oracle; the
-    driver records a rows-only check. tests/test_dedup.py validates it
-    against ngram_jaccard_pairs, the exact baseline)."""
+    """MinHash+LSH near-dup pairs.
+
+    Oracled against the EXACT n-gram-Jaccard baseline (DEDUP_NGRAM_SQL):
+    the LSH output is candidate pairs verified with exact Jaccard, so it
+    equals the baseline whenever banding recall is 1 — which holds
+    deterministically on this corpus (verified bit-identical, pairs AND
+    jaccard values, at sf0.001/0.01/0.1; no runtime randomness — the
+    permutation family is seed-fixed and crc32 is platform-stable). The
+    testdata's near-dup pairs sit at jaccard ≥~0.7 where the 16×4-band
+    S-curve catches ≥98.8% per pair — and the concrete misses are zero.
+    If a future generator emits borderline pairs (j≈0.5), recall drops
+    below 1 by design; revert this oracle to None then (the rows-only
+    contract) — tests/test_dedup.py keeps the recall-floor assertion
+    either way."""
     return dedup.minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.5)
 
 
@@ -394,7 +405,7 @@ LLM_REGISTRY: dict[str, QuerySpec] = {
     "decontaminate_train_split": QuerySpec(decontaminate_train_split, _decontaminate_sql()),
     "text_repetition_stats": QuerySpec(text_repetition_stats, _repetition_sql()),
     "vocab_top_tokens": QuerySpec(vocab_top_tokens, VOCAB_SQL),
-    "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, None),
+    "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, DEDUP_NGRAM_SQL),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
     "similarity_topk": QuerySpec(similarity_topk, SIMILARITY_TOPK_SQL),

@@ -57,10 +57,9 @@ def test_registry_is_exactly_at_cap():
     assert all(name in FINAL_REGISTRY for name in MERGED)
 
 
-def test_no_oracle_entries_are_the_declared_four():
+def test_no_oracle_entries_are_the_declared_three():
     no_oracle = {n for n, s in FINAL_REGISTRY.items() if s.oracle is None}
     assert no_oracle == {
-        "dedup_minhash_lsh",
         "similarity_ann",
         "ml_kmeans_embeddings",
         "approx_sketches",
