@@ -171,3 +171,31 @@ def test_near_dedup_pipeline_has_exact_prepass(spark):
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
     assert p.count("Exchange") <= 22
+
+
+def test_window_suite_single_shuffle_two_sorts(spark):
+    """Six window functions over two sort orders, ONE exchange on
+    o_custkey: both Window operators share the partitioning, so adding
+    rank/ntile to the frames query cost zero extra shuffles."""
+    from datalake_public_spark.driver_registry import window_suite
+
+    p = _plan(spark, window_suite(spark, SF_SMOKE))
+    assert p.count("Exchange") == 1
+    assert p.count("Window") == 2
+
+
+def test_p_row_normalize_is_shuffle_free(spark):
+    """The merged row-ops parity query (P3/P4/P7/P8/P12) is one codegen
+    map stage over the scan — any Exchange here means a regression in a
+    pure row-local operator."""
+    from datalake_public_spark.driver_registry import p_row_normalize
+
+    assert _plan(spark, p_row_normalize(spark, SF_SMOKE)).count("Exchange") == 0
+
+
+def test_stats_distinct_agg_two_phase(spark):
+    """Exact distinct + algebraic moments in one agg: the distinct
+    expands keys pre-shuffle (2 exchanges total), never more."""
+    from datalake_public_spark.driver_registry import stats_distinct_agg
+
+    assert _plan(spark, stats_distinct_agg(spark, SF_SMOKE)).count("Exchange") <= 2
