@@ -45,13 +45,20 @@ def run_bike_pipeline(
     doc_sink: DocumentSink | None = None,
     kmeans_end: datetime | None = None,
     write_formatted: bool = True,
+    versioned_tables: bool = False,
 ) -> PipelineResult:
     """One tick of the reference pipeline, end-to-end, as unbroken plans.
 
     raw JSON → flatten ×3 → enrich (join/normalize/union) → quality gate →
     serving shape → document sink (+ count reconciliation) → weighted
     K-Means (when ``kmeans_end`` is given).
-    """
+
+    ``versioned_tables=True`` lands the formatted and usage zones through
+    ``sinks.table.ManifestTable`` instead of plain overwrite parquet:
+    each tick appends a new atomic snapshot, so a crashed tick is
+    invisible to readers, concurrent ticks conflict loudly instead of
+    corrupting, and every prior tick stays readable (time travel) — the
+    Delta/Iceberg posture the target stack names, without the jars."""
     formatted: dict[str, DataFrame] = {}
     for path, spec in (
         (ss_path, flatten.VELIB_STATION_STATUS_SPEC),
@@ -61,9 +68,16 @@ def run_bike_pipeline(
         raw = read_json_snapshots(spark, path, spec.raw_schema)
         formatted[spec.name] = flatten.flatten_feed(raw, spec)
         if write_formatted:
-            write_partitioned_parquet(
-                formatted[spec.name], f"{config.zone('formatted')}/{spec.name}"
-            )
+            if versioned_tables:
+                from datalake_public_spark.sinks.table import ManifestTable
+
+                ManifestTable(f"{config.zone('formatted')}/{spec.name}").append(
+                    formatted[spec.name]
+                )
+            else:
+                write_partitioned_parquet(
+                    formatted[spec.name], f"{config.zone('formatted')}/{spec.name}"
+                )
 
     enriched = enrich.build_enriched(
         formatted["velib_station_status"],
@@ -85,6 +99,13 @@ def run_bike_pipeline(
     kmeans_df = None
     if kmeans_end is not None:
         kmeans_df = run_kmeans_job(enriched, end=kmeans_end)
-        write_partitioned_parquet(kmeans_df, f"{config.zone('usage')}/kmeans_results")
+        if versioned_tables:
+            from datalake_public_spark.sinks.table import ManifestTable
+
+            ManifestTable(f"{config.zone('usage')}/kmeans_results").append(kmeans_df)
+        else:
+            write_partitioned_parquet(
+                kmeans_df, f"{config.zone('usage')}/kmeans_results"
+            )
 
     return PipelineResult(formatted, enriched, served_count, kmeans_df)

@@ -62,3 +62,26 @@ def test_full_pipeline(spark, gbfs_paths, tmp_path):
         f"{cfg.zone('formatted')}/velib_station_status"
     )
     assert ss.count() == 50
+
+
+def test_pipeline_versioned_tables_two_ticks(spark, gbfs_paths, tmp_path):
+    """versioned_tables=True lands formatted zones through ManifestTable:
+    two ticks → two snapshots per feed, head reads the union, tick 1
+    still readable (time travel), staged-but-uncommitted data invisible."""
+    from datalake_public_spark.sinks.table import ManifestTable
+
+    cfg = EngineConfig(lake_root=str(tmp_path / "lake"))
+    kwargs = dict(
+        ss_path=gbfs_paths["ss"],
+        si_path=gbfs_paths["si"],
+        lime_path=gbfs_paths["lime"],
+        versioned_tables=True,
+    )
+    run_bike_pipeline(spark, cfg, **kwargs)
+    run_bike_pipeline(spark, cfg, **kwargs)
+
+    t = ManifestTable(f"{cfg.zone('formatted')}/velib_station_status")
+    assert [s.operation for s in t.history()] == ["append", "append"]
+    v0 = t.read(spark, version=0).count()
+    head = t.read(spark).count()
+    assert v0 > 0 and head == 2 * v0
