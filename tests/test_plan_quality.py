@@ -199,3 +199,22 @@ def test_stats_distinct_agg_two_phase(spark):
     from datalake_public_spark.driver_registry import stats_distinct_agg
 
     assert _plan(spark, stats_distinct_agg(spark, SF_SMOKE)).count("Exchange") <= 2
+
+
+def test_similarity_ann_plans_no_cartesian(spark):
+    """Both ANN paths must stay bucketed: candidate generation joins on
+    (bucket/cell) keys — a CartesianProduct or a SortMergeJoin over raw
+    vectors means the all-pairs path leaked back in."""
+    from pyspark.sql import functions as F
+
+    from datalake_public_spark.operators.similarity import ivf_topk, lsh_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    for name, df in (
+        ("lsh", lsh_topk(q, emb, k=10, n_planes=8, dim=64)),
+        ("ivf", ivf_topk(q, emb, k=10, n_cells=16, n_probe=4)),
+    ):
+        p = _plan(spark, df)
+        assert "CartesianProduct" not in p, name
+        assert "SortMergeJoin" not in p, name
