@@ -38,11 +38,6 @@ from datalake_public_spark.driver_queries_streaming import (
     STREAM_SLIDING_SQL,
     STREAM_TUMBLING_SQL,
     STREAMING_REGISTRY,
-    streaming_enrich_join,
-    streaming_interval_join,
-    streaming_session,
-    streaming_sliding,
-    streaming_tumbling,
 )
 
 # --------------------------------------------------------------------------
@@ -865,22 +860,39 @@ FROM b
 def streaming_windows(spark: SparkSession, sf: str) -> DataFrame:
     """Tumbling-hour, sliding 1h/30min, and 30-min-gap session window
     aggregations, each computed by the streaming engine and conformed to
-    (op, window_start, k, n_events, sum_value)."""
-    t = streaming_tumbling(spark, sf).select(
+    (op, window_start, k, n_events, sum_value). The three streams START
+    CONCURRENTLY (run_available_now_many) — their micro-batch work
+    overlaps on the scheduler instead of draining serially."""
+    from datalake_public_spark.streaming.runner import run_available_now_many
+    from datalake_public_spark.streaming.sources import events_stream
+    from datalake_public_spark.streaming.windows import (
+        session_window_agg,
+        sliding_window_agg,
+        tumbling_window_agg,
+    )
+
+    t_raw, s_raw, g_raw = run_available_now_many(
+        [
+            tumbling_window_agg(events_stream(spark, sf)),
+            sliding_window_agg(events_stream(spark, sf)),
+            session_window_agg(events_stream(spark, sf)),
+        ]
+    )
+    t = t_raw.select(
         F.lit("tumbling").alias("op"),
         "window_start",
         F.col("event_type").alias("k"),
         "n_events",
         "sum_value",
     )
-    s = streaming_sliding(spark, sf).select(
+    s = s_raw.select(
         F.lit("sliding").alias("op"),
         "window_start",
         F.col("event_type").alias("k"),
         "n_events",
         "sum_value",
     )
-    g = streaming_session(spark, sf).select(
+    g = g_raw.select(
         F.lit("session").alias("op"),
         F.col("sess_start").alias("window_start"),
         F.col("user_id").cast("string").alias("k"),
@@ -905,21 +917,69 @@ FROM ({STREAM_SESSION_SQL}) g
 def streaming_joins(spark: SparkSession, sf: str) -> DataFrame:
     """Watermarked stream-stream interval join, stream-static broadcast
     enrichment with a windowed agg, and watermark-bounded streaming
-    dedup, conformed to (op, window_start, k1, k2, n1, n2)."""
-    from datalake_public_spark.driver_queries_streaming import streaming_dedup_keys
+    dedup, conformed to (op, window_start, k1, k2, n1, n2). All three
+    streams start concurrently (run_available_now_many)."""
+    from datalake_public_spark.streaming.runner import run_available_now_many
+    from datalake_public_spark.streaming.sources import events_stream
+    from datalake_public_spark.streaming.windows import (
+        interval_join,
+        stream_static_enrich,
+        streaming_dedup,
+    )
+
+    ev_cols = events_stream(spark, sf).select("event_id", "user_id", "ts", "event_type")
+    clicks = ev_cols.filter(F.col("event_type") == "click")
+    views = ev_cols.filter(F.col("event_type") == "view")
+    interval_stream = interval_join(clicks, views, "user_id")
+
+    ev_val = events_stream(spark, sf).select("user_id", "ts", "value")
+    cust = spark.read.parquet(f"{sf.rstrip('/')}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enrich_stream = (
+        stream_static_enrich(
+            ev_val, cust, on=[("user_id", "c_custkey")], dim_cols=["c_mktsegment"]
+        )
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("c_mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+    dedup_stream = streaming_dedup(
+        events_stream(spark, sf).select("user_id", "event_type", "ts"),
+        ["user_id", "event_type"],
+    )
+
+    i_raw, e_raw, d_raw = run_available_now_many(
+        [interval_stream, enrich_stream, dedup_stream],
+        output_modes=["append", "complete", "append"],
+    )
 
     nts = F.lit(None).cast("timestamp")
     nl = F.lit(None).cast("long")
     ns = F.lit(None).cast("string")
-    i = streaming_interval_join(spark, sf).select(
-        F.lit("interval").alias("op"),
-        nts.alias("window_start"),
-        F.col("user_id").cast("string").alias("k1"),
-        ns.alias("k2"),
-        F.col("n_pairs").alias("n1"),
-        nl.alias("n2"),
+    i = (
+        i_raw.groupBy(F.col("l_user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            F.lit("interval").alias("op"),
+            nts.alias("window_start"),
+            F.col("user_id").cast("string").alias("k1"),
+            ns.alias("k2"),
+            F.col("n_pairs").alias("n1"),
+            nl.alias("n2"),
+        )
     )
-    e = streaming_enrich_join(spark, sf).select(
+    e = e_raw.select(
         F.lit("enrich").alias("op"),
         "window_start",
         F.col("c_mktsegment").alias("k1"),
@@ -927,7 +987,7 @@ def streaming_joins(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_events").alias("n1"),
         F.col("value_cents").alias("n2"),
     )
-    d = streaming_dedup_keys(spark, sf).select(
+    d = d_raw.select(
         F.lit("dedup").alias("op"),
         nts.alias("window_start"),
         F.col("user_id").cast("string").alias("k1"),

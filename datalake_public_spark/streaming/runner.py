@@ -56,6 +56,50 @@ def run_available_now(
     return spark.table(name)
 
 
+def run_available_now_many(
+    dfs: list[DataFrame],
+    *,
+    output_modes: list[str] | None = None,
+    timeout_s: int = 300,
+) -> list[DataFrame]:
+    """Drain SEVERAL streaming DataFrames concurrently (one memory-sink
+    query each, all started before any is awaited) and return their
+    materialized results in order.
+
+    Starting queries back-to-back overlaps their micro-batch work on the
+    scheduler instead of paying each query's drain serially — the merged
+    driver queries (streaming_windows / streaming_joins) run 3 streams
+    each, so this is ~3× less wall time for identical results. Each query
+    still holds its own cloned conf/checkpoint; source-scoped session
+    confs are restored once all queries have started."""
+    from datalake_public_spark.streaming.sources import restore_query_scoped_confs
+
+    modes = output_modes or ["complete"] * len(dfs)
+    names, queries = [], []
+    spark = dfs[0].sparkSession if dfs else None
+    try:
+        for df, mode in zip(dfs, modes):
+            name = f"mem_{uuid.uuid4().hex[:12]}"
+            q = (
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            names.append(name)
+            queries.append(q)
+        if spark is not None:
+            restore_query_scoped_confs(spark)
+        for q in queries:
+            q.awaitTermination(timeout_s)
+    finally:
+        for q in queries:
+            q.stop()
+    return [spark.table(n) for n in names]
+
+
 def write_fanout_available_now(
     df: DataFrame,
     sinks: list,
