@@ -213,3 +213,28 @@ def test_stream_static_enrich_matches_batch_and_is_stateless(spark):
     # the static side must broadcast: the streamed batches never shuffle
     plan = want._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_run_available_now_many_matches_sequential(spark):
+    """Concurrent drains must produce exactly the sequential results."""
+    from datalake_public_spark.streaming.runner import (
+        run_available_now,
+        run_available_now_many,
+    )
+    from datalake_public_spark.streaming.sources import events_stream
+    from datalake_public_spark.streaming.windows import (
+        sliding_window_agg,
+        tumbling_window_agg,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t_c, s_c = run_available_now_many(
+        [
+            tumbling_window_agg(events_stream(spark, sf)),
+            sliding_window_agg(events_stream(spark, sf)),
+        ]
+    )
+    t_s = run_available_now(tumbling_window_agg(events_stream(spark, sf)))
+    s_s = run_available_now(sliding_window_agg(events_stream(spark, sf)))
+    assert sorted(map(tuple, t_c.collect())) == sorted(map(tuple, t_s.collect()))
+    assert sorted(map(tuple, s_c.collect())) == sorted(map(tuple, s_s.collect()))
