@@ -59,20 +59,26 @@ def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _TOKS = T.tokens_sql("text")
+# Ratio outputs use exact integer half-up division (the twin of
+# operators/text._int_half_up_4dp): float round(x, 4) diverges across
+# engines on non-representable .xxxx5 boundaries — change both together.
 QUALITY_SQL = f"""
 WITH t AS (SELECT doc_id, n_chars, {_TOKS} AS toks FROM documents),
 m AS (
   SELECT doc_id, n_chars,
-         CAST(len(toks) AS INT) AS n_tokens,
-         len(list_distinct(toks)) / len(toks) AS uniq_ratio,
-         list_sum(list_transform(toks, tk -> length(tk)::DOUBLE)) / len(toks) AS mean_tok_len
+         CAST(len(toks) AS BIGINT) AS n,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS du,
+         CAST(list_sum(list_transform(toks, tk -> length(tk))) AS BIGINT) AS cs
   FROM t
 )
-SELECT doc_id, n_chars, n_tokens,
-       round(uniq_ratio, 4) AS uniq_ratio,
-       round(mean_tok_len, 4) AS mean_tok_len,
-       round(0.5 * uniq_ratio
-             + 0.5 * (1.0 - least(abs(mean_tok_len - 5.0) / 10.0, 1.0)), 4) AS quality
+SELECT doc_id, n_chars, CAST(n AS INT) AS n_tokens,
+       CASE WHEN n > 0
+            THEN ((20000 * du + n) // (2 * n)) / 10000.0 END AS uniq_ratio,
+       CASE WHEN n > 0
+            THEN ((20000 * cs + n) // (2 * n)) / 10000.0 END AS mean_tok_len,
+       CASE WHEN n > 0
+            THEN ((20000 * (10 * du + 10 * n - least(abs(cs - 5 * n), 10 * n))
+                   + 20 * n) // (40 * n)) / 10000.0 END AS quality
 FROM m
 """
 

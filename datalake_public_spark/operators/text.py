@@ -39,26 +39,54 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def _int_half_up_4dp(numer, denom):
+    """Exact half-up rounding of ``numer/denom`` to 4 decimals via pure
+    integer arithmetic: floor(r·10⁴ + ½) = (2·10⁴·numer + denom) DIV
+    (2·denom), emitted as a double; NULL when denom == 0.
+
+    Why not ``round(numer/denom, 4)``: the true ratio can land exactly on
+    a .xxxx5 boundary that is not binary-representable — Spark rounds the
+    double's shortest-decimal repr (up) while DuckDB rounds the binary
+    double (either direction), an observed real mismatch (quality
+    0.7213 vs 0.7212 at sf0.1). Integer division is bit-identical in
+    every engine; the final exact-multiple/divisor and /10⁴ divisions
+    are exact doubles. The oracle twin is ``_int_half_up_4dp_sql``
+    (driver_queries_llm) — change both together."""
+    a = F.lit(20000) * numer + denom
+    b = F.lit(2) * denom
+    # (a - a % b) / b == a DIV b exactly: the numerator is an exact
+    # multiple of b and both fit well under 2^53
+    return F.when(denom > F.lit(0), (a - a % b) / b / F.lit(10000.0))
+
+
 def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic quality heuristics: lexical diversity, mean token
     length, and a blended 0-1 score. Formulas mirrored exactly in the
-    driver oracle — change both together."""
+    driver oracle — change both together.
+
+    All ratio outputs go through exact integer half-up rounding
+    (_int_half_up_4dp) — the inputs are integer token statistics, so the
+    whole computation is engine-portable with no float-rounding hazard.
+    The blend 0.5·uniq + 0.5·(1 − min(|mean−5|/10, 1)) is computed as
+    one rational: (10·du + 10·n − min(|cs − 5n|, 10n)) / (20n)."""
     toks = T.tokens(text_col)
-    n = F.size(toks)
-    uniq_ratio = F.size(F.array_distinct(toks)) / n
-    mean_tok_len = F.aggregate(
-        F.transform(toks, lambda t: F.length(t).cast("double")),
-        F.lit(0.0),
+    n = F.size(toks).cast("long")
+    du = F.size(F.array_distinct(toks)).cast("long")
+    cs = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
         lambda acc, x: acc + x,
-    ) / n
-    score = 0.5 * uniq_ratio + 0.5 * (1.0 - F.least(F.abs(mean_tok_len - 5.0) / 10.0, F.lit(1.0)))
+    )
+    p_quality = (
+        F.lit(10) * du + F.lit(10) * n - F.least(F.abs(cs - F.lit(5) * n), F.lit(10) * n)
+    )
     return docs.select(
         F.col(id_col),
         F.col("n_chars"),
-        F.size(toks).alias("n_tokens"),
-        F.round(uniq_ratio, 4).alias("uniq_ratio"),
-        F.round(mean_tok_len, 4).alias("mean_tok_len"),
-        F.round(score, 4).alias("quality"),
+        n.cast("int").alias("n_tokens"),
+        _int_half_up_4dp(du, n).alias("uniq_ratio"),
+        _int_half_up_4dp(cs, n).alias("mean_tok_len"),
+        _int_half_up_4dp(p_quality, F.lit(20) * n).alias("quality"),
     )
 
 
