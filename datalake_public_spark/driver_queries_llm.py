@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from datalake_public_spark.driver_queries import QuerySpec, _t
 from datalake_public_spark.functions import text_funcs as T
+from datalake_public_spark.functions.arith import int_ratio_half_up_sql
 from datalake_public_spark.functions import vector as V
 from datalake_public_spark.operators import dedup, multimodal, similarity, text
 
@@ -131,11 +132,11 @@ inter AS (
   GROUP BY a.id, b.id
 )
 SELECT id_a, id_b,
-       round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+       {int_ratio_half_up_sql('n_common', 'sa.n_sh + sb.n_sh - n_common', 6)} AS jaccard
 FROM inter
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
-WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
+WHERE {int_ratio_half_up_sql('n_common', 'sa.n_sh + sb.n_sh - n_common', 6)} >= 0.5
 """
 
 
@@ -322,11 +323,10 @@ u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
 cnt AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY doc_id, tok),
 top AS (SELECT doc_id, max(c) AS top_c FROM cnt GROUP BY doc_id)
 SELECT g.doc_id AS doc_id, g.n_tokens, CAST(len(grams) AS INT) AS n_grams,
-       round(CASE WHEN len(grams) > 0
-                  THEN 1.0 - len(list_distinct(grams)) / len(grams)
-                  ELSE 0.0 END, 6) AS dup_ngram_frac,
-       round(CASE WHEN g.n_tokens > 0
-                  THEN top.top_c / g.n_tokens ELSE 0.0 END, 6) AS top_token_frac
+       coalesce({int_ratio_half_up_sql('len(grams) - len(list_distinct(grams))', 'len(grams)', 6)},
+                0.0) AS dup_ngram_frac,
+       coalesce({int_ratio_half_up_sql('top.top_c', 'g.n_tokens', 6)},
+                0.0) AS top_token_frac
 FROM g LEFT JOIN top ON g.doc_id = top.doc_id
 """
 
@@ -394,7 +394,7 @@ inv AS (
   FROM sh WHERE bkt < 80
 )
 SELECT id, n_sh, count(*) AS n_common,
-       round(count(*) / n_sh, 6) AS contamination
+       {int_ratio_half_up_sql('count(*)', 'n_sh', 6)} AS contamination
 FROM inv JOIN bench USING (shingle)
 GROUP BY id, n_sh
 HAVING count(*) >= 2

@@ -77,13 +77,17 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    from datalake_public_spark.functions.arith import int_ratio_half_up
+
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
+            # integer half-up: |A∩B| and |A∪B| are small ints — the
+            # cross-engine round-boundary hazard (functions/arith)
             "jaccard",
-            F.round(
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            int_ratio_half_up(
+                F.col("n_common"), F.col("n_a") + F.col("n_b") - F.col("n_common"), 6
             ),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -125,12 +129,16 @@ def contamination_check(
         .filter(F.size("shingles") > 0)
     )
     inv = sh.select("id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle"))
+    from datalake_public_spark.functions.arith import int_ratio_half_up
+
     return (
         inv.join(F.broadcast(bench_sh), "shingle")
         .groupBy("id", "n_sh")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= min_common)
-        .withColumn("contamination", F.round(F.col("n_common") / F.col("n_sh"), 6))
+        .withColumn(
+            "contamination", int_ratio_half_up(F.col("n_common"), F.col("n_sh"), 6)
+        )
         .select("id", "n_sh", "n_common", "contamination")
     )
 
@@ -266,14 +274,16 @@ def minhash_lsh_pairs(
     )
     sh_a = sigs.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sh_b = sigs.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    from datalake_public_spark.functions.arith import int_ratio_half_up
+
     verified = (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
+            int_ratio_half_up(
+                F.size(F.array_intersect("sh_a", "sh_b")),
+                F.size(F.array_union("sh_a", "sh_b")),
                 6,
             ),
         )

@@ -39,36 +39,18 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def _int_half_up_4dp(numer, denom):
-    """Exact half-up rounding of ``numer/denom`` to 4 decimals via pure
-    integer arithmetic: floor(r·10⁴ + ½) = (2·10⁴·numer + denom) DIV
-    (2·denom), emitted as a double; NULL when denom == 0.
-
-    Why not ``round(numer/denom, 4)``: the true ratio can land exactly on
-    a .xxxx5 boundary that is not binary-representable — Spark rounds the
-    double's shortest-decimal repr (up) while DuckDB rounds the binary
-    double (either direction), an observed real mismatch (quality
-    0.7213 vs 0.7212 at sf0.1). Integer division is bit-identical in
-    every engine; the final exact-multiple/divisor and /10⁴ divisions
-    are exact doubles. The oracle twin is ``_int_half_up_4dp_sql``
-    (driver_queries_llm) — change both together."""
-    a = F.lit(20000) * numer + denom
-    b = F.lit(2) * denom
-    # (a - a % b) / b == a DIV b exactly: the numerator is an exact
-    # multiple of b and both fit well under 2^53
-    return F.when(denom > F.lit(0), (a - a % b) / b / F.lit(10000.0))
-
-
 def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic quality heuristics: lexical diversity, mean token
     length, and a blended 0-1 score. Formulas mirrored exactly in the
     driver oracle — change both together.
 
     All ratio outputs go through exact integer half-up rounding
-    (_int_half_up_4dp) — the inputs are integer token statistics, so the
-    whole computation is engine-portable with no float-rounding hazard.
-    The blend 0.5·uniq + 0.5·(1 − min(|mean−5|/10, 1)) is computed as
-    one rational: (10·du + 10·n − min(|cs − 5n|, 10n)) / (20n)."""
+    (functions/arith.int_ratio_half_up) — the inputs are integer token
+    statistics, so the whole computation is engine-portable with no
+    float-rounding hazard. The blend 0.5·uniq + 0.5·(1 − min(|mean−5|/10,
+    1)) is computed as one rational: (10·du + 10·n − min(|cs − 5n|,
+    10n)) / (20n)."""
+    from datalake_public_spark.functions.arith import int_ratio_half_up
     toks = T.tokens(text_col)
     n = F.size(toks).cast("long")
     du = F.size(F.array_distinct(toks)).cast("long")
@@ -84,9 +66,9 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.col(id_col),
         F.col("n_chars"),
         n.cast("int").alias("n_tokens"),
-        _int_half_up_4dp(du, n).alias("uniq_ratio"),
-        _int_half_up_4dp(cs, n).alias("mean_tok_len"),
-        _int_half_up_4dp(p_quality, F.lit(20) * n).alias("quality"),
+        int_ratio_half_up(du, n, 4).alias("uniq_ratio"),
+        int_ratio_half_up(cs, n, 4).alias("mean_tok_len"),
+        int_ratio_half_up(p_quality, F.lit(20) * n, 4).alias("quality"),
     )
 
 
@@ -110,11 +92,16 @@ def repetition_stats(
         F.array().cast("array<int>")
     )
     parts = lambda i: [F.element_at(toks, i + j) for j in range(n)]  # noqa: E731
+    from datalake_public_spark.functions.arith import int_ratio_half_up
+
     grams = F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
     n_grams = F.size(grams)
-    dup_frac = F.when(
-        n_grams > 0, 1.0 - F.size(F.array_distinct(grams)) / n_grams
-    ).otherwise(F.lit(0.0))
+    # integer half-up: dup = (total - distinct)/total — small-int ratio,
+    # the cross-engine round-boundary hazard class (see functions/arith)
+    dup_frac = F.coalesce(
+        int_ratio_half_up(n_grams - F.size(F.array_distinct(grams)), n_grams, 6),
+        F.lit(0.0),
+    )
     # Modal-token count: single O(n) pass over the SORTED tokens (longest
     # run of equal neighbours). The naive per-distinct-token filter would
     # nest higher-order functions, which re-evaluate captured inputs per
@@ -133,13 +120,13 @@ def repetition_stats(
             ).alias("best"),
         ),
     )
-    top_frac = F.when(n_toks > 0, acc.best / n_toks).otherwise(F.lit(0.0))
+    top_frac = F.coalesce(int_ratio_half_up(acc.best, n_toks, 6), F.lit(0.0))
     return widen_for_compute(docs).select(
         F.col(id_col),
         n_toks.alias("n_tokens"),
         n_grams.alias("n_grams"),
-        F.round(dup_frac, 6).alias("dup_ngram_frac"),
-        F.round(top_frac, 6).alias("top_token_frac"),
+        dup_frac.alias("dup_ngram_frac"),
+        top_frac.alias("top_token_frac"),
     )
 
 
