@@ -279,15 +279,15 @@ FROM documents
 def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary payloads
     (the stubbed-decode path). Byte stats are deterministic, so this IS
-    oracle-checkable: DuckDB recomputes them from the utf-8 text."""
+    oracle-checkable: DuckDB recomputes them from the utf-8 text
+    (mean_byte is already exact-integer-rounded inside the kernel)."""
     docs = multimodal.attach_binary_payload(_t(spark, sf, "documents"))
-    feats = multimodal.extract_features_stub(docs)
-    return feats.withColumn("mean_byte", F.round("mean_byte", 4))
+    return multimodal.extract_features_stub(docs)
 
 
 # documents are pure ASCII (verified), so utf-8 byte stats == char-code
 # stats — lets the oracle avoid per-byte BLOB access DuckDB 1.0 lacks
-MULTIMODAL_FEATURES_SQL = """
+MULTIMODAL_FEATURES_SQL = f"""
 WITH b AS (
   SELECT doc_id,
          list_transform(string_split(text, ''), c -> ascii(c)) AS codes
@@ -295,7 +295,7 @@ WITH b AS (
 )
 SELECT doc_id,
        len(codes)::INT AS byte_len,
-       round(list_sum(codes) * 1.0 / len(codes), 4) AS mean_byte,
+       {int_ratio_half_up_sql('list_sum(codes)', 'len(codes)', 4)} AS mean_byte,
        list_max(codes)::INT AS max_byte,
        len(list_filter(codes, x -> x = 0))::INT AS n_zero
 FROM b

@@ -818,9 +818,7 @@ def multimodal_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     docs = _t(spark, sf, "documents")
     with_payload = multimodal.attach_binary_payload(docs)
     meta = multimodal.media_metadata(with_payload)
-    feats = multimodal.extract_features_stub(with_payload).withColumn(
-        "mean_byte", F.round("mean_byte", 4)
-    )
+    feats = multimodal.extract_features_stub(with_payload)
     wav_meta = multimodal.decode_real(multimodal.wrap_wav(docs), "wav")
     return meta.join(feats.drop("byte_len"), "doc_id").join(
         wav_meta.drop("bits"), "doc_id"
@@ -828,8 +826,11 @@ def multimodal_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # documents are pure ASCII (verified), so utf-8 byte stats == char-code
-# stats, and the 8-bit mono WAV sample count == byte length
-MULTIMODAL_PIPELINE_SQL = """
+# stats, and the 8-bit mono WAV sample count == byte length; mean_byte is
+# exact-integer-rounded on both sides (functions/arith hazard class)
+from datalake_public_spark.functions.arith import int_ratio_half_up_sql as _irh
+
+MULTIMODAL_PIPELINE_SQL = f"""
 WITH b AS (
   SELECT doc_id, text,
          list_transform(string_split(text, ''), c -> ascii(c)) AS codes
@@ -839,7 +840,7 @@ SELECT doc_id,
        'text/plain' AS media_type,
        CAST(strlen(text) AS INT) AS byte_len,
        md5(text) AS content_md5,
-       round(list_sum(codes) * 1.0 / len(codes), 4) AS mean_byte,
+       {_irh('list_sum(codes)', 'len(codes)', 4)} AS mean_byte,
        list_max(codes)::INT AS max_byte,
        len(list_filter(codes, x -> x = 0))::INT AS n_zero,
        CAST(8000 AS INT) AS sample_rate,

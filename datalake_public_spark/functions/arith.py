@@ -24,9 +24,15 @@ from pyspark.sql import functions as F
 def int_ratio_half_up(numer: Column, denom: Column, digits: int = 6) -> Column:
     """numer/denom rounded half-up to ``digits`` decimals via integer
     math. NULL when denom == 0 (wrap in ``F.coalesce(…, F.lit(0.0))``
-    for a zero default). Inputs must be integral columns; intermediate
-    ``2·10^d·numer`` must stay under 2^63 (10^6 scale leaves room for
-    numerators up to ~4.6e12)."""
+    for a zero default). Inputs must be integral columns.
+
+    Range limit: Spark evaluates the final ``(a - a%b)/b`` as DOUBLE
+    division, so the intermediate ``a = 2·10^d·numer + denom`` must stay
+    under 2^53 (not 2^63) for exactness — numerators up to ~4.5e8 at
+    digits=6, ~4.5e10 at digits=4. Fine for per-document statistics
+    (this helper's hazard class is SMALL-denominator ratios); for
+    corpus-level totals beyond 2^53/2·10^d, compute the quotient in SQL
+    (``a DIV b``) or pre-reduce the fraction instead."""
     scale = 10**digits
     a = F.lit(2 * scale) * numer.cast("long") + denom.cast("long")
     b = F.lit(2) * denom.cast("long")

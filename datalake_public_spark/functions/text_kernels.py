@@ -46,16 +46,29 @@ def _rolling_hash_np(strings: list[str], modulus: int) -> np.ndarray:
         for s in strings
     ]
     lens = np.fromiter((len(a) for a in cps), dtype=np.int64, count=n)
-    max_len = int(lens.max()) if n else 0
     h = np.full(n, HASH_SEED, dtype=np.int64)
-    if max_len == 0:
-        return h
-    mat = np.zeros((n, max_len), dtype=np.int64)
-    for i, a in enumerate(cps):
-        mat[i, : len(a)] = a
-    for j in range(max_len):
-        active = j < lens
-        h = np.where(active, (h * HASH_BASE + mat[:, j]) % modulus, h)
+    # Bucket by ceil-power-of-2 length before padding: a dense (n ×
+    # max_len) matrix is quadratic under length skew — one whitespace-free
+    # megadocument/token would pad EVERY row to its length and OOM the
+    # worker. Per-bucket padding waste is ≤ 2×, so total memory is
+    # O(total characters) regardless of skew.
+    buckets: dict[int, list[int]] = {}
+    for i, l in enumerate(lens):
+        b = 1 << (int(l) - 1).bit_length() if l > 1 else 1
+        buckets.setdefault(b, []).append(i)
+    for width, idx_list in buckets.items():
+        idxs = np.asarray(idx_list, dtype=np.int64)
+        sub_lens = lens[idxs]
+        mat = np.zeros((len(idxs), width), dtype=np.int64)
+        for r, i in enumerate(idx_list):
+            mat[r, : lens[i]] = cps[i]
+        hh = np.full(len(idxs), HASH_SEED, dtype=np.int64)
+        for j in range(width):
+            active = j < sub_lens
+            if not active.any():
+                break
+            hh = np.where(active, (hh * HASH_BASE + mat[:, j]) % modulus, hh)
+        h[idxs] = hh
     return h
 
 
@@ -85,12 +98,22 @@ def _simhash_np(texts: list[str]) -> np.ndarray:
 
 
 def _fingerprint256_fn(texts: pd.Series) -> pd.Series:
-    prefixes = texts.fillna("").str.slice(0, 256)
-    return pd.Series(_rolling_hash_np(prefixes.tolist(), M_FINGERPRINT))
+    # NULL text must stay NULL (the Catalyst spec and the DuckDB oracle
+    # both propagate it); only non-null rows enter the kernel
+    mask = texts.notna()
+    out = pd.Series([pd.NA] * len(texts), dtype="Int64")
+    if mask.any():
+        prefixes = texts[mask].str.slice(0, 256)
+        out[mask] = _rolling_hash_np(prefixes.tolist(), M_FINGERPRINT)
+    return out
 
 
 def _simhash32_fn(texts: pd.Series) -> pd.Series:
-    return pd.Series(_simhash_np(texts.fillna("").tolist()))
+    mask = texts.notna()
+    out = pd.Series([pd.NA] * len(texts), dtype="Int64")
+    if mask.any():
+        out[mask] = _simhash_np(texts[mask].tolist())
+    return out
 
 
 # pandas_udf registration needs an active SparkSession (PySpark 4), so the

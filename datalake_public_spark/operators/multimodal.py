@@ -60,15 +60,21 @@ def extract_features_stub(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     (schema, batching, partition shape) is testable in this container."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def mean_4dp(b: bytes) -> float:
+            # exact integer half-up at 4dp — sum/len is a small-integer
+            # ratio, the cross-engine round-boundary hazard class
+            # (functions/arith.py); Python ints are arbitrary precision
+            if not len(b):
+                return 0.0
+            return ((20000 * sum(b) + len(b)) // (2 * len(b))) / 10000.0
+
         for pdf in it:
             payloads = pdf["payload"]
             out = pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "byte_len": payloads.map(len).astype("int32"),
-                    "mean_byte": payloads.map(
-                        lambda b: (sum(b) / len(b)) if len(b) else 0.0
-                    ),
+                    "mean_byte": payloads.map(mean_4dp),
                     "max_byte": payloads.map(lambda b: max(b) if len(b) else 0).astype(
                         "int32"
                     ),

@@ -143,12 +143,24 @@ class ManifestTable:
             "parent": expected_parent,
         }
         path = self._manifest_path(version)
+        # Publish atomically: fully write a private temp file, fsync it,
+        # then os.link it to the manifest name — link fails if the name
+        # exists (the conflict check) and never exposes a partial file.
+        # A crash before link leaves only an invisible temp file; a crash
+        # after link leaves a complete manifest. (O_EXCL-create-then-write
+        # would let readers see a partial manifest and a crash mid-write
+        # would wedge the version name forever.)
+        tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+            os.link(tmp, path)
         except FileExistsError as e:  # racing writer published first
             raise CommitConflict(f"version {version} already committed") from e
-        with os.fdopen(fd, "w") as f:
-            json.dump(m, f)
+        finally:
+            os.unlink(tmp)
         return self.snapshot(version)
 
     def overwrite(self, df: DataFrame) -> Snapshot:
@@ -181,7 +193,11 @@ class ManifestTable:
             (rewrite if n else keep).append(path)
         if not rewrite:
             return snap
-        survivors = spark.read.parquet(*rewrite).filter(~F.expr(condition))
+        # SQL DELETE semantics: remove only rows where the predicate is
+        # TRUE — rows where it evaluates to NULL must survive (a bare
+        # ~cond is NULL for them and filter would drop them)
+        cond = F.expr(condition)
+        survivors = spark.read.parquet(*rewrite).filter(~F.coalesce(cond, F.lit(False)))
         new_files = self._stage_files(survivors) if survivors.limit(1).count() else []
         return self._commit(keep + new_files, "delete", parent)
 

@@ -75,6 +75,11 @@ def run_available_now_many(
     from datalake_public_spark.streaming.sources import restore_query_scoped_confs
 
     modes = output_modes or ["complete"] * len(dfs)
+    if len(modes) != len(dfs):
+        raise ValueError(
+            f"output_modes has {len(modes)} entries for {len(dfs)} streams — "
+            "zip would silently drop streams"
+        )
     names, queries = [], []
     spark = dfs[0].sparkSession if dfs else None
     try:
@@ -90,11 +95,13 @@ def run_available_now_many(
             )
             names.append(name)
             queries.append(q)
-        if spark is not None:
-            restore_query_scoped_confs(spark)
         for q in queries:
             q.awaitTermination(timeout_s)
     finally:
+        # restore in the finally: if any start() throws, the session must
+        # not keep source-scoped confs (or stale pending-restore entries)
+        if spark is not None:
+            restore_query_scoped_confs(spark)
         for q in queries:
             q.stop()
     return [spark.table(n) for n in names]

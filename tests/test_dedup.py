@@ -162,3 +162,17 @@ def test_near_dedup_pipeline_equals_raw_minus_exact_pairs(spark):
         map(tuple, dedup.near_dedup_pipeline(rep).select("id_a", "id_b").collect())
     )
     assert got == expected and len(got) > 0
+
+
+def test_minhash_equals_ngram_baseline_exactly(spark):
+    """dedup_minhash_lsh's driver oracle IS the exact ngram baseline —
+    that contract (banding recall 1 + collision-free hashed-set Jaccard
+    on this corpus) must hold locally or the driver row goes red; if
+    this test ever fails after a testdata change, revert the oracle to
+    None (rows-only) per the query docstring."""
+    from datalake_public_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lsh = {(r.id_a, r.id_b): r.jaccard for r in dedup.minhash_lsh_pairs(docs).collect()}
+    ng = {(r.id_a, r.id_b): r.jaccard for r in dedup.ngram_jaccard_pairs(docs).collect()}
+    assert lsh == ng and len(lsh) > 0

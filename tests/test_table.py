@@ -109,3 +109,32 @@ def test_compact_then_vacuum_bounds_storage(spark, table):
 def test_read_empty_table_raises(spark, table):
     with pytest.raises(FileNotFoundError):
         table.read(spark)
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, table):
+    """SQL DELETE semantics: only rows where the predicate is TRUE go;
+    rows where it evaluates to NULL must survive."""
+    df = spark.createDataFrame(
+        [(1, 15.0), (2, None), (3, 5.0)], "id long, value double"
+    )
+    table.overwrite(df)
+    table.delete_where(spark, "value > 10")
+    got = sorted(r.id for r in table.read(spark).collect())
+    assert got == [2, 3]  # the NULL row survives
+
+
+def test_commit_leaves_no_temp_manifests(spark, table):
+    import os
+
+    table.overwrite(_df(spark, 0, 5, "a"))
+    table.append(_df(spark, 5, 8, "b"))
+    # losing-writer path also cleans up its temp file
+    files = table._stage_files(_df(spark, 8, 9, "c"))
+    import pytest as _pytest
+
+    from datalake_public_spark.sinks.table import CommitConflict
+
+    with _pytest.raises(CommitConflict):
+        table._commit(files, "append", expected_parent=0)
+    leftovers = [f for f in os.listdir(table.manifest_dir) if f.startswith(".tmp")]
+    assert leftovers == []
