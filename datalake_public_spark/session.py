@@ -37,6 +37,14 @@ def get_spark(config: EngineConfig | None = None) -> SparkSession:
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Runtime Bloom-filter join pruning (off by default in Spark):
+        # for shuffle joins whose build side exceeds the creation
+        # threshold, the probe side scan is pre-filtered by a bloom
+        # filter of the join keys — at 100 TB this skips whole row
+        # groups of a fact table joined to a selective dimension. At
+        # test SFs the thresholds aren't met, so pinned static plans
+        # are unchanged (verified).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # Keep the UI off in tests/bench; driver memory generous for local mode.
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
