@@ -176,3 +176,46 @@ def test_minhash_equals_ngram_baseline_exactly(spark):
     lsh = {(r.id_a, r.id_b): r.jaccard for r in dedup.minhash_lsh_pairs(docs).collect()}
     ng = {(r.id_a, r.id_b): r.jaccard for r in dedup.ngram_jaccard_pairs(docs).collect()}
     assert lsh == ng and len(lsh) > 0
+
+
+def test_dedupe_corpus_end_to_end(spark):
+    """The full materializer: no exact dups, no near-dup pair survives,
+    exactly one representative (the cluster min id) per duplicate
+    cluster, and non-duplicate docs pass through untouched."""
+    from pyspark.sql import functions as F
+
+    from datalake_public_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # replicate ×2 (exact dups) so both dedup stages have real work
+    corpus = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    )
+    out = dedup.dedupe_corpus(corpus)
+
+    # 1. no exact duplicates survive
+    assert out.groupBy("text").count().filter("count > 1").count() == 0
+
+    # 2. no near-dup pair survives within the output
+    assert dedup.ngram_jaccard_pairs(out, threshold=0.5).count() == 0
+
+    # 3. count: reps minus (near-cluster sizes - 1 each)
+    reps = docs.count()  # original docs are the min-id representatives
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    from datalake_public_spark.operators.components import connected_components
+
+    labels = connected_components(
+        pairs.select("id_a", "id_b"),
+        src="id_a",
+        dst="id_b",
+        vertices=docs.select(F.col("doc_id").alias("node")),
+    )
+    n_clustered_away = labels.filter(F.col("node") != F.col("component")).count()
+    assert out.count() == reps - n_clustered_away
+
+    # 4. survivors are exactly the cluster min ids
+    min_ids = {
+        r.component for r in labels.select("component").distinct().collect()
+    }
+    got_ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert got_ids == min_ids
