@@ -130,6 +130,61 @@ def repetition_stats(
     )
 
 
+def quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_chars: int = 50,
+    min_tokens: int = 10,
+    max_dup_ngram_frac: float = 0.3,
+    max_top_token_frac: float = 0.2,
+    min_quality: float = 0.3,
+    langs: tuple[str, ...] | None = None,
+    with_reasons: bool = False,
+) -> DataFrame:
+    """The standard pre-training drop-rule filter, composed from the
+    per-doc signals (Gopher/C4-style rules over this engine's metrics):
+    minimum length, repetition ceilings (duplicate-2-gram fraction and
+    modal-token mass), a quality-score floor, and an optional language
+    allowlist.
+
+    Returns the surviving docs (original columns). ``with_reasons=True``
+    instead returns ALL docs with a ``drop_reasons`` array column — the
+    audit view a pipeline materializes before committing to a filter.
+
+    Scale: every signal is a row-local expression or joined on the grain
+    key; the whole filter is scan → per-doc signals → semi-join. No
+    signal touches other documents, so it parallelizes perfectly."""
+    sig = (
+        token_stats(docs, text_col, id_col)
+        .join(repetition_stats(docs, text_col, id_col).drop("n_tokens"), id_col)
+        .join(
+            quality_score(docs, text_col, id_col).select(id_col, "quality"), id_col
+        )
+        .join(
+            language_id(docs, text_col, id_col).select(id_col, "pred_lang"), id_col
+        )
+    )
+    rules = [
+        (F.col("n_chars") < min_chars, f"too_short_chars<{min_chars}"),
+        (F.col("n_ws_tokens") < min_tokens, f"too_short_tokens<{min_tokens}"),
+        (F.col("dup_ngram_frac") > max_dup_ngram_frac, "repetitive_ngrams"),
+        (F.col("top_token_frac") > max_top_token_frac, "modal_token_mass"),
+        (F.col("quality") < min_quality, "low_quality_score"),
+    ]
+    if langs is not None:
+        rules.append((~F.col("pred_lang").isin(*langs), "lang_not_allowed"))
+    reasons = F.array_compact(
+        F.array(*[F.when(cond, F.lit(tag)) for cond, tag in rules])
+    )
+    flagged = sig.select(F.col(id_col), reasons.alias("drop_reasons"))
+    if with_reasons:
+        return docs.join(flagged, id_col)
+    keep = flagged.filter(F.size("drop_reasons") == 0).select(id_col)
+    return docs.join(keep, id_col, "left_semi")
+
+
 def fingerprint(
     docs: DataFrame,
     text_col: str = "text",

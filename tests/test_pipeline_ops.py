@@ -173,3 +173,51 @@ def test_repetition_stats_known_values(spark):
     assert got[2].top_token_frac == 0.6
     assert got[3].n_grams == 0 and got[3].dup_ngram_frac == 0.0
     assert got[3].top_token_frac == 1.0
+
+
+def test_quality_filter_rules_and_audit_view(spark):
+    """quality_filter: each rule drops what it should; the audit view
+    carries per-doc reasons; survivors match the reasons==empty set."""
+    from pyspark.sql import functions as F
+
+    from datalake_public_spark.operators.text import quality_filter
+
+    good = "the quick brown fox jumps over the lazy dog and keeps running far away today"
+    docs = spark.createDataFrame(
+        [
+            (1, good, len(good)),
+            (2, "tiny", 4),                                   # too short
+            (3, "spam spam spam spam spam spam spam spam spam spam spam spam", 60),  # repetitive
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    kept = quality_filter(docs, min_chars=20, min_tokens=5)
+    assert [r.doc_id for r in kept.select("doc_id").collect()] == [1]
+
+    audit = quality_filter(docs, min_chars=20, min_tokens=5, with_reasons=True)
+    reasons = {r.doc_id: set(r.drop_reasons) for r in audit.collect()}
+    assert reasons[1] == set()
+    assert "too_short_chars<20" in reasons[2]
+    assert {"repetitive_ngrams", "modal_token_mass"} & reasons[3]
+    # survivors == audit rows with no reasons
+    assert {d for d, rs in reasons.items() if not rs} == {1}
+
+
+def test_quality_filter_language_allowlist(spark):
+    from datalake_public_spark.operators.text import quality_filter
+
+    en = "the cat and the dog walked to the house of a friend to see the garden and the trees"
+    fr = "le chat et le chien vont dans la maison des amis et les arbres du jardin sont grands"
+    docs = spark.createDataFrame(
+        [(1, en, len(en)), (2, fr, len(fr))], "doc_id long, text string, n_chars long"
+    )
+    kept = quality_filter(
+        docs,
+        min_chars=10,
+        min_tokens=5,
+        min_quality=0.0,
+        max_top_token_frac=1.0,  # isolate the language rule
+        max_dup_ngram_frac=1.0,
+        langs=("en",),
+    )
+    assert [r.doc_id for r in kept.select("doc_id").collect()] == [1]
