@@ -242,8 +242,14 @@ def similarity_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 def ml_kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     """M1-M3 on testdata: KMeans over the first two embedding dims →
-    cluster sizes (no SQL oracle: iterative MLlib fit; determinism via
-    fixed seed is asserted in tests)."""
+    cluster-structure invariants as a single checked row. Centroid values
+    are an iterative MLlib fit (not SQL-expressible), but the CONTRACT is:
+    exactly k=8 non-empty clusters, every input vector assigned exactly
+    once (total == corpus count, DuckDB-verifiable), predictions in
+    [0, k), and the clustering is non-degenerate (largest cluster < total).
+    Emitted as scalar values/booleans so the driver hash checks them
+    against the oracle's literals; seed-fixed determinism + the
+    weightCol≡duplication equivalence stay pinned in tests/test_cluster.py."""
     from datalake_public_spark.operators.cluster import fit_assign_kmeans
 
     emb = _t(spark, sf, "embeddings").select(
@@ -254,7 +260,24 @@ def ml_kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     clustered = fit_assign_kmeans(
         emb, feature_cols=("x", "y"), k=8, seed=1, weight_col=None
     )
-    return clustered.groupBy("prediction").agg(F.count(F.lit(1)).alias("n_vectors"))
+    sizes = clustered.groupBy("prediction").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return sizes.agg(
+        F.count(F.lit(1)).cast("int").alias("n_clusters"),
+        F.sum("n_vectors").alias("total_vectors"),
+        ((F.min("prediction") >= 0) & (F.max("prediction") <= 7)).alias(
+            "preds_in_range"
+        ),
+        (F.max("n_vectors") < F.sum("n_vectors")).alias("non_degenerate"),
+    )
+
+
+ML_KMEANS_SQL = """
+SELECT CAST(8 AS INT) AS n_clusters,
+       CAST(count(*) AS BIGINT) AS total_vectors,
+       TRUE AS preds_in_range,
+       TRUE AS non_degenerate
+FROM embeddings
+"""
 
 
 # --------------------------------------------------------------------------
@@ -416,7 +439,7 @@ LLM_REGISTRY: dict[str, QuerySpec] = {
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
     "similarity_topk": QuerySpec(similarity_topk, SIMILARITY_TOPK_SQL),
     "similarity_ann_lsh": QuerySpec(similarity_ann_lsh, None),
-    "ml_kmeans_embeddings": QuerySpec(ml_kmeans_embeddings, None),
+    "ml_kmeans_embeddings": QuerySpec(ml_kmeans_embeddings, ML_KMEANS_SQL),
     "multimodal_metadata": QuerySpec(multimodal_metadata, MULTIMODAL_META_SQL),
     "multimodal_features": QuerySpec(multimodal_features, MULTIMODAL_FEATURES_SQL),
 }

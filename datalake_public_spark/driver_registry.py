@@ -612,22 +612,62 @@ SELECT 'orc', s_nationkey, n_suppliers, acctbal_cents FROM ({_ROUNDTRIP_SQL}) b
 
 
 # --------------------------------------------------------------------------
-# Approximate sketches: HLL distinct + KLL quantiles in ONE aggregation
-# (no oracle — sketch values are implementation-specific; accuracy bounds
-# are asserted in tests/test_ext_queries.py)
+# Approximate sketches: HLL distinct + quantile sketch in ONE aggregation,
+# self-verified — the same pass also computes the exact answers and emits
+# error-bound booleans, so the DuckDB oracle can assert the contract
+# (TRUE literals + exact counts) even though sketch values themselves are
+# implementation-specific. Tighter accuracy bounds live in
+# tests/test_ext_queries.py.
 # --------------------------------------------------------------------------
 
 
 def approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
-    """HyperLogLog++ distinct users + approximate p50/p95/p99 of value
-    per event type, one pass. At 100 TB these ARE the distinct/percentile
-    operators: fixed-size mergeable sketches, map-side combine, no raw
-    value shuffle."""
+    """HyperLogLog++ distinct users + approximate p50/p95/p99 of value per
+    event type, one pass. At 100 TB the sketches ARE the distinct/
+    percentile operators: fixed-size mergeable state, map-side combine, no
+    raw value shuffle. The exact countDistinct/percentile sides exist only
+    to CHECK the sketches (invariant oracle: |approx-exact| within the
+    configured error bound, emitted as scalar booleans the driver can
+    hash); a production plan runs the sketch columns alone.
+
+    Bound rationale: rsd=0.02 → ±10% (5σ) on distinct counts;
+    accuracy=10000 → rank error ≤ n/10000 ≈ 0.2 rows at sf0.01, so each
+    approx percentile must land between the exact quantiles ±0.05 around
+    its target rank."""
     ev = _events(spark, sf)
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("pcts"),
+        F.expr(
+            "percentile(value, array(0.45, 0.55, 0.90, 0.94, 1.0))"
+        ).alias("exact_q"),
     )
+    p = lambda i: F.element_at("pcts", i)  # noqa: E731
+    q = lambda i: F.element_at("exact_q", i)  # noqa: E731
+    return agg.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(F.lit(2), F.col("exact_users") * 0.1)
+        ).alias("users_ok"),
+        p(1).between(q(1), q(2)).alias("p50_ok"),
+        p(2).between(q(3), q(5)).alias("p95_ok"),
+        p(3).between(q(4), q(5)).alias("p99_ok"),
+    )
+
+
+APPROX_SKETCHES_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS users_ok, TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+FROM events
+GROUP BY event_type
+"""
 
 
 # --------------------------------------------------------------------------
@@ -778,27 +818,74 @@ JOIN ({QUALITY_SQL}) q USING (doc_id)
 
 
 # --------------------------------------------------------------------------
-# Similarity ANN: LSH + IVF, tagged union (no oracle — approximate by
-# design; recall floors vs the exact brute-force baseline are asserted in
-# tests/test_similarity.py; similarity_topk is the driver-checked oracle)
+# Similarity ANN: LSH + IVF recall contracts vs the in-Spark exact
+# baseline. ANN neighbor lists are approximate by design (not
+# SQL-reproducible), but the recall CONTRACT is checkable: this query
+# computes recall@10 against brute_force_topk inside the plan and emits
+# per-method booleans the driver hashes against the oracle's literals.
+# Raw neighbor lists + tighter recall profiles stay in
+# tests/test_similarity.py and NOTES_r2's 20k-embedding profile.
 # --------------------------------------------------------------------------
+
+
+def _ann_invariants(approx: DataFrame, exact: DataFrame, op: str, floor_x100: int):
+    """One checked row per ANN method: n_queries (exact value), recall@10
+    ≥ floor (integer arithmetic — hits*100 ≥ floor_x100*n_exact — so no
+    float rounding), and min per-query depth ≥ 5. Floors are wide-margin
+    design guarantees (measured recall at sf0.001/0.01/0.1: LSH
+    .325-.375, IVF .45-.55), not point estimates — the ADVICE lesson from
+    the LSH-dedup oracle."""
+    a = approx.filter(F.col("rk") <= 10).select("query_id", "match_id")
+    tagged = a.join(
+        exact.select("query_id", "match_id").withColumn("hit", F.lit(1)),
+        ["query_id", "match_id"],
+        "left",
+    )
+    per_q = tagged.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("depth"),
+        F.coalesce(F.sum("hit"), F.lit(0)).alias("hits"),
+    )
+    return per_q.agg(
+        F.lit(op).alias("op"),
+        F.count(F.lit(1)).cast("int").alias("n_queries"),
+        (
+            F.sum("hits") * 100 >= F.lit(floor_x100) * F.count(F.lit(1)) * 10
+        ).alias("recall_ok"),
+        (F.min("depth") >= 5).alias("depth_ok"),
+    )
 
 
 def similarity_ann(spark: SparkSession, sf: str) -> DataFrame:
     """Random-hyperplane LSH top-k and IVF top-k over the embeddings
-    table, tagged by method. Both shuffle candidate IDs (never vectors)
-    and re-rank exactly; see operators/similarity.py for plan notes."""
-    from datalake_public_spark.operators.similarity import ivf_topk, lsh_topk
+    table, each self-verified against the exact brute-force baseline
+    (recall@10 floors: LSH 0.20, IVF 0.30). Both ANN paths shuffle
+    candidate IDs (never vectors) and re-rank exactly; see
+    operators/similarity.py for plan notes."""
+    from datalake_public_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
 
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    lsh = lsh_topk(queries, emb, k=10, n_planes=8, dim=64).withColumn(
-        "op", F.lit("lsh")
+    exact = brute_force_topk(queries, emb, k=10)
+    lsh = lsh_topk(queries, emb, k=10, n_planes=8, dim=64)
+    ivf = ivf_topk(queries, emb, k=10, n_cells=16, n_probe=4)
+    return _ann_invariants(lsh, exact, "lsh", 20).unionByName(
+        _ann_invariants(ivf, exact, "ivf", 30)
     )
-    ivf = ivf_topk(queries, emb, k=10, n_cells=16, n_probe=4).withColumn(
-        "op", F.lit("ivf")
-    )
-    return lsh.unionByName(ivf, allowMissingColumns=True)
+
+
+SIMILARITY_ANN_SQL = """
+SELECT op, CAST(n_queries AS INT) AS n_queries,
+       TRUE AS recall_ok, TRUE AS depth_ok
+FROM (
+    SELECT 'lsh' AS op, count(*) AS n_queries FROM embeddings WHERE vec_id < 8
+    UNION ALL
+    SELECT 'ivf', count(*) FROM embeddings WHERE vec_id < 8
+) t
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1061,7 +1148,7 @@ def _build_final() -> dict[str, QuerySpec]:
         "skew_salted": QuerySpec(skew_salted, _skew_salted_sql()),
         "time_spine_gapfill": keep(EXT_REGISTRY, "time_spine_gapfill"),
         "formats_roundtrip_agg": QuerySpec(formats_roundtrip_agg, _formats_sql()),
-        "approx_sketches": QuerySpec(approx_sketches, None),
+        "approx_sketches": QuerySpec(approx_sketches, APPROX_SKETCHES_SQL),
         # --- lake management ---
         "scd2_history": keep(ADV_REGISTRY, "scd2_history"),
         "scd2_pit_join": keep(ADV_REGISTRY, "scd2_pit_join"),
@@ -1083,7 +1170,7 @@ def _build_final() -> dict[str, QuerySpec]:
         "decontaminate_train_split": keep(LLM_REGISTRY, "decontaminate_train_split"),
         # --- similarity search / ML ---
         "similarity_topk": keep(LLM_REGISTRY, "similarity_topk"),
-        "similarity_ann": QuerySpec(similarity_ann, None),
+        "similarity_ann": QuerySpec(similarity_ann, SIMILARITY_ANN_SQL),
         "ml_kmeans_embeddings": keep(LLM_REGISTRY, "ml_kmeans_embeddings"),
         # --- multimodal ---
         "multimodal_pipeline": QuerySpec(multimodal_pipeline, MULTIMODAL_PIPELINE_SQL),
