@@ -15,28 +15,39 @@ from datalake_public_spark.functions import text_funcs as T
 from datalake_public_spark.sources.readers import widen_for_compute
 
 
-def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Whitespace + BPE-ish token counts and byte/char lengths."""
+def token_stat_cols(text_col: str = "text") -> list:
+    """Named Column factory for the token-statistics signals — row-local
+    expressions composable into a SINGLE projection with the other signal
+    families (one scan for all per-doc signals; see doc_signals /
+    quality_filter)."""
     toks = T.tokens(text_col)
     rtoks = T.regex_tokens(text_col)
-    return docs.select(
-        F.col(id_col),
+    return [
         F.length(F.col(text_col)).alias("n_chars"),
         F.octet_length(F.col(text_col)).alias("n_bytes"),
         F.size(toks).alias("n_ws_tokens"),
         F.size(rtoks).alias("n_re_tokens"),
         F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
-    )
+    ]
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace + BPE-ish token counts and byte/char lengths."""
+    return docs.select(F.col(id_col), *token_stat_cols(text_col))
+
+
+def language_cols(text_col: str = "text") -> list:
+    """Named Column factory for language-ID signals (see token_stat_cols)."""
+    return [
+        T.language_id(text_col).alias("pred_lang"),
+        *[T.lang_hits(text_col, lang).alias(f"hits_{lang}") for lang in T.LANG_MARKERS],
+    ]
 
 
 def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Marker-word language heuristic: argmax hits over LANG_MARKERS,
     alphabetical tie-break, 'und' on zero hits."""
-    return docs.select(
-        F.col(id_col),
-        T.language_id(text_col).alias("pred_lang"),
-        *[T.lang_hits(text_col, lang).alias(f"hits_{lang}") for lang in T.LANG_MARKERS],
-    )
+    return docs.select(F.col(id_col), *language_cols(text_col))
 
 
 def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -50,7 +61,14 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     float-rounding hazard. The blend 0.5·uniq + 0.5·(1 − min(|mean−5|/10,
     1)) is computed as one rational: (10·du + 10·n − min(|cs − 5n|,
     10n)) / (20n)."""
+    return docs.select(F.col(id_col), F.col("n_chars"), *quality_cols(text_col))
+
+
+def quality_cols(text_col: str = "text") -> list:
+    """Named Column factory for the quality-score signals (see
+    token_stat_cols)."""
     from datalake_public_spark.functions.arith import int_ratio_half_up
+
     toks = T.tokens(text_col)
     n = F.size(toks).cast("long")
     du = F.size(F.array_distinct(toks)).cast("long")
@@ -62,14 +80,12 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     p_quality = (
         F.lit(10) * du + F.lit(10) * n - F.least(F.abs(cs - F.lit(5) * n), F.lit(10) * n)
     )
-    return docs.select(
-        F.col(id_col),
-        F.col("n_chars"),
+    return [
         n.cast("int").alias("n_tokens"),
         int_ratio_half_up(du, n, 4).alias("uniq_ratio"),
         int_ratio_half_up(cs, n, 4).alias("mean_tok_len"),
         int_ratio_half_up(p_quality, F.lit(20) * n, 4).alias("quality"),
-    )
+    ]
 
 
 def repetition_stats(
@@ -85,6 +101,16 @@ def repetition_stats(
     operator is one codegen stage over the scan: no shuffle, no UDF;
     100 TB scores at scan speed. Docs with < n tokens emit 0 for both
     ratios (no n-grams, no repetition evidence)."""
+    return widen_for_compute(docs).select(
+        F.col(id_col), *repetition_cols(text_col, n=n)
+    )
+
+
+def repetition_cols(text_col: str = "text", *, n: int = 2) -> list:
+    """Named Column factory for the repetition signals (see
+    token_stat_cols)."""
+    from datalake_public_spark.functions.arith import int_ratio_half_up
+
     toks = T.tokens(text_col)
     n_toks = F.size(toks)
     # all n-grams (NOT distinct — duplication is the signal here)
@@ -92,7 +118,6 @@ def repetition_stats(
         F.array().cast("array<int>")
     )
     parts = lambda i: [F.element_at(toks, i + j) for j in range(n)]  # noqa: E731
-    from datalake_public_spark.functions.arith import int_ratio_half_up
 
     grams = F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
     n_grams = F.size(grams)
@@ -121,12 +146,28 @@ def repetition_stats(
         ),
     )
     top_frac = F.coalesce(int_ratio_half_up(acc.best, n_toks, 6), F.lit(0.0))
-    return widen_for_compute(docs).select(
-        F.col(id_col),
+    return [
         n_toks.alias("n_tokens"),
         n_grams.alias("n_grams"),
         dup_frac.alias("dup_ngram_frac"),
         top_frac.alias("top_token_frac"),
+    ]
+
+
+def doc_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Every per-doc signal family — token stats, repetition, quality
+    score, language-ID — in ONE projection over ONE scan. This is the
+    frame a pipeline materializes once and reuses for filtering, split
+    stratification, and reporting; at 100 TB it reads the corpus exactly
+    once and never shuffles."""
+    return widen_for_compute(docs).select(
+        F.col(id_col),
+        *token_stat_cols(text_col),
+        *repetition_cols(text_col)[1:],  # n_tokens also in quality_cols
+        *quality_cols(text_col),
+        *language_cols(text_col),
     )
 
 
@@ -153,36 +194,38 @@ def quality_filter(
     instead returns ALL docs with a ``drop_reasons`` array column — the
     audit view a pipeline materializes before committing to a filter.
 
-    Scale: every signal is a row-local expression or joined on the grain
-    key; the whole filter is scan → per-doc signals → semi-join. No
-    signal touches other documents, so it parallelizes perfectly."""
-    sig = (
-        token_stats(docs, text_col, id_col)
-        .join(repetition_stats(docs, text_col, id_col).drop("n_tokens"), id_col)
-        .join(
-            quality_score(docs, text_col, id_col).select(id_col, "quality"), id_col
-        )
-        .join(
-            language_id(docs, text_col, id_col).select(id_col, "pred_lang"), id_col
-        )
-    )
+    Scale: every signal is a row-local expression, so the whole filter is
+    ONE projection over ONE scan — no joins, no shuffle, no second read
+    of the corpus (plan pinned in tests/test_plan_quality.py). At 100 TB
+    this filters at scan speed.
+
+    NULL semantics: a doc whose signals are NULL (NULL text) is DROPPED —
+    every rule predicate treats NULL as a violation (a filter whose
+    purpose is dropping junk must not pass degenerate rows), tagged
+    explicitly in the audit view."""
+    n_chars_sig = F.length(F.col(text_col))
+    n_ws_tokens = F.size(T.tokens(text_col))
+    _, _, dup_frac, top_frac = repetition_cols(text_col)
+    quality = quality_cols(text_col)[3]
     rules = [
-        (F.col("n_chars") < min_chars, f"too_short_chars<{min_chars}"),
-        (F.col("n_ws_tokens") < min_tokens, f"too_short_tokens<{min_tokens}"),
-        (F.col("dup_ngram_frac") > max_dup_ngram_frac, "repetitive_ngrams"),
-        (F.col("top_token_frac") > max_top_token_frac, "modal_token_mass"),
-        (F.col("quality") < min_quality, "low_quality_score"),
+        (n_chars_sig < min_chars, f"too_short_chars<{min_chars}"),
+        (n_ws_tokens < min_tokens, f"too_short_tokens<{min_tokens}"),
+        (dup_frac > max_dup_ngram_frac, "repetitive_ngrams"),
+        (top_frac > max_top_token_frac, "modal_token_mass"),
+        (quality < min_quality, "low_quality_score"),
     ]
     if langs is not None:
-        rules.append((~F.col("pred_lang").isin(*langs), "lang_not_allowed"))
+        rules.append((~T.language_id(text_col).isin(*langs), "lang_not_allowed"))
+    # NULL predicate (NULL text/signal) counts as a drop, not a pass
     reasons = F.array_compact(
-        F.array(*[F.when(cond, F.lit(tag)) for cond, tag in rules])
+        F.array(
+            *[F.when(F.coalesce(cond, F.lit(True)), F.lit(tag)) for cond, tag in rules]
+        )
     )
-    flagged = sig.select(F.col(id_col), reasons.alias("drop_reasons"))
+    wide = widen_for_compute(docs)
     if with_reasons:
-        return docs.join(flagged, id_col)
-    keep = flagged.filter(F.size("drop_reasons") == 0).select(id_col)
-    return docs.join(keep, id_col, "left_semi")
+        return wide.select(*docs.columns, reasons.alias("drop_reasons"))
+    return wide.filter(F.size(reasons) == 0)
 
 
 def fingerprint(

@@ -221,3 +221,23 @@ def test_quality_filter_language_allowlist(spark):
         langs=("en",),
     )
     assert [r.doc_id for r in kept.select("doc_id").collect()] == [1]
+
+
+def test_quality_filter_null_text_drops(spark):
+    """ADVICE r2: NULL signals must count as drops, not passes — a doc
+    with NULL text previously produced NULL for every rule predicate and
+    slid through the filter."""
+    from pyspark.sql import functions as F
+
+    from datalake_public_spark.operators.text import quality_filter
+
+    good = "the quick brown fox jumps over the lazy dog and keeps running far away today"
+    docs = spark.createDataFrame(
+        [(1, None, 0), (2, good, len(good))], "doc_id long, text string, n_chars long"
+    )
+    kept = quality_filter(docs, min_chars=20, min_tokens=5)
+    assert [r.doc_id for r in kept.select("doc_id").collect()] == [2]
+    audit = quality_filter(docs, min_chars=20, min_tokens=5, with_reasons=True)
+    reasons = {r.doc_id: set(r.drop_reasons) for r in audit.collect()}
+    assert reasons[1], "NULL-text doc must carry drop reasons"
+    assert reasons[2] == set()
