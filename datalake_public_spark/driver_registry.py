@@ -803,29 +803,79 @@ JOIN (SELECT doc_id, n_grams, dup_ngram_frac, top_token_frac
 """
 
 
+# quality_filter drop-rule thresholds used by the driver row — one source
+# of truth for the Spark expression AND the oracle SQL below.
+_QF_MIN_CHARS = 50
+_QF_MIN_TOKENS = 10
+_QF_MAX_DUP = 0.3
+_QF_MAX_TOP = 0.2
+_QF_MIN_QUALITY = 0.3
+_QF_LANGS = ("en", "fr", "de", "es")
+
+
 def text_lang_quality(spark: SparkSession, sf: str) -> DataFrame:
     """Per-doc language-ID (n-gram marker heuristic) + quality score
-    (length/uniqueness/token-shape ratios) in one row per document —
-    single projection over a single scan (round-3 collapse of the
-    grain-key join, same rationale as text_stats)."""
+    (length/uniqueness/token-shape ratios) + the quality_filter VERDICT
+    (Gopher/C4-style drop rules: length floors, repetition ceilings,
+    quality floor, language allowlist — operators/text.py:quality_filter)
+    in one row per document. Still ONE projection over ONE scan: the
+    filter's rule signals are row-local expressions folded into the same
+    select (round-3 collapse of the grain-key joins). The drop-reason
+    list is emitted as a comma-joined string in fixed rule order so the
+    driver canonicalizer can hash it; survives == (no reasons)."""
     from datalake_public_spark.operators import text
 
     docs = _t(spark, sf, "documents")
+    reasons = text.drop_reasons_col(
+        min_chars=_QF_MIN_CHARS,
+        min_tokens=_QF_MIN_TOKENS,
+        max_dup_ngram_frac=_QF_MAX_DUP,
+        max_top_token_frac=_QF_MAX_TOP,
+        min_quality=_QF_MIN_QUALITY,
+        langs=_QF_LANGS,
+    )
     return docs.select(
         F.col("doc_id"),
         *text.language_cols(),
         F.col("n_chars"),
         *text.quality_cols(),
+        F.array_join(reasons, ",").alias("drop_reasons_csv"),
+        (F.size(reasons) == 0).alias("survives"),
     )
 
 
 def _text_lang_quality_sql() -> str:
-    from datalake_public_spark.driver_queries_llm import LANGUAGE_ID_SQL, QUALITY_SQL
+    from datalake_public_spark.driver_queries_llm import (
+        LANGUAGE_ID_SQL,
+        QUALITY_SQL,
+        TOKEN_STATS_SQL,
+        _repetition_sql,
+    )
 
+    langs_sql = ", ".join(f"'{lang}'" for lang in _QF_LANGS)
     return f"""
-SELECT l.*, q.n_chars, q.n_tokens, q.uniq_ratio, q.mean_tok_len, q.quality
-FROM ({LANGUAGE_ID_SQL}) l
-JOIN ({QUALITY_SQL}) q USING (doc_id)
+SELECT *, drop_reasons_csv = '' AS survives
+FROM (
+  SELECT l.*, q.n_chars, q.n_tokens, q.uniq_ratio, q.mean_tok_len, q.quality,
+         concat_ws(',',
+           CASE WHEN coalesce(t.n_chars < {_QF_MIN_CHARS}, TRUE)
+                THEN 'too_short_chars<{_QF_MIN_CHARS}' END,
+           CASE WHEN coalesce(t.n_ws_tokens < {_QF_MIN_TOKENS}, TRUE)
+                THEN 'too_short_tokens<{_QF_MIN_TOKENS}' END,
+           CASE WHEN coalesce(r.dup_ngram_frac > {_QF_MAX_DUP}, TRUE)
+                THEN 'repetitive_ngrams' END,
+           CASE WHEN coalesce(r.top_token_frac > {_QF_MAX_TOP}, TRUE)
+                THEN 'modal_token_mass' END,
+           CASE WHEN coalesce(q.quality < {_QF_MIN_QUALITY}, TRUE)
+                THEN 'low_quality_score' END,
+           CASE WHEN coalesce(l.pred_lang NOT IN ({langs_sql}), TRUE)
+                THEN 'lang_not_allowed' END
+         ) AS drop_reasons_csv
+  FROM ({LANGUAGE_ID_SQL}) l
+  JOIN ({QUALITY_SQL}) q USING (doc_id)
+  JOIN ({TOKEN_STATS_SQL}) t USING (doc_id)
+  JOIN ({_repetition_sql()}) r USING (doc_id)
+) z
 """
 
 
@@ -1121,6 +1171,71 @@ FROM ({STREAM_DEDUP_SQL}) d
 
 
 # --------------------------------------------------------------------------
+# Dedup clustering + end-to-end corpus materializer, tagged union:
+#   op='component' — connected-component labels over the exact n-gram
+#   Jaccard pair graph (the transitive-closure step);
+#   op='survivor'  — dedupe_corpus's surviving doc ids (exact pre-pass →
+#   LSH pairs → components → keep-min-per-cluster), the operator a
+#   pipeline user actually calls.
+# --------------------------------------------------------------------------
+
+
+def dedup_components_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster labels + the dedupe_corpus survivor set in one driver row.
+
+    The survivor oracle is exact: survivors = exact-group min-id
+    representatives that are ALSO the min id of their near-dup connected
+    component, where the oracle's pair graph is the exact n-gram-Jaccard
+    baseline restricted to representatives (pair-local metric, so
+    restriction ≡ computing on the rep subset). Holds whenever LSH
+    banding recall is 1 on the corpus — same documented contract as
+    dedup_minhash_lsh's oracle (driver_queries_llm.py), verified at
+    sf0.001/0.01/0.1."""
+    from datalake_public_spark.driver_queries_adv import dedup_components
+    from datalake_public_spark.operators.dedup import dedupe_corpus
+
+    comp = dedup_components(spark, sf).select(
+        F.lit("component").alias("op"), "doc_id", "component"
+    )
+    surv = dedupe_corpus(_t(spark, sf, "documents")).select(
+        F.lit("survivor").alias("op"),
+        "doc_id",
+        F.lit(None).cast("long").alias("component"),
+    )
+    return comp.unionByName(surv)
+
+
+def _dedup_components_corpus_sql() -> str:
+    from datalake_public_spark.driver_queries_adv import _components_sql
+    from datalake_public_spark.driver_queries_llm import DEDUP_NGRAM_SQL
+
+    return f"""
+SELECT 'component' AS op, doc_id, component FROM ({_components_sql()}) c
+UNION ALL
+SELECT 'survivor', doc_id, CAST(NULL AS BIGINT)
+FROM (
+  WITH RECURSIVE
+  reps AS (SELECT min(doc_id) AS id FROM documents GROUP BY text),
+  rep_pairs AS (
+    SELECT id_a, id_b FROM ({DEDUP_NGRAM_SQL}) p
+    WHERE id_a IN (SELECT id FROM reps) AND id_b IN (SELECT id FROM reps)
+  ),
+  und AS (
+    SELECT id_a AS src, id_b AS dst FROM rep_pairs
+    UNION
+    SELECT id_b, id_a FROM rep_pairs
+  ),
+  reach(node, root) AS (
+    SELECT id, id FROM reps
+    UNION
+    SELECT u.dst, r.root FROM reach r JOIN und u ON u.src = r.node
+  )
+  SELECT node AS doc_id FROM reach GROUP BY node HAVING node = min(root)
+) s
+"""
+
+
+# --------------------------------------------------------------------------
 # FINAL registry — exactly 50 entries, most-load-bearing first
 # --------------------------------------------------------------------------
 
@@ -1178,7 +1293,9 @@ def _build_final() -> dict[str, QuerySpec]:
         "dedup_minhash_lsh": keep(LLM_REGISTRY, "dedup_minhash_lsh"),
         "dedup_simhash": keep(LLM_REGISTRY, "dedup_simhash"),
         "dedup_embedding_cosine": keep(LLM_REGISTRY, "dedup_embedding_cosine"),
-        "dedup_components": keep(ADV_REGISTRY, "dedup_components"),
+        "dedup_components": QuerySpec(
+            dedup_components_corpus, _dedup_components_corpus_sql()
+        ),
         "decontaminate_train_split": keep(LLM_REGISTRY, "decontaminate_train_split"),
         # --- similarity search / ML ---
         "similarity_topk": keep(LLM_REGISTRY, "similarity_topk"),

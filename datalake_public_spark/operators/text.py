@@ -203,6 +203,36 @@ def quality_filter(
     every rule predicate treats NULL as a violation (a filter whose
     purpose is dropping junk must not pass degenerate rows), tagged
     explicitly in the audit view."""
+    reasons = drop_reasons_col(
+        text_col,
+        min_chars=min_chars,
+        min_tokens=min_tokens,
+        max_dup_ngram_frac=max_dup_ngram_frac,
+        max_top_token_frac=max_top_token_frac,
+        min_quality=min_quality,
+        langs=langs,
+    )
+    wide = widen_for_compute(docs)
+    if with_reasons:
+        return wide.select(*docs.columns, reasons.alias("drop_reasons"))
+    return wide.filter(F.size(reasons) == 0)
+
+
+def drop_reasons_col(
+    text_col: str = "text",
+    *,
+    min_chars: int = 50,
+    min_tokens: int = 10,
+    max_dup_ngram_frac: float = 0.3,
+    max_top_token_frac: float = 0.2,
+    min_quality: float = 0.3,
+    langs: tuple[str, ...] | None = None,
+):
+    """The drop-rule audit expression behind quality_filter: an array of
+    violated-rule tags (empty = survivor), rule order fixed, NULL
+    predicates counted as violations. Exposed so callers (e.g. the driver
+    registry) can fold the filter verdict into an existing single-pass
+    projection."""
     n_chars_sig = F.length(F.col(text_col))
     n_ws_tokens = F.size(T.tokens(text_col))
     _, _, dup_frac, top_frac = repetition_cols(text_col)
@@ -217,15 +247,11 @@ def quality_filter(
     if langs is not None:
         rules.append((~T.language_id(text_col).isin(*langs), "lang_not_allowed"))
     # NULL predicate (NULL text/signal) counts as a drop, not a pass
-    reasons = F.array_compact(
+    return F.array_compact(
         F.array(
             *[F.when(F.coalesce(cond, F.lit(True)), F.lit(tag)) for cond, tag in rules]
         )
     )
-    wide = widen_for_compute(docs)
-    if with_reasons:
-        return wide.select(*docs.columns, reasons.alias("drop_reasons"))
-    return wide.filter(F.size(reasons) == 0)
 
 
 def fingerprint(
