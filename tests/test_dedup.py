@@ -219,3 +219,24 @@ def test_dedupe_corpus_end_to_end(spark):
     }
     got_ids = {r.doc_id for r in out.select("doc_id").collect()}
     assert got_ids == min_ids
+
+
+def test_lsh_recall_is_one_on_testdata(spark):
+    """The cheap recall==1 pre-check guarding dedup_minhash_lsh's
+    exact-equality oracle (ADVICE r2): if a regenerated corpus ever emits
+    borderline pairs the banding misses, THIS breaks first — revert that
+    oracle to rows-only then (see driver_queries_llm.dedup_minhash_lsh)."""
+    from pyspark.sql import functions as F
+
+    from datalake_public_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    groups = dedup.exact_dedup(docs)
+    reps = docs.join(
+        groups.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    exact = dedup.ngram_jaccard_pairs(reps, threshold=0.5).select("id_a", "id_b")
+    lsh = dedup.near_dedup_pipeline(docs, threshold=0.5).select("id_a", "id_b")
+    missed = exact.exceptAll(lsh).count()
+    extra = lsh.exceptAll(exact).count()
+    assert missed == 0 and extra == 0, (missed, extra)
