@@ -54,11 +54,14 @@ def run_bike_pipeline(
     K-Means (when ``kmeans_end`` is given).
 
     ``versioned_tables=True`` lands the formatted and usage zones through
-    ``sinks.table.ManifestTable`` instead of plain overwrite parquet:
-    each tick appends a new atomic snapshot, so a crashed tick is
-    invisible to readers, concurrent ticks conflict loudly instead of
-    corrupting, and every prior tick stays readable (time travel) — the
-    Delta/Iceberg posture the target stack names, without the jars."""
+    ``sinks.table.ManifestTable`` instead of plain overwrite parquet.
+    Semantics MATCH the default path: each tick OVERWRITES the head
+    snapshot (readers of the head see only the latest tick, exactly like
+    overwrite-mode parquet) — but the overwrite is an atomic manifest
+    commit, so a crashed tick is invisible to readers, concurrent ticks
+    conflict loudly instead of corrupting, and every prior tick stays
+    readable via time travel — the Delta/Iceberg posture the target
+    stack names, without the jars."""
     formatted: dict[str, DataFrame] = {}
     for path, spec in (
         (ss_path, flatten.VELIB_STATION_STATUS_SPEC),
@@ -71,7 +74,7 @@ def run_bike_pipeline(
             if versioned_tables:
                 from datalake_public_spark.sinks.table import ManifestTable
 
-                ManifestTable(f"{config.zone('formatted')}/{spec.name}").append(
+                ManifestTable(f"{config.zone('formatted')}/{spec.name}").overwrite(
                     formatted[spec.name]
                 )
             else:
@@ -102,7 +105,9 @@ def run_bike_pipeline(
         if versioned_tables:
             from datalake_public_spark.sinks.table import ManifestTable
 
-            ManifestTable(f"{config.zone('usage')}/kmeans_results").append(kmeans_df)
+            ManifestTable(f"{config.zone('usage')}/kmeans_results").overwrite(
+                kmeans_df
+            )
         else:
             write_partitioned_parquet(
                 kmeans_df, f"{config.zone('usage')}/kmeans_results"

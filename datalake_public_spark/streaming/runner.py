@@ -17,6 +17,20 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+class StreamDrainTimeout(TimeoutError):
+    """An availableNow query did not finish draining within timeout_s —
+    raised so a partially-drained memory sink can never masquerade as the
+    complete result (ADVICE r2)."""
+
+
+def _await_or_raise(q, timeout_s: int, what: str) -> None:
+    if not q.awaitTermination(timeout_s):
+        raise StreamDrainTimeout(
+            f"{what} still draining after {timeout_s}s — result would be "
+            "partial; raise timeout_s or shrink the source backlog"
+        )
+
+
 def run_available_now(
     df: DataFrame,
     *,
@@ -50,7 +64,7 @@ def run_available_now(
     # source-scoped session confs (e.g. parquet nanosAsLong) immediately
     restore_query_scoped_confs(spark)
     try:
-        q.awaitTermination(timeout_s)
+        _await_or_raise(q, timeout_s, f"memory-sink query {name}")
     finally:
         q.stop()
     return spark.table(name)
@@ -95,8 +109,8 @@ def run_available_now_many(
             )
             names.append(name)
             queries.append(q)
-        for q in queries:
-            q.awaitTermination(timeout_s)
+        for name, q in zip(names, queries):
+            _await_or_raise(q, timeout_s, f"memory-sink query {name}")
     finally:
         # restore in the finally: if any start() throws, the session must
         # not keep source-scoped confs (or stale pending-restore entries)
@@ -143,7 +157,7 @@ def write_fanout_available_now(
 
     restore_query_scoped_confs(df.sparkSession)
     try:
-        q.awaitTermination(timeout_s)
+        _await_or_raise(q, timeout_s, "foreachBatch fan-out query")
     finally:
         q.stop()
 
@@ -174,6 +188,6 @@ def write_available_now(
 
     restore_query_scoped_confs(df.sparkSession)
     try:
-        q.awaitTermination(timeout_s)
+        _await_or_raise(q, timeout_s, f"parquet sink query at {path}")
     finally:
         q.stop()

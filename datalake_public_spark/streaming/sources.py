@@ -17,8 +17,10 @@ readers enforce (SURVEY §1.4).
 from __future__ import annotations
 
 import hashlib
+import itertools
 import os
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,24 +38,69 @@ from pyspark.sql.types import (
 # Confs a streaming SOURCE needs active at query start (streams clone the
 # session conf when they start, so the runner restores these right after —
 # the session is never left mutated once the query is running/finished).
-_PENDING_CONF_RESTORE: list[tuple[str, str | None]] = []
+#
+# Ownership (ADVICE r2: the old module-global list let ANY runner's restore
+# pop ALL pending entries, so interleaved construction of two streaming
+# queries — or a failed start — could unset nanosAsLong before the other
+# query planned its first micro-batch scan):
+#   * every entry is tagged with the thread that pushed it; a runner's
+#     restore touches only its OWN thread's entries, so concurrent
+#     construction on other threads is never clobbered;
+#   * all list/conf mutation is serialized by a lock;
+#   * same-key entries form a chain (each prev is the previous entry's
+#     value) — restoring out of order collapses the chain instead of
+#     clobbering the conf mid-flight, and the LAST restore returns the
+#     conf to its original pre-everything value.
+# Remaining contract for a single thread: construct the streams for one
+# runner invocation at a time (the existing pattern — every call site is
+# run_available_now*(build(events_stream(...)))); the runner releases that
+# invocation's confs as soon as its queries have started.
+_PENDING_LOCK = threading.Lock()
+_PENDING_CONF_RESTORE: list[dict] = []
+_PENDING_SEQ = itertools.count()
 
 
 def _set_query_scoped_conf(spark: SparkSession, key: str, value: str) -> None:
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, value)
-    _PENDING_CONF_RESTORE.append((key, prev))
+    with _PENDING_LOCK:
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, value)
+        _PENDING_CONF_RESTORE.append(
+            {
+                "seq": next(_PENDING_SEQ),
+                "owner": threading.get_ident(),
+                "key": key,
+                "prev": prev,
+            }
+        )
+
+
+def _restore_entry(spark: SparkSession, entry: dict) -> None:
+    """Lock held. Remove ``entry``; if a later unrestored entry shadows the
+    same key, fold this entry's prev into it (the conf stays at the value
+    the later query still needs); otherwise apply the restore."""
+    _PENDING_CONF_RESTORE.remove(entry)
+    later = [
+        e
+        for e in _PENDING_CONF_RESTORE
+        if e["key"] == entry["key"] and e["seq"] > entry["seq"]
+    ]
+    if later:
+        later[0]["prev"] = entry["prev"]
+        return
+    if entry["prev"] is None:
+        spark.conf.unset(entry["key"])
+    else:
+        spark.conf.set(entry["key"], entry["prev"])
 
 
 def restore_query_scoped_confs(spark: SparkSession) -> None:
-    """Called by the streaming runners once the query has started (it
-    holds its own cloned conf from that point)."""
-    while _PENDING_CONF_RESTORE:
-        key, prev = _PENDING_CONF_RESTORE.pop()
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+    """Called by the streaming runners once their queries have started
+    (each running query holds its own cloned conf from that point).
+    Restores only the entries pushed by the CALLING thread."""
+    me = threading.get_ident()
+    with _PENDING_LOCK:
+        for entry in [e for e in _PENDING_CONF_RESTORE if e["owner"] == me]:
+            _restore_entry(spark, entry)
 
 
 def read_json_stream(

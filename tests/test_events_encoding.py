@@ -111,3 +111,45 @@ def test_nanos_conf_never_leaks(spark, encoded_dirs):
     with pytest.raises(Exception, match="PARQUET_TYPE_ILLEGAL|Illegal Parquet type"):
         spark.read.parquet(encoded_dirs["ns"] + "/events.parquet").collect()
     assert spark.read.parquet(encoded_dirs["us"] + "/events.parquet").count() == 3
+
+
+def test_scoped_conf_ownership_and_chain(spark):
+    """ADVICE r2: restore must touch only the calling thread's entries,
+    and same-key entries must collapse as a chain — another runner's
+    restore can no longer unset a conf a pending query still needs."""
+    import threading
+
+    from datalake_public_spark.streaming import sources as S
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    assert spark.conf.get(key, None) is None
+
+    # thread B pushes the same conf; A's restore must not unset it
+    S._set_query_scoped_conf(spark, key, "true")  # A (this thread)
+    done = threading.Event()
+
+    def push_b():
+        S._set_query_scoped_conf(spark, key, "true")
+        done.set()
+
+    t = threading.Thread(target=push_b)
+    t.start()
+    done.wait()
+    t.join()
+
+    S.restore_query_scoped_confs(spark)  # A restores: only its own entry
+    assert spark.conf.get(key, None) == "true", "B's pending conf was clobbered"
+    # B's entry inherited A's prev via the chain collapse; restoring it
+    # from B's thread returns the conf to the original (unset) state
+    restored = threading.Event()
+
+    def restore_b():
+        S.restore_query_scoped_confs(spark)
+        restored.set()
+
+    t2 = threading.Thread(target=restore_b)
+    t2.start()
+    restored.wait()
+    t2.join()
+    assert spark.conf.get(key, None) is None
+    assert S._PENDING_CONF_RESTORE == []

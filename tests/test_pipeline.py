@@ -65,9 +65,11 @@ def test_full_pipeline(spark, gbfs_paths, tmp_path):
 
 
 def test_pipeline_versioned_tables_two_ticks(spark, gbfs_paths, tmp_path):
-    """versioned_tables=True lands formatted zones through ManifestTable:
-    two ticks → two snapshots per feed, head reads the union, tick 1
-    still readable (time travel), staged-but-uncommitted data invisible."""
+    """versioned_tables=True lands formatted zones through ManifestTable
+    with OVERWRITE semantics matching the default path (ADVICE r2: append
+    silently changed head-read semantics behind a storage flag): two
+    ticks → two snapshots per feed, head reads only the LATEST tick,
+    tick 1 still readable via time travel."""
     from datalake_public_spark.sinks.table import ManifestTable
 
     cfg = EngineConfig(lake_root=str(tmp_path / "lake"))
@@ -81,7 +83,9 @@ def test_pipeline_versioned_tables_two_ticks(spark, gbfs_paths, tmp_path):
     run_bike_pipeline(spark, cfg, **kwargs)
 
     t = ManifestTable(f"{cfg.zone('formatted')}/velib_station_status")
-    assert [s.operation for s in t.history()] == ["append", "append"]
+    assert [s.operation for s in t.history()] == ["overwrite", "overwrite"]
     v0 = t.read(spark, version=0).count()
     head = t.read(spark).count()
-    assert v0 > 0 and head == 2 * v0
+    # head snapshot == one tick's rows (same as overwrite-mode parquet);
+    # the previous tick remains readable at version=0
+    assert v0 > 0 and head == v0
