@@ -127,25 +127,73 @@ def wrap_wav(
     return df.select(id_col, text_col).mapInPandas(enc, f"{id_col} long, wav binary")
 
 
+BMP_WIDTH = 16  # synthesized-image width: 16 px × 24 bpp → 48-byte rows,
+# already 4-byte aligned so stride == width*3 (no pad ambiguity)
+
+BMP_META_SCHEMA = "doc_id long, width int, height int, bpp int, img_bytes int"
+
+
+def wrap_bmp(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = BMP_WIDTH,
+) -> DataFrame:
+    """Test-scaffold encoder: pack utf-8 bytes as an uncompressed 24-bpp
+    BI_RGB BMP (BITMAPFILEHEADER + BITMAPINFOHEADER + zero-padded pixel
+    rows) so the image decode path has real image bytes to parse in this
+    container — the image twin of ``wrap_wav``. height =
+    max(1, ceil(n_bytes / (width*3))) rows."""
+    import struct
+
+    stride = width * 3  # width chosen so stride is already 4-byte aligned
+
+    def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for t in pdf[text_col]:
+                data = t.encode("utf-8")
+                height = max(1, -(-len(data) // stride))
+                img = data + b"\x00" * (height * stride - len(data))
+                header = (
+                    b"BM"
+                    + struct.pack("<IHHI", 14 + 40 + len(img), 0, 0, 54)
+                    + struct.pack(
+                        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(img),
+                        2835, 2835, 0, 0,
+                    )
+                )
+                payloads.append(header + img)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), "bmp": payloads}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(enc, f"{id_col} long, bmp binary")
+
+
 def decode_real(
     df: DataFrame,
     codec: str,
     payload_col: str = "wav",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Real media decode. ``codec='wav'`` is implemented with a pure-stdlib
-    RIFF chunk walker (struct.unpack over fmt/data chunks — no external
-    codec library needed); image/video codecs still raise until their
-    libraries exist in the environment.
+    """Real media decode. ``codec='wav'`` is a pure-stdlib RIFF chunk
+    walker (struct.unpack over fmt/data chunks); ``codec='bmp'`` parses
+    BITMAPFILEHEADER/BITMAPINFOHEADER (width/height/bit-depth/image
+    size). Video codecs still raise until their libraries exist in the
+    environment.
 
     Distribution shape: Arrow-batched ``mapInPandas`` — one Python worker
     per partition, columnar batches. When wiring a frame-heavy codec, size
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` so one decoded batch
     fits executor memory (images: ~128 rows/batch at 4 MP)."""
+    if codec == "bmp":
+        return _decode_bmp(df, payload_col, id_col)
     if codec != "wav":
         raise NotImplementedError(
-            f"codec {codec!r} unavailable in this environment; 'wav' is the "
-            "implemented reference decoder (same mapInPandas shape)"
+            f"codec {codec!r} unavailable in this environment; 'wav' and "
+            "'bmp' are the implemented reference decoders (same "
+            "mapInPandas shape)"
         )
 
     import struct
@@ -186,6 +234,45 @@ def decode_real(
             )
 
     return df.select(id_col, payload_col).mapInPandas(dec, WAV_META_SCHEMA)
+
+
+def _decode_bmp(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """BMP header parse: magic check, BITMAPFILEHEADER offsets,
+    BITMAPINFOHEADER geometry. Rejects compressed (BI_RGB only) and
+    truncated payloads loudly — a lake decode step must fail, not
+    silently emit garbage geometry."""
+    import struct
+
+    def dec(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ws, hs, bpps, sizes = [], [], [], [], []
+            for i, raw in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(raw)
+                if b[:2] != b"BM" or len(b) < 54:
+                    raise ValueError(f"doc {i}: not a BMP payload")
+                file_size, _, _, offset = struct.unpack("<IHHI", b[2:14])
+                (hdr_size, width, height, _planes, bpp, compression,
+                 img_bytes) = struct.unpack("<IiiHHII", b[14:38])
+                if compression != 0:
+                    raise ValueError(f"doc {i}: only BI_RGB (uncompressed) supported")
+                if offset + img_bytes > len(b):
+                    raise ValueError(f"doc {i}: truncated pixel data")
+                ids.append(int(i))
+                ws.append(width)
+                hs.append(abs(height))  # negative height = top-down rows
+                bpps.append(bpp)
+                sizes.append(img_bytes)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "bpp": pd.Series(bpps, dtype="int32"),
+                    "img_bytes": pd.Series(sizes, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(dec, BMP_META_SCHEMA)
 
 
 def media_metadata(docs_with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -77,3 +77,47 @@ def test_decode_handles_extra_chunks(spark):
     df = spark.createDataFrame([(7, bytearray(payload))], "doc_id long, wav binary")
     row = multimodal.decode_real(df, "wav").collect()[0]
     assert row.sample_rate == 16000 and row.n_samples == 6
+
+
+def test_bmp_roundtrip_geometry(spark):
+    """wrap_bmp → decode_real('bmp'): width fixed, height = ceil over
+    48-byte rows (16 px × 24 bpp), img_bytes = stride × height; empty
+    text still yields one row of pixels."""
+    docs = spark.createDataFrame(
+        [(1, "x" * 10), (2, "y" * 48), (3, "z" * 49), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in multimodal.decode_real(
+            multimodal.wrap_bmp(docs), "bmp", payload_col="bmp"
+        ).collect()
+    }
+    for doc_id, height in [(1, 1), (2, 1), (3, 2), (4, 1)]:
+        r = out[doc_id]
+        assert (r.width, r.bpp) == (16, 24), r
+        assert r.height == height, r
+        assert r.img_bytes == 48 * height, r
+
+
+def test_bmp_decode_rejects_garbage_and_compressed(spark):
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"JFIF----not-a-bmp" + b"\x00" * 64))],
+        "doc_id long, bmp binary",
+    )
+    with pytest.raises(Exception, match="BMP"):
+        multimodal.decode_real(bad, "bmp", payload_col="bmp").collect()
+
+    compressed = struct.pack("<2sIHHI", b"BM", 122, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 4, 4, 1, 24, 1, 64, 0, 0, 0, 0
+    ) + b"\x00" * 64
+    df = spark.createDataFrame(
+        [(2, bytearray(compressed))], "doc_id long, bmp binary"
+    )
+    with pytest.raises(Exception, match="BI_RGB"):
+        multimodal.decode_real(df, "bmp", payload_col="bmp").collect()
+
+
+def test_video_codec_still_declared_unimplemented(spark, docs):
+    with pytest.raises(NotImplementedError, match="codec"):
+        multimodal.decode_real(docs.withColumn("wav", F.lit(b"")), "mp4")
