@@ -157,14 +157,13 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-def q3_top_orders(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter → fact join → agg → top-k.
-
-    Scale: customer filter first (segment) then broadcast to lineitem's
-    join; top-10 via sort-limit (TakeOrdered — no full sort shuffle)."""
-    cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = _t(spark, sf, "orders").filter(F.col("o_orderdate") < F.lit("1996-06-01"))
-    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > F.lit("1996-06-01"))
+def _q3_body(cust: DataFrame, orders: DataFrame, li: DataFrame) -> DataFrame:
+    """TPC-H Q3 plan body over injectable inputs — the same logical plan
+    runs on raw parquet scans (q3_top_orders) or bucketed catalog tables
+    (q3_top_orders_bucketed, where the fact join needs no Exchange)."""
+    cust = cust.filter(F.col("c_mktsegment") == "BUILDING")
+    orders = orders.filter(F.col("o_orderdate") < F.lit("1996-06-01"))
+    li = li.filter(F.col("l_shipdate") > F.lit("1996-06-01"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -176,6 +175,16 @@ def q3_top_orders(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
+    )
+
+
+def q3_top_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → agg → top-k.
+
+    Scale: customer filter first (segment) then broadcast to lineitem's
+    join; top-10 via sort-limit (TakeOrdered — no full sort shuffle)."""
+    return _q3_body(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
     )
 
 
@@ -194,18 +203,15 @@ LIMIT 10
 """
 
 
-def q5_regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q5 shape: full star join through region→nation→customer→orders
-    →lineitem with supplier co-nation condition.
-
-    Scale: region/nation/supplier/customer all broadcast (dimensions);
-    only orders⋈lineitem shuffles, on the same key both sides."""
-    region = _t(spark, sf, "region")
-    nation = _t(spark, sf, "nation")
-    cust = _t(spark, sf, "customer")
-    sup = _t(spark, sf, "supplier")
-    orders = _t(spark, sf, "orders")
-    li = _t(spark, sf, "lineitem")
+def _q5_body(
+    region: DataFrame,
+    nation: DataFrame,
+    cust: DataFrame,
+    sup: DataFrame,
+    orders: DataFrame,
+    li: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5 plan body over injectable inputs (see _q3_body)."""
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -220,6 +226,22 @@ def q5_regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
             ),
             F.count(F.lit(1)).alias("n_items"),
         )
+    )
+
+
+def q5_regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: full star join through region→nation→customer→orders
+    →lineitem with supplier co-nation condition.
+
+    Scale: region/nation/supplier/customer all broadcast (dimensions);
+    only orders⋈lineitem shuffles, on the same key both sides."""
+    return _q5_body(
+        _t(spark, sf, "region"),
+        _t(spark, sf, "nation"),
+        _t(spark, sf, "customer"),
+        _t(spark, sf, "supplier"),
+        _t(spark, sf, "orders"),
+        _t(spark, sf, "lineitem"),
     )
 
 

@@ -47,6 +47,79 @@ def write_bucketed_table(
     writer.saveAsTable(name, format="parquet")
 
 
+def materialize_fact_buckets(
+    spark: SparkSession,
+    sf_dir: str,
+    base_dir: str,
+    *,
+    n_buckets: int = 8,
+) -> tuple[str, str]:
+    """Materialize the orders/lineitem fact tables bucketed (+sorted) on
+    the order key — the pre-join layout for the daily q3/q5-shaped star
+    joins. Both sides bucketed on the same key with the same bucket count
+    join with NO Exchange: the shuffle is paid ONCE here at ingest, not
+    per query. Returns the catalog table names to read via
+    ``spark.table``.
+
+    At 100 TB this is the difference between re-shuffling ~tens of TB of
+    fact data per query and a scan-local join; bucket count scales with
+    cluster width (buckets ≳ executors for parallelism, sized so one
+    bucket's join state fits an executor)."""
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    names = (f"orders_bkt_{tag}_{n_buckets}", f"lineitem_bkt_{tag}_{n_buckets}")
+    for table, name, key in (
+        ("orders", names[0], "o_orderkey"),
+        ("lineitem", names[1], "l_orderkey"),
+    ):
+        if spark.catalog.tableExists(name):
+            continue
+        write_bucketed_table(
+            spark.read.parquet(f"{sf_dir.rstrip('/')}/{table}.parquet"),
+            name,
+            os.path.join(base_dir, name),
+            bucket_cols=(key,),
+            n_buckets=n_buckets,
+            sort_cols=(key,),
+        )
+    return names
+
+
+def q3_top_orders_bucketed(
+    spark: SparkSession, sf: str, orders_tbl: str, lineitem_tbl: str
+) -> "DataFrame":
+    """q3 over the bucketed fact layout: identical logical plan and
+    results, but the orders⋈lineitem join reads co-bucketed tables, so
+    the physical plan has ZERO Exchange on the fact join (pinned in
+    tests/test_plan_quality.py) — only the final aggregation shuffles."""
+    from datalake_public_spark.driver_queries import _q3_body, _t
+
+    # hint("merge"): at 100 TB neither fact side is broadcastable and the
+    # co-bucketed layout makes SMJ exchange-free AND sort-free; the hint
+    # pins that shape at test SFs too (where tiny orders would otherwise
+    # auto-broadcast and hide the layout's effect)
+    return _q3_body(
+        _t(spark, sf, "customer"),
+        spark.table(orders_tbl).hint("merge"),
+        spark.table(lineitem_tbl).hint("merge"),
+    )
+
+
+def q5_regional_revenue_bucketed(
+    spark: SparkSession, sf: str, orders_tbl: str, lineitem_tbl: str
+) -> "DataFrame":
+    """q5 over the bucketed fact layout (see q3_top_orders_bucketed)."""
+    from datalake_public_spark.driver_queries import _q5_body, _t
+
+    return _q5_body(
+        _t(spark, sf, "region"),
+        _t(spark, sf, "nation"),
+        _t(spark, sf, "customer"),
+        _t(spark, sf, "supplier"),
+        spark.table(orders_tbl).hint("merge"),
+        spark.table(lineitem_tbl).hint("merge"),
+    )
+
+
 def plan_compaction(total_bytes: int, target_bytes: int = 128 * 1024 * 1024) -> int:
     """Number of output files for a compaction rewrite (≥1)."""
     return max(1, math.ceil(total_bytes / max(1, target_bytes)))

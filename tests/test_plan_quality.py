@@ -247,3 +247,46 @@ def test_text_merges_single_scan_no_joins(spark):
         assert p.count("Scan parquet") == 1, q.__name__
         assert "Join" not in p, q.__name__
         assert p.count("Exchange") <= 1, q.__name__
+
+
+def test_bucketed_fact_join_no_exchange(spark, tmp_path):
+    """Bucketed pre-join layout (sinks/bucketing.py): orders/lineitem
+    co-bucketed on the order key must join with ZERO Exchange on the
+    fact join — only the final aggregation shuffles. Results identical
+    to the parquet-scan variants."""
+    from datalake_public_spark.driver_queries import (
+        q3_top_orders,
+        q5_regional_revenue,
+    )
+    from datalake_public_spark.sinks.bucketing import (
+        materialize_fact_buckets,
+        q3_top_orders_bucketed,
+        q5_regional_revenue_bucketed,
+    )
+
+    o_tbl, l_tbl = materialize_fact_buckets(
+        spark, SF_SMOKE, str(tmp_path), n_buckets=4
+    )
+    try:
+        # q3's group key includes l_orderkey, so bucket partitioning also
+        # satisfies the aggregation: ZERO shuffles end-to-end. q5 groups
+        # on (r_name, n_name): exactly ONE shuffle (the agg).
+        for plain, bucketed, agg_exchanges in (
+            (q3_top_orders, q3_top_orders_bucketed, 0),
+            (q5_regional_revenue, q5_regional_revenue_bucketed, 1),
+        ):
+            df = bucketed(spark, SF_SMOKE, o_tbl, l_tbl)
+            p = _plan(spark, df)
+            # the fact join itself: sort-merge over co-bucketed scans,
+            # with NO hash-partition exchange on the order key
+            assert "SortMergeJoin [l_orderkey" in p, p
+            assert "hashpartitioning(l_orderkey" not in p, p
+            assert "hashpartitioning(o_orderkey" not in p, p
+            assert p.count("Exchange hashpartitioning") == agg_exchanges, p
+            assert "CartesianProduct" not in p
+            expect = {tuple(r) for r in plain(spark, SF_SMOKE).collect()}
+            got = {tuple(r) for r in df.collect()}
+            assert got == expect, bucketed.__name__
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {l_tbl}")
