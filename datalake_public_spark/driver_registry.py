@@ -774,10 +774,14 @@ FROM ({_sequence_packing_sql()}) p
 def text_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-doc token statistics (char/byte/ws-token/regex-token/distinct
     counts) + Gopher-style repetition signals (dup-2gram fraction, modal
-    token mass) in one row per document. All signals are row-local
-    Catalyst expressions, so the merge is ONE projection over ONE scan —
-    the round-2 grain-key join re-read the corpus and shuffled per-doc
-    rows for row-local math (judge-flagged; fixed round 3)."""
+    token mass) + PII counters and the md5 of the PII-redacted text
+    (operators/text.redact_pii — the scrub a training pipeline runs
+    before tokenization) in one row per document. All signals are
+    row-local Catalyst expressions, so the merge is ONE projection over
+    ONE scan — the round-2 grain-key join re-read the corpus and
+    shuffled per-doc rows for row-local math (judge-flagged; fixed
+    round 3). The redacted-text md5 makes the oracle verify the FULL
+    redacted string, not just match counts."""
     from datalake_public_spark.operators import text
     from datalake_public_spark.sources.readers import widen_for_compute
 
@@ -786,6 +790,8 @@ def text_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id"),
         *text.token_stat_cols(),
         *text.repetition_cols()[1:],  # n_grams, dup_ngram_frac, top_token_frac
+        *text.pii_count_cols(),
+        F.md5(text.redacted_text_col()).alias("redacted_md5"),
     )
 
 
@@ -794,12 +800,28 @@ def _text_stats_sql() -> str:
         TOKEN_STATS_SQL,
         _repetition_sql,
     )
+    from datalake_public_spark.operators.text import _PII_ORDER, PII_PATTERNS
 
+    # regexp_count / chained regexp_replace twins of operators/text's PII
+    # expressions — patterns are alternation-free ASCII classes, so Java
+    # regex and RE2 match identically (see PII_PATTERNS)
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{PII_PATTERNS[k]}')) AS INT) AS n_{k}s"
+        for k in _PII_ORDER
+    )
+    redacted = "text"
+    for k in _PII_ORDER:
+        redacted = (
+            f"regexp_replace({redacted}, '{PII_PATTERNS[k]}', '[{k.upper()}]', 'g')"
+        )
     return f"""
-SELECT t.*, r.n_grams, r.dup_ngram_frac, r.top_token_frac
+SELECT t.*, r.n_grams, r.dup_ngram_frac, r.top_token_frac,
+       p.n_emails, p.n_ips, p.n_phones, p.redacted_md5
 FROM ({TOKEN_STATS_SQL}) t
 JOIN (SELECT doc_id, n_grams, dup_ngram_frac, top_token_frac
       FROM ({_repetition_sql()}) rr) r USING (doc_id)
+JOIN (SELECT doc_id, {counts}, md5({redacted}) AS redacted_md5
+      FROM documents) p USING (doc_id)
 """
 
 

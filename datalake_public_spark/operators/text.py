@@ -254,6 +254,57 @@ def drop_reasons_col(
     )
 
 
+# PII patterns — alternation-free, ASCII character classes only, so Java
+# regex (Spark) and RE2 (DuckDB) produce IDENTICAL matches (greedy class
+# quantifiers are leftmost-longest in both when no alternation exists).
+# Change these together with the SQL twins in driver_registry.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d[\d -]{7,}\d",
+}
+_PII_ORDER = ("email", "ip", "phone")  # fixed redaction order — email
+# first (contains digits/dots that the ip/phone patterns could clip)
+
+
+def pii_count_cols(text_col: str = "text") -> list:
+    """Per-doc PII counters (emails / IPv4s / phone-shaped digit runs) —
+    row-local regexp_count expressions, composable into the same single
+    projection as the other signal families."""
+    return [
+        F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[k])).alias(f"n_{k}s")
+        for k in _PII_ORDER
+    ]
+
+
+def redacted_text_col(text_col: str = "text"):
+    """The redacted text expression: every PII match replaced by its
+    [TYPE] tag, fixed pattern order. Pure Catalyst regexp_replace chain —
+    redaction runs at scan speed, no UDF."""
+    out = F.col(text_col)
+    for k in _PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[k], f"[{k.upper()}]")
+    return out
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", *, with_counts: bool = False
+) -> DataFrame:
+    """PII scrub for training corpora: emails, IPv4 addresses, and
+    phone-shaped digit runs replaced by [EMAIL]/[IP]/[PHONE] tags in
+    ``text_col`` (original columns otherwise preserved).
+    ``with_counts=True`` appends per-type match counters — the audit
+    view to materialize before committing to a scrub. One projection
+    over one scan; at 100 TB this redacts at scan speed."""
+    cols = [
+        redacted_text_col(text_col).alias(text_col) if c == text_col else F.col(c)
+        for c in docs.columns
+    ]
+    if with_counts:
+        cols += pii_count_cols(text_col)
+    return docs.select(*cols)
+
+
 def fingerprint(
     docs: DataFrame,
     text_col: str = "text",

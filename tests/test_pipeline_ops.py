@@ -241,3 +241,57 @@ def test_quality_filter_null_text_drops(spark):
     reasons = {r.doc_id: set(r.drop_reasons) for r in audit.collect()}
     assert reasons[1], "NULL-text doc must carry drop reasons"
     assert reasons[2] == set()
+
+
+def test_redact_pii_counts_and_tags(spark):
+    """PII scrub: emails/IPv4s/phone-shaped runs replaced by [TYPE] tags,
+    counters match, non-PII text untouched, original columns preserved."""
+    from datalake_public_spark.operators.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact me at jane.doe+spam@example.co.uk or 192.168.0.1 now"),
+            (2, "call +1 555 123 4567 or 01 23 45 67 89 today"),
+            (3, "no pii here just words and the number 42"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(docs, with_counts=True).collect()}
+    assert out[1].n_emails == 1 and out[1].n_ips == 1 and out[1].n_phones == 0
+    assert "[EMAIL]" in out[1].text and "[IP]" in out[1].text
+    assert "jane" not in out[1].text and "192.168" not in out[1].text
+    assert out[2].n_phones == 2 and "[PHONE]" in out[2].text
+    assert "555" not in out[2].text
+    assert out[3].text == "no pii here just words and the number 42"
+    assert set(out[1].asDict()) == {
+        "doc_id", "text", "n_emails", "n_ips", "n_phones"
+    }
+    # without counts: schema identical to input
+    assert redact_pii(docs).columns == docs.columns
+
+
+def test_redact_pii_matches_duckdb_exactly(spark):
+    """Cross-engine regex contract: the redacted strings (not just the
+    counts) must be byte-identical between Spark (Java regex) and DuckDB
+    (RE2) — this is what lets the driver oracle hash redacted_md5."""
+    import duckdb
+
+    from datalake_public_spark.operators.text import _PII_ORDER, PII_PATTERNS, redact_pii
+
+    rows = [
+        (1, "a@b.co and c.d-e@f.g.hk plus 10.0.0.255 then +33 1 22 33 44 55"),
+        (2, "edge 999.999.999.999 and trailing a@b.io."),
+        (3, "digits 12345678901 and spaced 1 2 3 4 5 6 7 8 9 0 1"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in redact_pii(docs).collect()}
+    con = duckdb.connect()
+    for doc_id, text in rows:
+        sql_expr = "t"
+        for k in _PII_ORDER:
+            sql_expr = f"regexp_replace({sql_expr}, '{PII_PATTERNS[k]}', '[{k.upper()}]', 'g')"
+        expect = con.execute(
+            f"SELECT {sql_expr} FROM (SELECT ? AS t)", [text]
+        ).fetchone()[0]
+        assert got[doc_id] == expect, (doc_id, got[doc_id], expect)
