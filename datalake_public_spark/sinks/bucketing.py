@@ -64,7 +64,11 @@ def materialize_fact_buckets(
     At 100 TB this is the difference between re-shuffling ~tens of TB of
     fact data per query and a scan-local join; bucket count scales with
     cluster width (buckets ≳ executors for parallelism, sized so one
-    bucket's join state fits an executor)."""
+    bucket's join state fits an executor). Measured at a ×10-replicated
+    sf0.1 corpus (6M lineitem rows): q5 3.57s scan-joined → 1.04s
+    bucketed (NOTES_r3.md). Note: float aggregates may differ from the
+    scan plan in the last ulp (sum order), so rounded outputs can move
+    by one cent at large row counts — integer aggregates are identical."""
     tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/").rsplit("/", 1)[-1])
     names = (f"orders_bkt_{tag}_{n_buckets}", f"lineitem_bkt_{tag}_{n_buckets}")
     for table, name, key in (
