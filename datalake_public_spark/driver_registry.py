@@ -1203,6 +1203,79 @@ FROM ({STREAM_DEDUP_SQL}) d
 
 
 # --------------------------------------------------------------------------
+# Vocabulary + corpus-familiarity scoring, tagged union:
+#   op='vocab' — the global top-200 token frequencies (tokenizer/stopword
+#   pass, round-2 entry unchanged);
+#   op='doc'   — per-doc unigram familiarity vs the top-256 vocabulary
+#   (OOV fraction + mean global token count; operators/text.py).
+# --------------------------------------------------------------------------
+
+
+def vocab_familiarity(spark: SparkSession, sf: str) -> DataFrame:
+    """Global vocabulary + per-doc corpus-familiarity in one driver row.
+    Both sides are integer counts and exact half-up ratios, so the oracle
+    reproduces them bit-for-bit (a float log-prob LM would be
+    engine-divergent; see corpus_familiarity docstring)."""
+    from datalake_public_spark.driver_queries_llm import vocab_top_tokens
+    from datalake_public_spark.operators.text import corpus_familiarity
+
+    vocab = vocab_top_tokens(spark, sf).select(
+        F.lit("vocab").alias("op"),
+        F.col("token").alias("key"),
+        F.col("n_occurrences").alias("n"),
+        F.lit(None).cast("int").alias("n_oov"),
+        F.lit(None).cast("double").alias("oov_frac"),
+        F.lit(None).cast("double").alias("familiarity"),
+    )
+    fam = corpus_familiarity(_t(spark, sf, "documents")).select(
+        F.lit("doc").alias("op"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_tokens").cast("long").alias("n"),
+        "n_oov",
+        "oov_frac",
+        "familiarity",
+    )
+    return vocab.unionByName(fam)
+
+
+def _vocab_familiarity_sql() -> str:
+    from datalake_public_spark.driver_queries_llm import _TOKS, VOCAB_SQL
+    from datalake_public_spark.functions.arith import int_ratio_half_up_sql
+
+    oov = int_ratio_half_up_sql("p.n_oov", "p.n_tokens", 4)
+    fam = int_ratio_half_up_sql("p.vocab_mass", "p.n_tokens", 4)
+    return f"""
+WITH vocab AS (
+  SELECT token, count(*) AS tok_count
+  FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+  GROUP BY token
+  ORDER BY tok_count DESC, token ASC
+  LIMIT 256
+),
+ex AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+per AS (
+  SELECT e.doc_id,
+         count(e.token) AS n_tokens,
+         sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov,
+         CAST(coalesce(sum(v.tok_count), 0) AS BIGINT) AS vocab_mass
+  FROM ex e LEFT JOIN vocab v USING (token)
+  GROUP BY e.doc_id
+)
+SELECT 'vocab' AS op, token AS key, n_occurrences AS n,
+       CAST(NULL AS INT) AS n_oov, CAST(NULL AS DOUBLE) AS oov_frac,
+       CAST(NULL AS DOUBLE) AS familiarity
+FROM ({VOCAB_SQL}) v
+UNION ALL
+SELECT 'doc', CAST(d.doc_id AS VARCHAR),
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT),
+       CAST(coalesce(p.n_oov, 0) AS INT),
+       coalesce({oov}, 0.0),
+       coalesce({fam}, 0.0)
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # Dedup clustering + end-to-end corpus materializer, tagged union:
 #   op='component' — connected-component labels over the exact n-gram
 #   Jaccard pair graph (the transitive-closure step);
@@ -1318,7 +1391,7 @@ def _build_final() -> dict[str, QuerySpec]:
         "text_stats": QuerySpec(text_stats, _text_stats_sql()),
         "text_lang_quality": QuerySpec(text_lang_quality, _text_lang_quality_sql()),
         "doc_fingerprint": keep(LLM_REGISTRY, "doc_fingerprint"),
-        "vocab_top_tokens": keep(LLM_REGISTRY, "vocab_top_tokens"),
+        "vocab_top_tokens": QuerySpec(vocab_familiarity, _vocab_familiarity_sql()),
         # --- deduplication ---
         "dedup_exact": keep(LLM_REGISTRY, "dedup_exact"),
         "dedup_ngram_jaccard": keep(LLM_REGISTRY, "dedup_ngram_jaccard"),

@@ -254,6 +254,55 @@ def drop_reasons_col(
     )
 
 
+def corpus_familiarity(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    vocab_k: int = 256,
+) -> DataFrame:
+    """Unigram corpus-familiarity signals: score each document against
+    the corpus's own top-``vocab_k`` vocabulary — ``oov_frac`` (fraction
+    of tokens outside the vocabulary) and ``familiarity`` (mean global
+    occurrence count of the doc's tokens, OOV counting 0). Low
+    familiarity / high OOV flags gibberish, codemixed noise, and
+    boilerplate-free outliers — the frequency-based cousin of the
+    quality score, and deterministic (integer counts + exact half-up
+    ratios) where a float log-prob LM would be engine-divergent.
+
+    Scale: the vocabulary is a two-phase aggregate + bounded top-k
+    (TakeOrdered) and BROADCASTS (≤ vocab_k rows); the per-doc side is
+    explode → map-side broadcast join → partial agg, so the shuffle
+    carries ~one row per doc per partition, never the token stream."""
+    from datalake_public_spark.functions.arith import int_ratio_half_up
+
+    toks = T.tokens(text_col)
+    vocab = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tok_count"))
+        .orderBy(F.desc("tok_count"), F.asc("token"))
+        .limit(vocab_k)
+    )
+    exploded = docs.select(F.col(id_col), F.explode_outer(toks).alias("token"))
+    joined = exploded.join(F.broadcast(vocab), "token", "left")
+    n_tokens = F.count("token")
+    n_oov = F.sum(
+        F.when(F.col("token").isNotNull() & F.col("tok_count").isNull(), 1).otherwise(0)
+    )
+    vocab_mass = F.coalesce(F.sum("tok_count"), F.lit(0).cast("long"))
+    return joined.groupBy(id_col).agg(
+        n_tokens.cast("int").alias("n_tokens"),
+        n_oov.cast("int").alias("n_oov"),
+        F.coalesce(int_ratio_half_up(n_oov, n_tokens, 4), F.lit(0.0)).alias(
+            "oov_frac"
+        ),
+        F.coalesce(int_ratio_half_up(vocab_mass, n_tokens, 4), F.lit(0.0)).alias(
+            "familiarity"
+        ),
+    )
+
+
 # PII patterns — alternation-free, ASCII character classes only, so Java
 # regex (Spark) and RE2 (DuckDB) produce IDENTICAL matches (greedy class
 # quantifiers are leftmost-longest in both when no alternation exists).

@@ -37,6 +37,7 @@ MERGED = [
     "dataset_pipeline",
     "text_stats",
     "text_lang_quality",
+    "vocab_top_tokens",
     "dedup_components",
     "similarity_ann",
     "multimodal_pipeline",

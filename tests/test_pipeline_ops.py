@@ -295,3 +295,25 @@ def test_redact_pii_matches_duckdb_exactly(spark):
             f"SELECT {sql_expr} FROM (SELECT ? AS t)", [text]
         ).fetchone()[0]
         assert got[doc_id] == expect, (doc_id, got[doc_id], expect)
+
+
+def test_corpus_familiarity_signals(spark):
+    """corpus_familiarity: common-token docs score high, OOV-heavy docs
+    flag, counts exact on a crafted corpus (vocab_k=2 → vocab = the two
+    most frequent tokens)."""
+    from datalake_public_spark.operators.text import corpus_familiarity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb aa bb"),
+            (2, "aa bb"),
+            (3, "zz qq ww ee"),
+        ],
+        "doc_id long, text string",
+    )
+    # global counts: aa=3, bb=3, every other token=1 → vocab(k=2)={aa,bb}
+    out = {r.doc_id: r for r in corpus_familiarity(docs, vocab_k=2).collect()}
+    assert out[1].n_tokens == 4 and out[1].n_oov == 0
+    assert out[1].familiarity == 3.0 and out[1].oov_frac == 0.0
+    assert out[2].familiarity == 3.0
+    assert out[3].n_oov == 4 and out[3].oov_frac == 1.0 and out[3].familiarity == 0.0

@@ -290,3 +290,16 @@ def test_bucketed_fact_join_no_exchange(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {l_tbl}")
+
+
+def test_corpus_familiarity_broadcasts_vocab(spark):
+    """corpus_familiarity: the bounded top-k vocabulary must BROADCAST
+    into the exploded token stream (map-side join — the token stream
+    never shuffles to meet the vocab), no sort-merge/cartesian joins."""
+    from datalake_public_spark.operators.text import corpus_familiarity
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    p = _plan(spark, corpus_familiarity(docs))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
