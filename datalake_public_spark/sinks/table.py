@@ -176,6 +176,25 @@ class ManifestTable:
         files = list(base) + self._stage_files(df)
         return self._commit(files, "append", parent)
 
+    def append_batch(self, df: DataFrame, batch_tag: str):
+        """Idempotent tagged append for streaming sinks: commit ``df``
+        with operation ``append:<batch_tag>``; if that tag is already in
+        the manifest history, do nothing and return None. Spark's
+        streaming checkpoint already dedups replayed batches across
+        restarts — the tag makes a replay harmless even when a batch
+        re-fires after its commit (checkpoint lost/rolled back), closing
+        the duplicate-append window a plain ``append`` sink has.
+
+        The history scan is O(versions); at production commit rates pair
+        it with ``vacuum``/retention so the manifest log stays bounded."""
+        op = f"append:{batch_tag}"
+        if any(s.operation == op for s in self.history()):
+            return None
+        parent = self.current_version()
+        base = self.snapshot(parent).files if parent is not None else ()
+        files = list(base) + self._stage_files(df)
+        return self._commit(files, op, parent)
+
     def delete_where(self, spark: SparkSession, condition: str) -> Snapshot:
         """Copy-on-write delete: files containing matching rows are
         rewritten without them; untouched files carry over by reference.

@@ -162,6 +162,43 @@ def write_fanout_available_now(
         q.stop()
 
 
+def write_table_available_now(
+    df: DataFrame,
+    table_root: str,
+    *,
+    checkpoint_dir: str | None = None,
+    timeout_s: int = 600,
+) -> None:
+    """Drain a stream into a versioned ManifestTable with exactly-once
+    batch commits: ``foreachBatch`` + batch-id-tagged manifest operations
+    (``ManifestTable.append_batch``). Readers only ever see fully
+    committed snapshots (atomic manifest publish), every micro-batch is
+    a time-travelable version, and a replayed batch is a no-op — the
+    streaming ingest → versioned lake path in one call."""
+    from datalake_public_spark.sinks.table import ManifestTable
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_")
+    table = ManifestTable(table_root)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        table.append_batch(batch_df, f"batch-{batch_id}")
+
+    q = (
+        df.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    from datalake_public_spark.streaming.sources import restore_query_scoped_confs
+
+    restore_query_scoped_confs(df.sparkSession)
+    try:
+        _await_or_raise(q, timeout_s, f"ManifestTable sink at {table_root}")
+    finally:
+        q.stop()
+
+
 def write_available_now(
     df: DataFrame,
     path: str,

@@ -138,3 +138,42 @@ def test_commit_leaves_no_temp_manifests(spark, table):
         table._commit(files, "append", expected_parent=0)
     leftovers = [f for f in os.listdir(table.manifest_dir) if f.startswith(".tmp")]
     assert leftovers == []
+
+
+def test_append_batch_idempotent(spark, tmp_path):
+    """append_batch: same tag twice → second call is a no-op (the
+    exactly-once guarantee a streaming replay relies on); different tag
+    appends normally."""
+    from datalake_public_spark.sinks.table import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "tbl"))
+    df = spark.range(0, 10).withColumnRenamed("id", "v")
+    assert t.append_batch(df, "batch-0") is not None
+    assert t.append_batch(df, "batch-0") is None  # replay → no-op
+    assert t.read(spark).count() == 10
+    assert t.append_batch(df, "batch-1") is not None
+    assert t.read(spark).count() == 20
+    assert [s.operation for s in t.history()] == ["append:batch-0", "append:batch-1"]
+
+
+def test_write_table_available_now_stream_to_versioned_lake(spark, tmp_path):
+    """events stream → ManifestTable: drained rows equal the batch read,
+    every micro-batch is a committed version, and re-running the drain
+    with the SAME checkpoint appends nothing (checkpoint + tag dedup)."""
+    from datalake_public_spark.sinks.table import ManifestTable
+    from datalake_public_spark.streaming.runner import write_table_available_now
+    from datalake_public_spark.streaming.sources import events_stream
+
+    sf = "/root/testdata/sf0.001"
+    root = str(tmp_path / "events_tbl")
+    ckpt = str(tmp_path / "ckpt")
+    write_table_available_now(events_stream(spark, sf), root, checkpoint_dir=ckpt)
+
+    t = ManifestTable(root)
+    got = t.read(spark).count()
+    expect = spark.read.parquet(f"{sf}/events.parquet").count()
+    assert got == expect
+    assert all(s.operation.startswith("append:batch-") for s in t.history())
+
+    write_table_available_now(events_stream(spark, sf), root, checkpoint_dir=ckpt)
+    assert t.read(spark).count() == expect  # nothing new to drain
