@@ -406,6 +406,81 @@ def dedupe_corpus(
     return reps.join(survivors, id_col, "left_semi")
 
 
+def embedding_neardup_lsh(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """The SCALE path for embedding near-dup (the exact query's docstring
+    promises it): signbit-LSH bucketed candidate pairs + exact cosine
+    verify, instead of the O(N²) blocked cross join.
+
+    Pipeline: every vector hashes to ``n_tables`` independent signbit
+    buckets (the BLAS kernel from operators/similarity); one join side
+    additionally probes all Hamming-1 neighbor buckets, so a pair
+    collides when any table puts them within 1 bit — per-table collision
+    for near-identical vectors (cos ≥ .99, θ≈8°) is ~.95, so 4 tables
+    make planted-duplicate recall deterministic-in-practice (pinned on
+    seeded data in tests/test_dedup.py). Candidates are (table, bucket,
+    id) triples only — vectors never fan out — and degenerate buckets
+    (≥ ``max_bucket``, i.e. mass-duplicated embeddings) are dropped the
+    same way minhash_lsh_pairs drops them: an exact-dup pre-pass owns
+    those at 100 TB.
+
+    Returns (id_a, id_b, cos) with cos ≥ threshold, exact-verified.
+    Precision is exact (verify step); recall is the LSH S-curve — wide-
+    angle thresholds (< ~0.8) need more tables/fewer planes."""
+    from datalake_public_spark.operators.similarity import _bucket_udf
+
+    kernel = _bucket_udf(n_tables, n_planes, dim, seed)
+    base = widen_for_compute(emb).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    hashed = base.select("id", F.posexplode(kernel(F.col("v"))).alias("tbl", "bucket"))
+    probes = hashed.select(
+        "id",
+        "tbl",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << p)).cast("int")
+                    for p in range(n_planes)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    sizes = hashed.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    ok = sizes.filter(F.col("n") <= max_bucket).select("tbl", "bucket")
+    exact_side = hashed.join(ok, ["tbl", "bucket"], "left_semi")
+    cand = (
+        probes.alias("a")
+        .join(exact_side.alias("b"), ["tbl", "bucket"])
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+        )
+        .distinct()
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", F.round(V.cosine("va", "vb"), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def simhash_clusters(
     docs: DataFrame,
     text_col: str = "text",

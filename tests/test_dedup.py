@@ -240,3 +240,60 @@ def test_lsh_recall_is_one_on_testdata(spark):
     missed = exact.exceptAll(lsh).count()
     extra = lsh.exceptAll(exact).count()
     assert missed == 0 and extra == 0, (missed, extra)
+
+
+def test_embedding_neardup_lsh_planted_duplicates(spark):
+    """The LSH scale path for embedding near-dup: on a seeded corpus with
+    planted near-identical pairs (cos ≥ .99) it must find EXACTLY the
+    exact-baseline pair set at the same threshold — full recall on
+    near-dups (4 tables × Hamming-1 probing) and exact precision (verify
+    step). Deterministic end-to-end (fixed seeds, fixed planes)."""
+    import numpy as np
+
+    from datalake_public_spark.operators.dedup import embedding_neardup_lsh
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(200, 64))
+    planted = []
+    vecs = list(base)
+    for i in range(15):  # ids 200..214 duplicate ids 0..14 with tiny noise
+        dup = base[i] + rng.normal(scale=0.01, size=64)
+        planted.append((i, 200 + len(planted)))
+        vecs.append(dup)
+    M = np.array(vecs)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    C = Mn @ Mn.T
+    exact = {
+        (i, j)
+        for i in range(len(M))
+        for j in range(i + 1, len(M))
+        if round(C[i, j], 6) >= 0.95
+    }
+    assert exact == set(planted)  # sanity: noise floor far below 0.95
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_lsh(df, threshold=0.95).collect()
+    }
+    assert got == exact
+
+
+def test_embedding_neardup_lsh_respects_bucket_cap(spark):
+    """max_bucket drops degenerate buckets (mass-duplicated embeddings)
+    instead of going quadratic — same contract as minhash_lsh_pairs."""
+    import numpy as np
+
+    from datalake_public_spark.operators.dedup import embedding_neardup_lsh
+
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=64)
+    rows = [(i, [float(x) for x in v]) for i in range(50)]  # 50 identical
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # cap below the clone count: every bucket holding the clones is dropped
+    assert embedding_neardup_lsh(df, threshold=0.9, max_bucket=10).count() == 0
+    # without the cap the full clique comes back (50*49/2 pairs)
+    assert embedding_neardup_lsh(df, threshold=0.9, max_bucket=100).count() == 1225

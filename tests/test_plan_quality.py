@@ -303,3 +303,16 @@ def test_corpus_familiarity_broadcasts_vocab(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_embedding_neardup_lsh_plan_shape(spark):
+    """Embedding LSH pair generation: candidates shuffle (tbl, bucket, id)
+    triples only, no cartesian/sort-merge joins, Arrow-batched bucket
+    kernel — the same scale contract as the minhash LSH plan."""
+    from datalake_public_spark.operators.dedup import embedding_neardup_lsh
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    p = _plan(spark, embedding_neardup_lsh(emb))
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert "ArrowEvalPython" in p
