@@ -996,10 +996,22 @@ def multimodal_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     bmp_meta = multimodal.decode_real(
         multimodal.wrap_bmp(docs), "bmp", payload_col="bmp"
     )
+    resized = multimodal.resize_bmp(multimodal.wrap_bmp(docs)).select(
+        "doc_id",
+        F.col("width").alias("rs_width"),
+        F.col("height").alias("rs_height"),
+    )
+    frames = (
+        multimodal.sample_frames(multimodal.wrap_frames(docs), every=4)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_sampled_frames"))
+    )
     return (
         meta.join(feats.drop("byte_len"), "doc_id")
         .join(wav_meta.drop("bits"), "doc_id")
         .join(bmp_meta.drop("bpp"), "doc_id")
+        .join(resized, "doc_id")
+        .join(frames, "doc_id")
     )
 
 
@@ -1026,7 +1038,10 @@ SELECT doc_id,
        CAST(strlen(text) AS INT) AS n_samples,
        CAST(16 AS INT) AS width,
        CAST(greatest(1, (strlen(text) + 47) // 48) AS INT) AS height,
-       CAST(48 * greatest(1, (strlen(text) + 47) // 48) AS INT) AS img_bytes
+       CAST(48 * greatest(1, (strlen(text) + 47) // 48) AS INT) AS img_bytes,
+       CAST(8 AS INT) AS rs_width,
+       CAST((greatest(1, (strlen(text) + 47) // 48) + 1) // 2 AS INT) AS rs_height,
+       CAST(2 AS INT) AS n_sampled_frames
 FROM b
 """
 

@@ -275,6 +275,170 @@ def _decode_bmp(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
     return df.select(id_col, payload_col).mapInPandas(dec, BMP_META_SCHEMA)
 
 
+RESIZED_SCHEMA = "doc_id long, bmp binary, width int, height int"
+
+
+def resize_bmp(
+    df: DataFrame,
+    payload_col: str = "bmp",
+    id_col: str = "doc_id",
+    *,
+    factor: int = 2,
+) -> DataFrame:
+    """REAL image resize: nearest-neighbor downsample of uncompressed
+    24-bpp BMPs by an integer factor (numpy row/col striding over the
+    pixel grid, stride re-padding, header rewrite) — the third multimodal
+    verb (decode → features → RESIZE) done with actual pixel math, no
+    codec library. Output BMPs re-parse through decode_real('bmp').
+
+    Arrow-batched mapInPandas; at 100 TB the same shape runs a thumbnail
+    pass: one Python worker per partition, one numpy op per image."""
+    import struct
+
+    import numpy as np
+
+    def rs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, ws, hs = [], [], [], []
+            for i, raw in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(raw)
+                if b[:2] != b"BM":
+                    raise ValueError(f"doc {i}: not a BMP payload")
+                offset = struct.unpack("<I", b[10:14])[0]
+                _, w, h, _, bpp, comp, _ = struct.unpack("<IiiHHII", b[14:38])[:7]
+                if comp != 0 or bpp != 24:
+                    raise ValueError(f"doc {i}: only 24-bpp BI_RGB resize")
+                stride = ((w * 3 + 3) // 4) * 4
+                px = np.frombuffer(
+                    b, dtype=np.uint8, count=stride * abs(h), offset=offset
+                ).reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+                out = px[:: factor, :: factor, :]  # nearest-neighbor (top-left)
+                oh, ow = out.shape[0], out.shape[1]
+                ostride = ((ow * 3 + 3) // 4) * 4
+                rows = np.zeros((oh, ostride), dtype=np.uint8)
+                rows[:, : ow * 3] = out.reshape(oh, ow * 3)
+                img = rows.tobytes()
+                header = (
+                    b"BM"
+                    + struct.pack("<IHHI", 14 + 40 + len(img), 0, 0, 54)
+                    + struct.pack(
+                        "<IiiHHIIiiII", 40, ow, oh if h > 0 else -oh, 1, 24, 0,
+                        len(img), 2835, 2835, 0, 0,
+                    )
+                )
+                ids.append(int(i))
+                payloads.append(header + img)
+                ws.append(ow)
+                hs.append(oh)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "bmp": payloads,
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(rs, RESIZED_SCHEMA)
+
+
+FRAMES_MAGIC = b"FRMS"
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary"
+
+
+def wrap_frames(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_frames: int = 8,
+) -> DataFrame:
+    """Test-scaffold video container: ``FRMS`` magic + u32 frame count +
+    length-prefixed BMP frames (each frame encodes one slice of the utf-8
+    text) — real media bytes for the frame-sampling path to parse, the
+    video twin of wrap_wav/wrap_bmp."""
+    import struct
+
+    def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        stride = BMP_WIDTH * 3
+
+        def bmp(data: bytes) -> bytes:
+            height = max(1, -(-len(data) // stride))
+            img = data + b"\x00" * (height * stride - len(data))
+            return (
+                b"BM"
+                + struct.pack("<IHHI", 14 + 40 + len(img), 0, 0, 54)
+                + struct.pack(
+                    "<IiiHHIIiiII", 40, BMP_WIDTH, height, 1, 24, 0, len(img),
+                    2835, 2835, 0, 0,
+                )
+                + img
+            )
+
+        for pdf in it:
+            payloads = []
+            for t in pdf[text_col]:
+                data = t.encode("utf-8")
+                step = max(1, -(-len(data) // n_frames))
+                frames = [
+                    bmp(data[k * step : (k + 1) * step]) for k in range(n_frames)
+                ]
+                body = b"".join(
+                    struct.pack("<I", len(fr)) + fr for fr in frames
+                )
+                payloads.append(FRAMES_MAGIC + struct.pack("<I", len(frames)) + body)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), "video": payloads}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(enc, f"{id_col} long, video binary")
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "video",
+    id_col: str = "doc_id",
+    *,
+    every: int = 4,
+) -> DataFrame:
+    """Frame sampling — the fourth multimodal verb: parse the FRMS
+    container and emit every ``every``-th frame as its own row
+    (doc_id, frame_idx, frame). One input row fans out to many output
+    rows inside the same Arrow batch (the shape a real video sampler
+    has: mapInPandas yielding per-frame records, so downstream per-frame
+    decode/features parallelize by repartitioning frames, not videos)."""
+    import struct
+
+    def smp(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for i, raw in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(raw)
+                if b[:4] != FRAMES_MAGIC:
+                    raise ValueError(f"doc {i}: not a FRMS container")
+                n = struct.unpack("<I", b[4:8])[0]
+                pos = 8
+                for k in range(n):
+                    (flen,) = struct.unpack("<I", b[pos : pos + 4])
+                    frame = b[pos + 4 : pos + 4 + flen]
+                    pos += 4 + flen
+                    if k % every == 0:
+                        ids.append(int(i))
+                        idxs.append(k)
+                        frames.append(frame)
+                if pos != len(b):
+                    raise ValueError(f"doc {i}: trailing bytes in FRMS container")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(smp, FRAME_SCHEMA)
+
+
 def media_metadata(docs_with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Metadata-only projection — must never touch payload bytes (column
     pruning: the scan reads just the meta struct at 100 TB)."""

@@ -121,3 +121,52 @@ def test_bmp_decode_rejects_garbage_and_compressed(spark):
 def test_video_codec_still_declared_unimplemented(spark, docs):
     with pytest.raises(NotImplementedError, match="codec"):
         multimodal.decode_real(docs.withColumn("wav", F.lit(b"")), "mp4")
+
+
+def test_resize_bmp_geometry_and_pixels(spark):
+    """resize_bmp: factor-2 nearest-neighbor keeps the top-left sample of
+    each 2x2 block; output is a valid BMP that re-parses with halved
+    geometry."""
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 96), (2, "y" * 10)], "doc_id long, text string"
+    )
+    wrapped = multimodal.wrap_bmp(docs)  # doc 1: 16x2, doc 2: 16x1
+    out = {r.doc_id: r for r in multimodal.resize_bmp(wrapped).collect()}
+    assert (out[1].width, out[1].height) == (8, 1)
+    assert (out[2].width, out[2].height) == (8, 1)
+    # resized output re-parses through the real decoder
+    resized = multimodal.resize_bmp(wrapped).select("doc_id", "bmp")
+    meta = {r.doc_id: r for r in multimodal.decode_real(resized, "bmp", payload_col="bmp").collect()}
+    assert meta[1].width == 8 and meta[1].bpp == 24
+    # pixel check: doc 1's first row is all 'x' (0x78); nearest-neighbor
+    # keeps byte triples at even pixel positions -> still all 'x'
+    raw = bytes(out[1].bmp)
+    px = np.frombuffer(raw, dtype=np.uint8, offset=54)[: 8 * 3]
+    assert set(px.tolist()) == {ord("x")}
+
+
+def test_wrap_and_sample_frames(spark):
+    """FRMS container roundtrip: 8 frames, every=4 keeps frame_idx {0,4};
+    each sampled frame is a valid BMP carrying its text slice."""
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh" * 12)], "doc_id long, text string"
+    )
+    vid = multimodal.wrap_frames(docs, n_frames=8)
+    frames = multimodal.sample_frames(vid, every=4).collect()
+    assert [(r.doc_id, r.frame_idx) for r in frames] == [(1, 0), (1, 4)]
+    one = spark.createDataFrame(
+        [(r.frame_idx, bytearray(r.frame)) for r in frames],
+        "doc_id long, bmp binary",
+    )
+    meta = multimodal.decode_real(one, "bmp", payload_col="bmp").collect()
+    assert all(m.width == 16 and m.bpp == 24 for m in meta)
+
+
+def test_sample_frames_rejects_garbage(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"AVI mystery bytes"))], "doc_id long, video binary"
+    )
+    with pytest.raises(Exception, match="FRMS"):
+        multimodal.sample_frames(df).collect()
