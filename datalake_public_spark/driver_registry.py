@@ -940,15 +940,20 @@ def _ann_invariants(approx: DataFrame, exact: DataFrame, op: str, floor_x100: in
 
 
 def similarity_ann(spark: SparkSession, sf: str) -> DataFrame:
-    """Random-hyperplane LSH top-k and IVF top-k over the embeddings
-    table, each self-verified against the exact brute-force baseline
-    (recall@10 floors: LSH 0.20, IVF 0.30). Both ANN paths shuffle
-    candidate IDs (never vectors) and re-rank exactly; see
-    operators/similarity.py for plan notes."""
+    """Random-hyperplane LSH top-k, IVF top-k, and int8-quantized
+    brute-force top-k over the embeddings table, each self-verified
+    against the exact brute-force baseline (recall@10 floors: LSH 0.20,
+    IVF 0.30, int8 0.80 — measured 0.325-0.55 / 0.45-0.55 / 0.96-1.0
+    across SFs). The ANN paths shuffle candidate IDs (never vectors) and
+    re-rank exactly; the int8 row checks the quantization storage lever
+    (4-8× less vector IO) preserves ranking; see operators/similarity.py
+    for plan notes."""
     from datalake_public_spark.operators.similarity import (
         brute_force_topk,
+        dequantize_col,
         ivf_topk,
         lsh_topk,
+        quantize_embeddings,
     )
 
     emb = _t(spark, sf, "embeddings")
@@ -956,8 +961,14 @@ def similarity_ann(spark: SparkSession, sf: str) -> DataFrame:
     exact = brute_force_topk(queries, emb, k=10)
     lsh = lsh_topk(queries, emb, k=10, n_planes=8, dim=64)
     ivf = ivf_topk(queries, emb, k=10, n_cells=16, n_probe=4)
-    return _ann_invariants(lsh, exact, "lsh", 20).unionByName(
-        _ann_invariants(ivf, exact, "ivf", 30)
+    deq = quantize_embeddings(emb).select(
+        "vec_id", dequantize_col("qvec", "scale").alias("embedding")
+    )
+    quant = brute_force_topk(deq.filter(F.col("vec_id") < 8), deq, k=10)
+    return (
+        _ann_invariants(lsh, exact, "lsh", 20)
+        .unionByName(_ann_invariants(ivf, exact, "ivf", 30))
+        .unionByName(_ann_invariants(quant, exact, "int8", 80))
     )
 
 
@@ -968,6 +979,8 @@ FROM (
     SELECT 'lsh' AS op, count(*) AS n_queries FROM embeddings WHERE vec_id < 8
     UNION ALL
     SELECT 'ivf', count(*) FROM embeddings WHERE vec_id < 8
+    UNION ALL
+    SELECT 'int8', count(*) FROM embeddings WHERE vec_id < 8
 ) t
 """
 

@@ -172,6 +172,42 @@ def lsh_topk(
     )
 
 
+def quantize_embeddings(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric int8 quantization: per-vector scale = max|x|/127,
+    components round half-up to [-127, 127] (``array<tinyint>`` — 4-8×
+    less vector IO than float32/64, THE storage/scan lever for
+    100 TB-class embedding columns). Pure Catalyst expressions, so
+    quantization runs at scan speed; cosine top-k over dequantized
+    vectors preserves recall (contract checked in the driver's
+    similarity_ann row and pinned in tests/test_similarity.py).
+
+    Returns (id, qvec array<tinyint>, scale double); reconstruct with
+    ``dequantize_col``. All-zero vectors get scale 0 and qvec of zeros."""
+    v = V.as_double(vec_col)
+    max_abs = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = (max_abs / F.lit(127.0)).alias("scale")
+    q = F.transform(
+        v,
+        lambda x: F.when(max_abs == 0, F.lit(0))
+        .otherwise(F.round(x / (max_abs / 127.0), 0).cast("int"))
+        .cast("tinyint"),
+    )
+    return emb.select(F.col(id_col), q.alias("qvec"), scale)
+
+
+def dequantize_col(qvec, scale):
+    """array<tinyint> + scale → array<double> (qvec[i] * scale)."""
+    s = F.col(scale) if isinstance(scale, str) else scale
+    return F.transform(
+        (F.col(qvec) if isinstance(qvec, str) else qvec).cast("array<double>"),
+        lambda x: x * s,
+    )
+
+
 def _train_centroids_numpy(
     vectors: list, n_cells: int, iters: int, seed: int
 ) -> "np.ndarray":

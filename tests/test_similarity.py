@@ -62,3 +62,43 @@ def test_ivf_is_deterministic(spark, emb):
     a = similarity.ivf_topk(queries, emb, k=5).collect()
     b = similarity.ivf_topk(queries, emb, k=5).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_int8_quantization_roundtrip_and_recall(spark, emb):
+    """int8 symmetric quantization: components bounded to [-127,127],
+    reconstruction error per component ≤ scale/2, and cosine top-10 over
+    dequantized vectors keeps recall ≥ 0.8 vs the exact baseline (the
+    driver row's contract; measured 0.96-1.0)."""
+    from pyspark.sql import functions as F
+
+    from datalake_public_spark.operators.similarity import (
+        brute_force_topk,
+        dequantize_col,
+        quantize_embeddings,
+    )
+
+    quant = quantize_embeddings(emb)
+    bounds = quant.select(
+        F.max(F.aggregate(
+            F.col("qvec").cast("array<int>"), F.lit(0),
+            lambda acc, x: F.greatest(acc, F.abs(x)))).alias("max_q"),
+    ).collect()[0]
+    assert bounds.max_q <= 127
+    # reconstruction error bound: |x - q*scale| <= scale/2 per component
+    joined = emb.join(quant, "vec_id").select(
+        F.max(F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                dequantize_col("qvec", "scale"),
+                lambda x, y: F.abs(x - y) - F.col("scale") / 2,
+            ),
+            F.lit(-1.0),
+            lambda acc, v: F.greatest(acc, v),
+        )).alias("worst"),
+    ).collect()[0]
+    assert joined.worst <= 1e-9
+
+    deq = quant.select("vec_id", dequantize_col("qvec", "scale").alias("embedding"))
+    exact = brute_force_topk(emb.filter(F.col("vec_id") < 8), emb, k=10)
+    approx = brute_force_topk(deq.filter(F.col("vec_id") < 8), deq, k=10)
+    assert similarity.recall_at_k(approx, exact, k=10) >= 0.8
