@@ -846,9 +846,34 @@ def text_lang_quality(spark: SparkSession, sf: str) -> DataFrame:
     list is emitted as a comma-joined string in fixed rule order so the
     driver canonicalizer can hash it; survives == (no reasons)."""
     from datalake_public_spark.operators import text
+    from datalake_public_spark.sources.readers import widen_for_compute
 
     docs = _t(spark, sf, "documents")
-    reasons = text.drop_reasons_col(
+    # Stage 1 projects every signal ONCE (the language/quality HOFs are
+    # interpreted — no codegen CSE — so re-inlining them per rule doubles
+    # the per-doc cost); stage 2 builds the rule verdict from the NAMED
+    # columns. CollapseProject keeps the stages separate for expensive
+    # multi-referenced aliases. widen_for_compute is load-bearing too:
+    # a small parquet file arrives as ONE split, which serialized the
+    # whole corpus onto one core (measured 32.6s → 2.2s at sf0.1).
+    _, _, dup_c, top_c = text.repetition_cols()
+    sig = widen_for_compute(docs).select(
+        F.col("doc_id"),
+        *text.language_cols(),
+        F.col("n_chars"),
+        *text.quality_cols(),
+        F.length("text").alias("_len"),
+        F.size(T_tokens_for_registry()).alias("_n_ws"),
+        dup_c.alias("_dup"),
+        top_c.alias("_top"),
+    )
+    reasons = text.drop_reasons_from_signals(
+        F.col("_len"),
+        F.col("_n_ws"),
+        F.col("_dup"),
+        F.col("_top"),
+        F.col("quality"),
+        F.col("pred_lang"),
         min_chars=_QF_MIN_CHARS,
         min_tokens=_QF_MIN_TOKENS,
         max_dup_ngram_frac=_QF_MAX_DUP,
@@ -856,14 +881,30 @@ def text_lang_quality(spark: SparkSession, sf: str) -> DataFrame:
         min_quality=_QF_MIN_QUALITY,
         langs=_QF_LANGS,
     )
-    return docs.select(
-        F.col("doc_id"),
-        *text.language_cols(),
-        F.col("n_chars"),
-        *text.quality_cols(),
+    return sig.select(
+        "doc_id",
+        "pred_lang",
+        *[f"hits_{lang}" for lang in _lang_markers()],
+        "n_chars",
+        "n_tokens",
+        "uniq_ratio",
+        "mean_tok_len",
+        "quality",
         F.array_join(reasons, ",").alias("drop_reasons_csv"),
         (F.size(reasons) == 0).alias("survives"),
     )
+
+
+def T_tokens_for_registry():
+    from datalake_public_spark.functions import text_funcs as T
+
+    return T.tokens("text")
+
+
+def _lang_markers():
+    from datalake_public_spark.functions.text_funcs import LANG_MARKERS
+
+    return LANG_MARKERS
 
 
 def _text_lang_quality_sql() -> str:

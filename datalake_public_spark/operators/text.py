@@ -218,6 +218,42 @@ def quality_filter(
     return wide.filter(F.size(reasons) == 0)
 
 
+def drop_reasons_from_signals(
+    n_chars_sig,
+    n_ws_tokens,
+    dup_frac,
+    top_frac,
+    quality,
+    pred_lang,
+    *,
+    min_chars: int = 50,
+    min_tokens: int = 10,
+    max_dup_ngram_frac: float = 0.3,
+    max_top_token_frac: float = 0.2,
+    min_quality: float = 0.3,
+    langs: tuple[str, ...] | None = None,
+):
+    """Drop-rule tags from caller-supplied signal Columns — callers that
+    already project the signals (e.g. the driver's merged text row) pass
+    their named columns, so the expensive interpreted-HOF signals are
+    evaluated ONCE instead of re-inlined per rule."""
+    rules = [
+        (n_chars_sig < min_chars, f"too_short_chars<{min_chars}"),
+        (n_ws_tokens < min_tokens, f"too_short_tokens<{min_tokens}"),
+        (dup_frac > max_dup_ngram_frac, "repetitive_ngrams"),
+        (top_frac > max_top_token_frac, "modal_token_mass"),
+        (quality < min_quality, "low_quality_score"),
+    ]
+    if langs is not None:
+        rules.append((~pred_lang.isin(*langs), "lang_not_allowed"))
+    # NULL predicate (NULL text/signal) counts as a drop, not a pass
+    return F.array_compact(
+        F.array(
+            *[F.when(F.coalesce(cond, F.lit(True)), F.lit(tag)) for cond, tag in rules]
+        )
+    )
+
+
 def drop_reasons_col(
     text_col: str = "text",
     *,
@@ -230,27 +266,24 @@ def drop_reasons_col(
 ):
     """The drop-rule audit expression behind quality_filter: an array of
     violated-rule tags (empty = survivor), rule order fixed, NULL
-    predicates counted as violations. Exposed so callers (e.g. the driver
-    registry) can fold the filter verdict into an existing single-pass
-    projection."""
-    n_chars_sig = F.length(F.col(text_col))
-    n_ws_tokens = F.size(T.tokens(text_col))
+    predicates counted as violations. Signals are built inline from
+    ``text_col`` (each evaluated once — every rule uses a distinct
+    signal); callers that already project the signals should use
+    drop_reasons_from_signals instead."""
     _, _, dup_frac, top_frac = repetition_cols(text_col)
-    quality = quality_cols(text_col)[3]
-    rules = [
-        (n_chars_sig < min_chars, f"too_short_chars<{min_chars}"),
-        (n_ws_tokens < min_tokens, f"too_short_tokens<{min_tokens}"),
-        (dup_frac > max_dup_ngram_frac, "repetitive_ngrams"),
-        (top_frac > max_top_token_frac, "modal_token_mass"),
-        (quality < min_quality, "low_quality_score"),
-    ]
-    if langs is not None:
-        rules.append((~T.language_id(text_col).isin(*langs), "lang_not_allowed"))
-    # NULL predicate (NULL text/signal) counts as a drop, not a pass
-    return F.array_compact(
-        F.array(
-            *[F.when(F.coalesce(cond, F.lit(True)), F.lit(tag)) for cond, tag in rules]
-        )
+    return drop_reasons_from_signals(
+        F.length(F.col(text_col)),
+        F.size(T.tokens(text_col)),
+        dup_frac,
+        top_frac,
+        quality_cols(text_col)[3],
+        T.language_id(text_col),
+        min_chars=min_chars,
+        min_tokens=min_tokens,
+        max_dup_ngram_frac=max_dup_ngram_frac,
+        max_top_token_frac=max_top_token_frac,
+        min_quality=min_quality,
+        langs=langs,
     )
 
 
