@@ -44,12 +44,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query. Omitted
-    (rows-only check) for: similarity_ann (approximate by design —
-    recall floors vs the exact baseline asserted in tests),
-    ml_kmeans_embeddings (iterative MLlib fit), and approx_sketches
-    (sketch values are implementation-specific; accuracy bounds
-    asserted in tests). dedup_minhash_lsh IS oracled: its verified
-    exact-Jaccard output deterministically equals the n-gram baseline
-    on this corpus (see its docstring)."""
+    """DuckDB-equivalent SQL for ALL 50 queries (round 3): deterministic
+    queries carry exact value oracles; the approximate/iterative ops
+    (similarity_ann, ml_kmeans_embeddings, approx_sketches) carry
+    invariant oracles — the Spark side computes the exact answer in the
+    same pass and emits checked booleans/counts that the SQL reproduces
+    as literals (recall floors, error bounds, cluster-structure
+    invariants; see each query's docstring). dedup_minhash_lsh's exact
+    oracle relies on banding recall == 1 on this corpus, guarded by
+    tests/test_dedup.py::test_lsh_recall_is_one_on_testdata."""
     return {name: spec.oracle for name, spec in _ALL.items() if spec.oracle is not None}
