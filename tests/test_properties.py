@@ -1,0 +1,212 @@
+"""Property-based tests (hypothesis) for the cross-engine determinism
+foundations. Every driver oracle rests on these contracts:
+
+  * functions/arith exact half-up ratios == Decimal ROUND_HALF_UP, Spark
+    and DuckDB twins agreeing bit-for-bit;
+  * PII redaction producing byte-identical strings under Java regex and
+    RE2;
+  * media encoders/decoders roundtripping arbitrary text payloads;
+  * the Arrow text kernels matching the Catalyst spec on adversarial
+    unicode.
+
+Examples are generated as BATCHES (one Spark job per hypothesis example,
+each carrying many rows) so the suite stays fast."""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SET = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# texts that stress tokenization/regex/encoding: ascii words, digits,
+# punctuation, unicode, whitespace runs, empties
+TEXTS = st.lists(
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_characters="\x00"
+        ),
+        max_size=120,
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400_000_000),
+            st.integers(min_value=0, max_value=400_000_000),
+        ),
+        min_size=1,
+        max_size=100,
+    ),
+    digits=st.sampled_from([4, 6]),
+)
+@SET
+def test_int_ratio_half_up_matches_decimal_both_engines(spark, pairs, digits):
+    """Spark expression AND DuckDB twin == Decimal ROUND_HALF_UP for any
+    in-range integer ratio (the hazard class behind every per-doc ratio
+    oracle)."""
+    from pyspark.sql import functions as F
+
+    from datalake_public_spark.functions.arith import (
+        int_ratio_half_up,
+        int_ratio_half_up_sql,
+    )
+
+    def expect(n, d):
+        if d == 0:
+            return None
+        q = (Decimal(n) / Decimal(d)).quantize(
+            Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP
+        )
+        return float(q)
+
+    df = spark.createDataFrame(pairs, "n long, d long").select(
+        "n", "d", int_ratio_half_up(F.col("n"), F.col("d"), digits).alias("r")
+    )
+    for row in df.collect():
+        assert row.r == expect(row.n, row.d), (row.n, row.d, digits)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (n BIGINT, d BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", pairs)
+    sql = int_ratio_half_up_sql("n", "d", digits)
+    for n, d, r in con.execute(f"SELECT n, d, {sql} FROM t").fetchall():
+        assert r == expect(n, d), (n, d, digits)
+
+
+@given(texts=TEXTS)
+@SET
+def test_pii_redaction_cross_engine_identical(spark, texts):
+    """Redacted strings are byte-identical between Spark (Java regex) and
+    DuckDB (RE2) for arbitrary unicode — the contract behind the
+    text_stats redacted_md5 oracle column."""
+    from datalake_public_spark.operators.text import (
+        _PII_ORDER,
+        PII_PATTERNS,
+        redact_pii,
+    )
+
+    rows = list(enumerate(texts))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in redact_pii(docs).collect()}
+
+    con = duckdb.connect()
+    expr = "t"
+    for k in _PII_ORDER:
+        expr = f"regexp_replace({expr}, '{PII_PATTERNS[k]}', '[{k.upper()}]', 'g')"
+    for i, t in rows:
+        expect = con.execute(f"SELECT {expr} FROM (SELECT ? AS t)", [t]).fetchone()[0]
+        assert got[i] == expect, (t, got[i], expect)
+
+
+@given(texts=TEXTS)
+@SET
+def test_bmp_wrap_decode_resize_roundtrip(spark, texts):
+    """For ANY utf-8 payload: wrap_bmp produces a parseable BMP with the
+    documented geometry, and resize_bmp halves it (ceil) into another
+    parseable BMP."""
+    from datalake_public_spark.operators import multimodal
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wrapped = multimodal.wrap_bmp(docs)
+    meta = {
+        r.doc_id: r
+        for r in multimodal.decode_real(wrapped, "bmp", payload_col="bmp").collect()
+    }
+    rs = {
+        r.doc_id: r
+        for r in multimodal.resize_bmp(wrapped).collect()
+    }
+    for i, t in rows:
+        n = len(t.encode("utf-8"))
+        h = max(1, -(-n // 48))
+        assert (meta[i].width, meta[i].height, meta[i].img_bytes) == (16, h, 48 * h)
+        assert (rs[i].width, rs[i].height) == (8, (h + 1) // 2)
+
+
+@given(texts=TEXTS)
+@SET
+def test_text_kernels_match_catalyst_spec(spark, texts):
+    """Arrow fingerprint/simhash kernels == the pure-Catalyst spec
+    expressions on adversarial unicode (the r2 equivalence, now
+    property-tested)."""
+    from datalake_public_spark.operators.text import fingerprint
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = {r.doc_id: (r.fingerprint, r.simhash) for r in fingerprint(docs).collect()}
+    spec = {
+        r.doc_id: (r.fingerprint, r.simhash)
+        for r in fingerprint(docs, use_arrow=False).collect()
+    }
+    assert fast == spec
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SET
+def test_int8_quantization_error_bound(spark, vecs):
+    """For ANY finite vector: quantized components stay in [-127, 127]
+    and reconstruction error per component is ≤ scale/2 + ulp slack."""
+    from pyspark.sql import functions as F
+
+    from datalake_public_spark.operators.similarity import (
+        dequantize_col,
+        quantize_embeddings,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = quantize_embeddings(emb)
+    out = emb.join(q, "vec_id").select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            F.col("qvec").cast("array<int>"),
+            F.lit(0),
+            lambda acc, x: F.greatest(acc, F.abs(x)),
+        ).alias("max_q"),
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                dequantize_col("qvec", "scale"),
+                lambda x, y: F.abs(x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: F.greatest(acc, v),
+        ).alias("worst_err"),
+    )
+    for r in out.collect():
+        assert r.max_q <= 127, r
+        assert r.worst_err <= r.scale / 2 + 1e-9 * max(1.0, r.scale), r
+
+
+if __name__ == "__main__":  # pragma: no cover
+    pytest.main([__file__, "-q"])
