@@ -66,16 +66,26 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
 """
 
 
-def range_join(spark: SparkSession, sf: str) -> DataFrame:
-    """Band/range join: events bucketed against a generated table of
-    [lo, hi) value ranges. The range side is tiny → broadcast; Spark
-    plans BroadcastNestedLoopJoin with the band predicate pushed into
-    the probe — no shuffle of the fact side at all."""
-    ev = _events(spark, sf)
-    ranges = spark.range(10).select(
+def _range_table(spark: SparkSession) -> DataFrame:
+    return spark.range(10).select(
         (F.col("id") * 50.0).alias("lo"), ((F.col("id") + 1) * 50.0).alias("hi")
     )
-    return (
+
+
+def range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Band/range join BOTH ways, op-tagged: 'broadcast' is the
+    small-range-side plan (BroadcastNestedLoopJoin, band predicate pushed
+    into the probe — no fact shuffle); 'binned' is the SCALE path for
+    large range tables (operators/joins.binned_range_join: explode ranges
+    to covered bins → hash EQUI-join on bin → residual re-check — what
+    you run when neither side broadcasts and a nested loop would be
+    quadratic). Identical results by construction; the oracle checks
+    both tags against the same theta-join SQL."""
+    from datalake_public_spark.operators.joins import binned_range_join
+
+    ev = _events(spark, sf)
+    ranges = _range_table(spark)
+    bcast = (
         ev.join(
             F.broadcast(ranges),
             (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
@@ -85,17 +95,33 @@ def range_join(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
+        .withColumn("op", F.lit("broadcast"))
     )
+    binned = (
+        binned_range_join(ev, ranges, value_col="value", bin_width=50.0)
+        .groupBy("lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .withColumn("op", F.lit("binned"))
+    )
+    return bcast.unionByName(binned)
 
 
 RANGE_JOIN_SQL = """
-SELECT lo, hi, count(*) AS n_events, round(sum(value), 2) AS sum_value
-FROM events
-JOIN (SELECT CAST(id * 50.0 AS DOUBLE) AS lo,
-             CAST((id + 1) * 50.0 AS DOUBLE) AS hi
-      FROM range(10) t(id)) r
-  ON value >= lo AND value < hi
-GROUP BY lo, hi
+WITH agg AS (
+  SELECT lo, hi, count(*) AS n_events, round(sum(value), 2) AS sum_value
+  FROM events
+  JOIN (SELECT CAST(id * 50.0 AS DOUBLE) AS lo,
+               CAST((id + 1) * 50.0 AS DOUBLE) AS hi
+        FROM range(10) t(id)) r
+    ON value >= lo AND value < hi
+  GROUP BY lo, hi
+)
+SELECT lo, hi, n_events, sum_value, 'broadcast' AS op FROM agg
+UNION ALL
+SELECT lo, hi, n_events, sum_value, 'binned' FROM agg
 """
 
 

@@ -107,3 +107,45 @@ def test_salted_join_equals_plain(spark):
     want = li.join(o, "l_orderkey")
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_binned_range_join_equivalence_and_plan(spark):
+    """binned_range_join == naive theta join on random overlapping
+    ranges (boundary values, negatives, degenerate hi<=lo), and it
+    plans as a hash EQUI join on the bin key — never a nested loop —
+    even when broadcasting is disabled (the large-range-side regime)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from datalake_public_spark.operators.joins import binned_range_join
+
+    rng = random.Random(11)
+    facts = spark.createDataFrame(
+        [(i, rng.uniform(-120, 320)) for i in range(500)]
+        + [(1000, 0.0), (1001, 50.0), (1002, -50.0)],  # exact boundaries
+        "fact_id long, value double",
+    )
+    ranges = spark.createDataFrame(
+        [(j, rng.uniform(-100, 250), rng.uniform(10, 140)) for j in range(30)]
+        + [(100, 50.0, 50.0)],  # degenerate: hi == lo matches nothing
+        "range_id long, lo double, width double",
+    ).select("range_id", "lo", (F.col("lo") + F.col("width") - 10).alias("hi"))
+
+    naive = facts.join(
+        ranges, (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    )
+    binned = binned_range_join(facts, ranges, bin_width=37.0)
+    expect = {(r.fact_id, r.range_id) for r in naive.collect()}
+    got = {(r.fact_id, r.range_id) for r in binned.collect()}
+    assert got == expect and len(got) > 100
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = binned_range_join(facts, ranges, bin_width=37.0)._jdf.queryExecution() \
+            .explainString(spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+        assert "SortMergeJoin [_bin" in p or "ShuffledHashJoin [_bin" in p, p
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
