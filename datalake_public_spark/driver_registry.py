@@ -726,12 +726,16 @@ FROM ({_weighted_sample_sql()}) w
 def dataset_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """Train/val/test hash-split assignment (grouped counts per
     (split, lang)) + context-window sequence packing (docs laid
-    end-to-end per source, 2048-token bins) — the two dataset-assembly
-    steps between a cleaned corpus and a dataloader. Tagged union."""
+    end-to-end per source, 2048-token bins) + overlapping token-window
+    CHUNKING of long docs (64-token windows, 8-token overlap; grouped
+    per chunk index) — the dataset-assembly steps between a cleaned
+    corpus and a dataloader. Tagged union."""
     from datalake_public_spark.driver_queries_adv import (
         dataset_split,
         sequence_packing,
     )
+    from datalake_public_spark.operators.sampling import chunk_documents
+    from datalake_public_spark.sources.readers import widen_for_compute
 
     s = dataset_split(spark, sf).select(
         F.lit("split").alias("op"),
@@ -747,7 +751,22 @@ def dataset_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_docs"),
         F.col("sum_tokens").alias("total"),
     )
-    return s.unionByName(p)
+    c = (
+        chunk_documents(widen_for_compute(_t(spark, sf, "documents")))
+        .groupBy("chunk_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chunk_tokens").alias("total"),
+        )
+        .select(
+            F.lit("chunk").alias("op"),
+            F.col("chunk_idx").cast("string").alias("k1"),
+            F.lit(None).cast("string").alias("k2"),
+            "n_docs",
+            "total",
+        )
+    )
+    return s.unionByName(p).unionByName(c)
 
 
 def _dataset_pipeline_sql() -> str:
@@ -755,13 +774,37 @@ def _dataset_pipeline_sql() -> str:
         _dataset_split_sql,
         _sequence_packing_sql,
     )
+    from datalake_public_spark.driver_queries_llm import _TOKS
 
+    # chunk twin: DuckDB range() excludes the stop, list slicing is
+    # 1-based inclusive — same windows as F.sequence + F.slice
+    chunk_sql = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+           WHERE text IS NOT NULL),
+st AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks), 1) + 1, 56)) AS s
+  FROM t
+),
+ch AS (
+  SELECT doc_id, CAST((s - 1) // 56 AS INT) AS chunk_idx,
+         len(toks[s : s + 63]) AS n_chunk_tokens
+  FROM st
+)
+SELECT chunk_idx, count(*) AS n_docs,
+       CAST(sum(n_chunk_tokens) AS BIGINT) AS total
+FROM ch GROUP BY chunk_idx
+"""
     return f"""
 SELECT 'split' AS op, split AS k1, lang AS k2, n_docs, sum_chars AS total
 FROM ({_dataset_split_sql()}) s
 UNION ALL
 SELECT 'pack', source, CAST(bin AS VARCHAR), n_docs, sum_tokens
 FROM ({_sequence_packing_sql()}) p
+UNION ALL
+SELECT 'chunk', CAST(chunk_idx AS VARCHAR), CAST(NULL AS VARCHAR),
+       n_docs, total
+FROM ({chunk_sql}) c
 """
 
 

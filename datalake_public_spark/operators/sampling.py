@@ -134,6 +134,50 @@ def weighted_sample(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    dataset-assembly step for training on documents longer than the
+    context window (sliding window with ``overlap`` tokens of shared
+    context between consecutive chunks; contrast pack_sequences, which
+    bins WHOLE short docs).
+
+    Returns one row per chunk: (id, chunk_idx, chunk_text,
+    n_chunk_tokens). Chunk boundaries are a pure function of the token
+    count — posexplode over a start-offset sequence, slice, re-join —
+    so chunking is a single scan-speed projection, embarrassingly
+    parallel, no shuffle. Docs with NULL text produce no chunks."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    from datalake_public_spark.functions import text_funcs as T
+
+    step = max_tokens - overlap
+    toks = T.tokens(text_col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(step))
+    # explicit: greatest() SKIPS nulls (greatest(NULL,1)=1 in both Spark
+    # and DuckDB), so a NULL text would otherwise yield one junk chunk
+    docs = docs.filter(F.col(text_col).isNotNull())
+    chunked = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.posexplode(starts).alias("chunk_idx", "_start"),
+    )
+    chunk = F.slice(T.tokens(text_col), F.col("_start"), max_tokens)
+    return chunked.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_chunk_tokens"),
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     *,

@@ -317,3 +317,36 @@ def test_corpus_familiarity_signals(spark):
     assert out[1].familiarity == 3.0 and out[1].oov_frac == 0.0
     assert out[2].familiarity == 3.0
     assert out[3].n_oov == 4 and out[3].oov_frac == 1.0 and out[3].familiarity == 0.0
+
+
+def test_chunk_documents_windows(spark):
+    """chunk_documents: sliding token windows with overlap — boundaries,
+    chunk indices, shared-context tokens, and short-doc behavior all
+    exact on a crafted corpus."""
+    from datalake_public_spark.operators.sampling import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    docs = spark.createDataFrame(
+        [(1, words), (2, "tiny doc"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = [
+        (r.doc_id, r.chunk_idx, r.chunk_text, r.n_chunk_tokens)
+        for r in chunk_documents(docs, max_tokens=4, overlap=1)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    ]
+    # step = 3: starts 1,4,7,10 → windows [w0..w3],[w3..w6],[w6..w9],[w9]
+    assert out == [
+        (1, 0, "w0 w1 w2 w3", 4),
+        (1, 1, "w3 w4 w5 w6", 4),
+        (1, 2, "w6 w7 w8 w9", 4),
+        (1, 3, "w9", 1),
+        (2, 0, "tiny doc", 2),
+    ]
+    # consecutive chunks share exactly `overlap` tokens
+    assert out[0][2].split()[-1] == out[1][2].split()[0]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, max_tokens=4, overlap=4)
