@@ -888,6 +888,7 @@ def text_lang_quality(spark: SparkSession, sf: str) -> DataFrame:
     select (round-3 collapse of the grain-key joins). The drop-reason
     list is emitted as a comma-joined string in fixed rule order so the
     driver canonicalizer can hash it; survives == (no reasons)."""
+    from datalake_public_spark.functions import text_funcs as T
     from datalake_public_spark.operators import text
     from datalake_public_spark.sources.readers import widen_for_compute
 
@@ -906,7 +907,7 @@ def text_lang_quality(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_chars"),
         *text.quality_cols(),
         F.length("text").alias("_len"),
-        F.size(T_tokens_for_registry()).alias("_n_ws"),
+        F.size(T.tokens("text")).alias("_n_ws"),
         dup_c.alias("_dup"),
         top_c.alias("_top"),
     )
@@ -927,7 +928,7 @@ def text_lang_quality(spark: SparkSession, sf: str) -> DataFrame:
     return sig.select(
         "doc_id",
         "pred_lang",
-        *[f"hits_{lang}" for lang in _lang_markers()],
+        *[f"hits_{lang}" for lang in T.LANG_MARKERS],
         "n_chars",
         "n_tokens",
         "uniq_ratio",
@@ -937,17 +938,6 @@ def text_lang_quality(spark: SparkSession, sf: str) -> DataFrame:
         (F.size(reasons) == 0).alias("survives"),
     )
 
-
-def T_tokens_for_registry():
-    from datalake_public_spark.functions import text_funcs as T
-
-    return T.tokens("text")
-
-
-def _lang_markers():
-    from datalake_public_spark.functions.text_funcs import LANG_MARKERS
-
-    return LANG_MARKERS
 
 
 def _text_lang_quality_sql() -> str:
