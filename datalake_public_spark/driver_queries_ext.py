@@ -80,38 +80,41 @@ def range_join(spark: SparkSession, sf: str) -> DataFrame:
     to covered bins → hash EQUI-join on bin → residual re-check — what
     you run when neither side broadcasts and a nested loop would be
     quadratic). Identical results by construction; the oracle checks
-    both tags against the same theta-join SQL."""
+    both tags against the same theta-join SQL. The value aggregate is
+    integer cents (per-row half-up to cents, then exact integer sum) —
+    summing doubles in two differently-planned branches and rounding
+    the totals would be sum-order-dependent at a half-cent boundary
+    (review finding r3; same hazard class as NOTES_r3's bucketed-q5
+    float note)."""
     from datalake_public_spark.operators.joins import binned_range_join
 
     ev = _events(spark, sf)
     ranges = _range_table(spark)
-    bcast = (
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+
+    def agg(joined):
+        return joined.groupBy("lo", "hi").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("sum_cents"),
+        )
+
+    bcast = agg(
         ev.join(
             F.broadcast(ranges),
             (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
         )
-        .groupBy("lo", "hi")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
-        .withColumn("op", F.lit("broadcast"))
-    )
-    binned = (
+    ).withColumn("op", F.lit("broadcast"))
+    binned = agg(
         binned_range_join(ev, ranges, value_col="value", bin_width=50.0)
-        .groupBy("lo", "hi")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
-        .withColumn("op", F.lit("binned"))
-    )
+    ).withColumn("op", F.lit("binned"))
     return bcast.unionByName(binned)
 
 
 RANGE_JOIN_SQL = """
 WITH agg AS (
-  SELECT lo, hi, count(*) AS n_events, round(sum(value), 2) AS sum_value
+  SELECT lo, hi, count(*) AS n_events,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_cents
   FROM events
   JOIN (SELECT CAST(id * 50.0 AS DOUBLE) AS lo,
                CAST((id + 1) * 50.0 AS DOUBLE) AS hi
@@ -119,9 +122,9 @@ WITH agg AS (
     ON value >= lo AND value < hi
   GROUP BY lo, hi
 )
-SELECT lo, hi, n_events, sum_value, 'broadcast' AS op FROM agg
+SELECT lo, hi, n_events, sum_cents, 'broadcast' AS op FROM agg
 UNION ALL
-SELECT lo, hi, n_events, sum_value, 'binned' FROM agg
+SELECT lo, hi, n_events, sum_cents, 'binned' FROM agg
 """
 
 

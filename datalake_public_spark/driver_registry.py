@@ -631,17 +631,22 @@ def approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
     hash); a production plan runs the sketch columns alone.
 
     Bound rationale: rsd=0.02 → ±10% (5σ) on distinct counts;
-    accuracy=10000 → rank error ≤ n/10000 ≈ 0.2 rows at sf0.01, so each
-    approx percentile must land between the exact quantiles ±0.05 around
-    its target rank."""
+    accuracy=10000 → rank error < 1 row for any group under 10k rows
+    (and ≤ n/10000 beyond), so each approx percentile must land between
+    the exact ORDER STATISTICS ±0.05-rank around its target. The bounds
+    are order stats (max-accuracy percentile_approx = exact data
+    points), NOT interpolating percentile(): an interpolated lower bound
+    exceeds the lower data point on small/even groups, which would make
+    the TRUE-literal oracle falsifiable for a rare event_type (review
+    finding r3)."""
     ev = _events(spark, sf)
     agg = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("pcts"),
-        F.expr(
-            "percentile(value, array(0.45, 0.55, 0.90, 0.94, 1.0))"
+        F.percentile_approx(
+            "value", [0.40, 0.60, 0.90, 0.94, 1.0], 2147483647
         ).alias("exact_q"),
     )
     p = lambda i: F.element_at("pcts", i)  # noqa: E731

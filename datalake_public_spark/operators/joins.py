@@ -41,6 +41,12 @@ def binned_range_join(
     (hi ≤ lo) match nothing and are dropped before the explode."""
     if how != "inner":
         raise ValueError("binned_range_join supports inner joins only")
+    taken = set(facts.columns) | set(ranges.columns)
+    if "_bin" in taken:
+        raise ValueError(
+            "inputs already carry a '_bin' column — rename it; the join "
+            "key would silently shadow and then drop it"
+        )
     w = float(bin_width)
     fact_b = facts.withColumn("_bin", F.floor(F.col(value_col) / w))
     # last covered bin: ceil(hi/w) - 1 handles both boundary-aligned and

@@ -312,8 +312,16 @@ def resize_bmp(
                 px = np.frombuffer(
                     b, dtype=np.uint8, count=stride * abs(h), offset=offset
                 ).reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
-                out = px[:: factor, :: factor, :]  # nearest-neighbor (top-left)
+                # positive-height BMPs store rows bottom-up: flip to
+                # VISUAL order before striding so nearest-neighbor is
+                # top-left anchored (striding stored order would anchor
+                # at the bottom for even heights — review finding r3),
+                # then flip back to the stored order for re-encoding
+                visual = px[::-1] if h > 0 else px
+                out = visual[::factor, ::factor, :]  # nearest-neighbor (top-left)
                 oh, ow = out.shape[0], out.shape[1]
+                if h > 0:
+                    out = out[::-1]
                 ostride = ((ow * 3 + 3) // 4) * 4
                 rows = np.zeros((oh, ostride), dtype=np.uint8)
                 rows[:, : ow * 3] = out.reshape(oh, ow * 3)

@@ -169,12 +169,20 @@ def chunk_documents(
         F.col(text_col),
         F.posexplode(starts).alias("chunk_idx", "_start"),
     )
-    chunk = F.slice(T.tokens(text_col), F.col("_start"), max_tokens)
-    return chunked.select(
+    # stage the sliced array under a name: tokenize+slice is an
+    # interpreted chain with no codegen CSE, so referencing it from both
+    # chunk_text and n_chunk_tokens in one projection would tokenize the
+    # full document twice per chunk row (review finding r3)
+    sliced = chunked.select(
         F.col(id_col),
         F.col("chunk_idx"),
-        F.array_join(chunk, " ").alias("chunk_text"),
-        F.size(chunk).alias("n_chunk_tokens"),
+        F.slice(T.tokens(text_col), F.col("_start"), max_tokens).alias("_chunk"),
+    )
+    return sliced.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.array_join("_chunk", " ").alias("chunk_text"),
+        F.size("_chunk").alias("n_chunk_tokens"),
     )
 
 

@@ -186,17 +186,28 @@ def quantize_embeddings(
     similarity_ann row and pinned in tests/test_similarity.py).
 
     Returns (id, qvec array<tinyint>, scale double); reconstruct with
-    ``dequantize_col``. All-zero vectors get scale 0 and qvec of zeros."""
+    ``dequantize_col``. All-zero vectors get scale 0 and qvec of zeros.
+
+    Two-stage projection on purpose: the max|x| aggregate is an
+    interpreted HOF with no codegen CSE, so referencing it inside the
+    per-element transform lambda would re-run the full-vector aggregate
+    per component (O(dim²) per vector — review finding r3). Stage 1
+    computes ``scale`` once under a name; stage 2's lambda references
+    the named column."""
     v = V.as_double(vec_col)
     max_abs = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
-    scale = (max_abs / F.lit(127.0)).alias("scale")
+    staged = emb.select(
+        F.col(id_col),
+        v.alias("_v"),
+        (max_abs / F.lit(127.0)).alias("scale"),
+    )
     q = F.transform(
-        v,
-        lambda x: F.when(max_abs == 0, F.lit(0))
-        .otherwise(F.round(x / (max_abs / 127.0), 0).cast("int"))
+        F.col("_v"),
+        lambda x: F.when(F.col("scale") == 0, F.lit(0))
+        .otherwise(F.round(x / F.col("scale"), 0).cast("int"))
         .cast("tinyint"),
     )
-    return emb.select(F.col(id_col), q.alias("qvec"), scale)
+    return staged.select(F.col(id_col), q.alias("qvec"), "scale")
 
 
 def dequantize_col(qvec, scale):

@@ -124,27 +124,31 @@ def test_video_codec_still_declared_unimplemented(spark, docs):
 
 
 def test_resize_bmp_geometry_and_pixels(spark):
-    """resize_bmp: factor-2 nearest-neighbor keeps the top-left sample of
-    each 2x2 block; output is a valid BMP that re-parses with halved
-    geometry."""
+    """resize_bmp: factor-2 nearest-neighbor keeps the VISUAL top-left
+    sample of each 2x2 block (BMP rows are stored bottom-up — striding
+    stored order would bottom-anchor even heights); output is a valid
+    BMP that re-parses with halved geometry."""
     import numpy as np
 
+    # stored rows a,b,c,d = visual rows d,c,b,a (bottom-up format)
     docs = spark.createDataFrame(
-        [(1, "x" * 96), (2, "y" * 10)], "doc_id long, text string"
+        [(1, "a" * 48 + "b" * 48 + "c" * 48 + "d" * 48), (2, "y" * 10)],
+        "doc_id long, text string",
     )
-    wrapped = multimodal.wrap_bmp(docs)  # doc 1: 16x2, doc 2: 16x1
+    wrapped = multimodal.wrap_bmp(docs)  # doc 1: 16x4, doc 2: 16x1
     out = {r.doc_id: r for r in multimodal.resize_bmp(wrapped).collect()}
-    assert (out[1].width, out[1].height) == (8, 1)
+    assert (out[1].width, out[1].height) == (8, 2)
     assert (out[2].width, out[2].height) == (8, 1)
     # resized output re-parses through the real decoder
     resized = multimodal.resize_bmp(wrapped).select("doc_id", "bmp")
     meta = {r.doc_id: r for r in multimodal.decode_real(resized, "bmp", payload_col="bmp").collect()}
     assert meta[1].width == 8 and meta[1].bpp == 24
-    # pixel check: doc 1's first row is all 'x' (0x78); nearest-neighbor
-    # keeps byte triples at even pixel positions -> still all 'x'
+    # visual rows are d,c,b,a → top-left anchor keeps visual d,b; stored
+    # back bottom-up the output rows are b (bottom, first) then d
     raw = bytes(out[1].bmp)
-    px = np.frombuffer(raw, dtype=np.uint8, offset=54)[: 8 * 3]
-    assert set(px.tolist()) == {ord("x")}
+    rows = np.frombuffer(raw, dtype=np.uint8, offset=54).reshape(2, 24)
+    assert set(rows[0].tolist()) == {ord("b")}
+    assert set(rows[1].tolist()) == {ord("d")}
 
 
 def test_wrap_and_sample_frames(spark):
