@@ -85,3 +85,19 @@ def test_coverage_doc_names_every_registry_entry():
         doc = f.read()
     missing = [n for n in FINAL_REGISTRY if n not in doc]
     assert not missing, f"COVERAGE.md missing registry entries: {missing}"
+
+
+def test_no_registry_query_emits_array_or_map_columns(spark):
+    """The driver's canonicalizer cannot hash array/map cells — this has
+    now bitten twice (p8 in r1, approx_sketches in r2). Institutional
+    guard: every FINAL_REGISTRY query's output schema must be scalar-only
+    (lists → fixed-order array_join strings). Schema-only check: builds
+    every plan, executes nothing."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, spec in FINAL_REGISTRY.items():
+        for f in spec.spark(spark, SF_SMOKE).schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, offenders
