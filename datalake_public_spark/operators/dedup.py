@@ -293,6 +293,83 @@ def minhash_lsh_pairs(
     return verified
 
 
+def fuzzy_join_minhash(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """CROSS-TABLE fuzzy join on text similarity — the entity-resolution /
+    new-crawl-vs-existing-corpus matcher: find (left, right) pairs whose
+    n-gram Jaccard ≥ threshold without the |L|×|R| cross join.
+
+    Same banding scheme as minhash_lsh_pairs (identical signatures, so a
+    row matches across tables exactly when it would match within one);
+    candidates come from joining the two sides' (band, key) buckets,
+    then exact-Jaccard verification on the shingle sets. Buckets larger
+    than ``max_bucket`` on either side are dropped (degenerate
+    boilerplate — run exact_dedup per side first, as near_dedup_pipeline
+    does). Returns (left_id, right_id, jaccard) with exact precision;
+    recall follows the LSH S-curve (≥1-(1-j^r)^bands per pair).
+
+    Scale: shuffles (band, key, id) triples + the candidate pairs'
+    shingle sets — never the full text columns, never a cross join."""
+    r = num_perm // bands
+
+    def prep(df, side):
+        sigs = minhash_signatures(
+            df, text_col, id_col, shingle_n=shingle_n, num_perm=num_perm
+        ).persist()
+        sigs.count()  # materialize before multi-branch reuse (see above)
+        banded = sigs.select(
+            F.col("id").alias(f"{side}_id"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.xxhash64(F.slice("sig", b * r + 1, r)).alias("key"),
+                    ),
+                )
+            ).alias("bk"),
+        ).select(f"{side}_id", "bk.band", "bk.key")
+        sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+        ok = sizes.filter(F.col("n") <= max_bucket).select("band", "key")
+        return sigs, banded.join(ok, ["band", "key"], "left_semi")
+
+    sigs_l, banded_l = prep(left, "left")
+    sigs_r, banded_r = prep(right, "right")
+    cand = (
+        banded_l.join(banded_r, ["band", "key"])
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    from datalake_public_spark.functions.arith import int_ratio_half_up
+
+    sh_l = sigs_l.select(F.col("id").alias("left_id"), F.col("shingles").alias("sh_l"))
+    sh_r = sigs_r.select(F.col("id").alias("right_id"), F.col("shingles").alias("sh_r"))
+    return (
+        cand.join(sh_l, "left_id")
+        .join(sh_r, "right_id")
+        .withColumn(
+            "jaccard",
+            int_ratio_half_up(
+                F.size(F.array_intersect("sh_l", "sh_r")),
+                F.size(F.array_union("sh_l", "sh_r")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )
+
+
 def near_dedup_pipeline(
     docs: DataFrame,
     text_col: str = "text",

@@ -297,3 +297,62 @@ def test_embedding_neardup_lsh_respects_bucket_cap(spark):
     assert embedding_neardup_lsh(df, threshold=0.9, max_bucket=10).count() == 0
     # without the cap the full clique comes back (50*49/2 pairs)
     assert embedding_neardup_lsh(df, threshold=0.9, max_bucket=100).count() == 1225
+
+
+def test_fuzzy_join_minhash_cross_table(spark):
+    """fuzzy_join_minhash finds exactly the cross-table near-dup pairs an
+    exact Jaccard cross join finds (planted high-overlap pairs well above
+    the banding S-curve), with exact verified scores and no within-table
+    pairs."""
+    from pyspark.sql import functions as F
+
+    from datalake_public_spark.functions.arith import int_ratio_half_up
+    from datalake_public_spark.functions import text_funcs as T
+    from datalake_public_spark.operators.dedup import fuzzy_join_minhash
+
+    base = [
+        "the quick brown fox jumps over the lazy dog near the old river bank today",
+        "machine learning models require large clean corpora with diverse text sources",
+        "weather in the mountains changes fast so hikers pack warm layers and maps",
+        "completely unrelated sentence about cooking pasta with garlic and olive oil",
+    ]
+    left = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(base)], "doc_id long, text string"
+    )
+    # right: two near-copies (one word changed), two unrelated docs
+    right = spark.createDataFrame(
+        [
+            (100, base[0].replace("today", "tonight")),
+            (101, base[2].replace("warm", "extra")),
+            (102, "totally different text about stock markets and interest rates"),
+            (103, "another disjoint document mentioning guitars pianos and violins"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.left_id, r.right_id): r.jaccard
+        for r in fuzzy_join_minhash(left, right, threshold=0.5).collect()
+    }
+    # exact baseline: full cross join with the same shingle Jaccard
+    sh = lambda df, side: df.select(  # noqa: E731
+        F.col("doc_id").alias(f"{side}_id"),
+        T.shingles("text", 3).alias(f"sh_{side}"),
+    )
+    exact = {
+        (r.left_id, r.right_id): r.j
+        for r in sh(left, "left")
+        .crossJoin(sh(right, "right"))
+        .withColumn(
+            "j",
+            int_ratio_half_up(
+                F.size(F.array_intersect("sh_left", "sh_right")),
+                F.size(F.array_union("sh_left", "sh_right")),
+                6,
+            ),
+        )
+        .filter(F.col("j") >= 0.5)
+        .select("left_id", "right_id", "j")
+        .collect()
+    }
+    assert got == exact
+    assert set(got) == {(0, 100), (2, 101)}
