@@ -153,3 +153,44 @@ def test_scoped_conf_ownership_and_chain(spark):
     t2.join()
     assert spark.conf.get(key, None) is None
     assert S._PENDING_CONF_RESTORE == []
+
+
+def test_scoped_conf_random_interleavings(spark):
+    """Randomized stress of the push/restore chain: any interleaving of
+    pushes and per-thread restores across 3 threads must (a) never unset
+    the conf while another thread still has a pending entry, and (b)
+    restore the ORIGINAL value once the last entry is released."""
+    import random
+    import threading
+
+    from datalake_public_spark.streaming import sources as S
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    assert spark.conf.get(key, None) is None
+
+    for seed in range(8):
+        rng = random.Random(seed)
+        n_threads = 3
+        barrier = threading.Barrier(n_threads)
+        errors = []
+
+        def worker():
+            try:
+                barrier.wait()
+                for _ in range(rng.randint(1, 3)):
+                    S._set_query_scoped_conf(spark, key, "true")
+                    # while THIS thread holds a pending entry, the conf
+                    # must be set
+                    assert spark.conf.get(key, None) == "true"
+                S.restore_query_scoped_confs(spark)
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=worker) for _ in range(n_threads)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        assert S._PENDING_CONF_RESTORE == [], seed
+        assert spark.conf.get(key, None) is None, seed
