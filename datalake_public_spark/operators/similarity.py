@@ -109,6 +109,79 @@ def _bucket_udf(n_tables: int, n_planes: int, dim: int, seed: int):
     return kernel
 
 
+def exact_rerank(
+    cand: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    max_query_mb: int = 64,
+) -> DataFrame:
+    """Exact cosine top-k over a candidate pair set — the shared re-rank
+    stage of ``lsh_topk``/``ivf_topk``, vectorized.
+
+    Shape: the query matrix is collected (bounded — the query side is
+    small relative to the corpus by contract; ``max_query_mb`` enforces
+    it) and BROADCAST; candidates join corpus vectors once on
+    ``match_id``; a ``mapInPandas`` kernel gathers each pair's query row
+    from the broadcast matrix and scores the whole Arrow batch with one
+    einsum — so query vectors never fan out through a shuffle and no
+    per-pair interpreted HOF runs. The final top-k window shuffles only
+    (query_id, match_id, cos) scalars. Measured at 500 queries × 100k
+    vectors: 19.7s → ~7s for the LSH path (NOTES_r3).
+
+    Zero-norm vectors score null, ordered last — same contract as the
+    expression formulation (``V.cosine``)."""
+    from pyspark.sql import Window
+
+    rows = queries.select(id_col, vec_col).collect()
+    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    if Q.size and Q.nbytes > max_query_mb << 20:
+        raise ValueError(
+            f"query matrix {Q.nbytes >> 20} MB exceeds max_query_mb="
+            f"{max_query_mb}; the re-rank broadcasts the query side — "
+            "chunk the query set or raise the cap"
+        )
+    qmap = {int(r[0]): i for i, r in enumerate(rows)}
+    qnorm = np.linalg.norm(Q, axis=1) if Q.size else np.zeros(0)
+    bq = cand.sparkSession.sparkContext.broadcast((qmap, Q, qnorm))
+
+    cv = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"))
+    joined = cand.join(cv, "match_id")
+
+    def score(it):
+        qmap_, Q_, qn_ = bq.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            M = np.array([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
+            idx = pdf["query_id"].map(qmap_).to_numpy(dtype=np.int64)
+            denom = qn_[idx] * np.linalg.norm(M, axis=1)
+            valid = denom > 0
+            cos = np.round(
+                np.einsum("ij,ij->i", Q_[idx], M) / np.where(valid, denom, 1.0), 6
+            )
+            cos_out = pd.array(cos, dtype="Float64")
+            cos_out[~valid] = pd.NA  # null (not NaN) — V.cosine contract
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "match_id": pdf["match_id"].to_numpy(dtype=np.int64),
+                    "cos": cos_out,
+                }
+            )
+
+    scored = joined.mapInPandas(score, "query_id long, match_id long, cos double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "match_id", "cos", "rk")
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -121,6 +194,7 @@ def lsh_topk(
     dim: int = 64,
     seed: int = 42,
     multiprobe: bool = True,
+    rerank: str = "kernel",
 ) -> DataFrame:
     """Approximate top-k: ``n_tables`` independent signbit hash tables;
     candidates = union over tables of corpus rows sharing the query's
@@ -131,7 +205,12 @@ def lsh_topk(
     (~3.5% at 8 planes); tables multiply recall ≈ 1-(1-p)^T while the
     exact re-rank keeps precision. Scale: the candidate join shuffles only
     (table, bucket, id) triples — vectors are re-joined by id afterwards,
-    so wide embedding arrays never fan out across tables."""
+    so wide embedding arrays never fan out across tables.
+
+    ``rerank='kernel'`` (default) scores candidates with the broadcast-
+    query einsum kernel (``exact_rerank`` — 2.8× at 500q×100k, NOTES_r3);
+    ``rerank='expr'`` keeps the pure-Catalyst expression formulation (no
+    query-side collect, for callers whose query frame is itself large)."""
     from pyspark.sql import Window
 
     kernel = _bucket_udf(n_tables, n_planes, dim, seed)
@@ -157,6 +236,10 @@ def lsh_topk(
         .select("query_id", "match_id")
         .distinct()
     )
+    if rerank == "kernel":
+        return exact_rerank(
+            cand, queries, corpus, vec_col=vec_col, id_col=id_col, k=k
+        )
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     cv = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"))
     scored = (
@@ -270,6 +353,7 @@ def ivf_topk(
     train_size: int = 2048,
     iters: int = 10,
     seed: int = 42,
+    rerank: str = "kernel",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     ``n_cells`` centroid cells, probe the query's ``n_probe`` nearest
@@ -307,6 +391,10 @@ def ivf_topk(
         .filter(F.col("query_id") != F.col("match_id"))
         .select("query_id", "match_id")
     )
+    if rerank == "kernel":
+        return exact_rerank(
+            cand, queries, corpus, vec_col=vec_col, id_col=id_col, k=k
+        )
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     cv = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"))
     scored = (
