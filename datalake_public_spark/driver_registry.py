@@ -733,13 +733,21 @@ def dataset_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     (split, lang)) + context-window sequence packing (docs laid
     end-to-end per source, 2048-token bins) + overlapping token-window
     CHUNKING of long docs (64-token windows, 8-token overlap; grouped
-    per chunk index) — the dataset-assembly steps between a cleaned
-    corpus and a dataloader. Tagged union."""
+    per chunk index) + deterministic EPOCH SHUFFLE (md5-keyed global
+    training order; first 10 docs of epochs 0 and 1 — the md5 key makes
+    the permutation engine-portable, so the oracle recomputes the exact
+    order) — the dataset-assembly steps between a cleaned corpus and a
+    dataloader. Tagged union."""
+    from pyspark.sql import Window
+
     from datalake_public_spark.driver_queries_adv import (
         dataset_split,
         sequence_packing,
     )
-    from datalake_public_spark.operators.sampling import chunk_documents
+    from datalake_public_spark.operators.sampling import (
+        chunk_documents,
+        epoch_shuffle,
+    )
     from datalake_public_spark.sources.readers import widen_for_compute
 
     s = dataset_split(spark, sf).select(
@@ -771,7 +779,29 @@ def dataset_pipeline(spark: SparkSession, sf: str) -> DataFrame:
             "total",
         )
     )
-    return s.unionByName(p).unionByName(c)
+
+    def shuffle_head(epoch: int) -> DataFrame:
+        # orderBy+limit collapses to TakeOrderedAndProject (no full
+        # sort materialized); the window then ranks only 10 rows
+        top = (
+            epoch_shuffle(
+                _t(spark, sf, "documents").select("doc_id"),
+                seed=17,
+                epoch=epoch,
+            )
+            .limit(10)
+        )
+        w = Window.orderBy("shuffle_key")
+        return top.withColumn("pos", F.row_number().over(w)).select(
+            F.lit("shuffle").alias("op"),
+            F.lit(str(epoch)).alias("k1"),
+            F.col("pos").cast("string").alias("k2"),
+            F.lit(1).cast("long").alias("n_docs"),
+            F.col("doc_id").alias("total"),
+        )
+
+    sh = shuffle_head(0).unionByName(shuffle_head(1))
+    return s.unionByName(p).unionByName(c).unionByName(sh)
 
 
 def _dataset_pipeline_sql() -> str:
@@ -810,6 +840,17 @@ UNION ALL
 SELECT 'chunk', CAST(chunk_idx AS VARCHAR), CAST(NULL AS VARCHAR),
        n_docs, total
 FROM ({chunk_sql}) c
+UNION ALL
+SELECT 'shuffle', CAST(e AS VARCHAR), CAST(pos AS VARCHAR),
+       CAST(1 AS BIGINT), doc_id
+FROM (
+  SELECT e, doc_id,
+         row_number() OVER (
+           PARTITION BY e
+           ORDER BY md5(doc_id::VARCHAR || ':17:' || e::VARCHAR)
+         ) AS pos
+  FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS e) epochs
+) sh WHERE pos <= 10
 """
 
 

@@ -211,3 +211,35 @@ def pack_sequences(
     )
     cum_excl = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
     return docs.withColumn("bin", F.floor(cum_excl / F.lit(ctx_len)))
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    *,
+    seed: int = 0,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic, engine-portable global shuffle for training-epoch
+    ordering: every row gets ``shuffle_key = md5(id ':' seed ':' epoch)``
+    and the frame is globally sorted by it. md5 of the same string is
+    identical in Spark, DuckDB, and any dataloader — so the permutation
+    is reproducible ACROSS ENGINES and runs, unlike rand(seed) (whose
+    stream is partitioning-dependent) or xxhash64 (Spark-only).
+
+    Each epoch is an independent permutation (the epoch is folded into
+    the hashed string). Scale: Spark plans orderBy as a range-partitioned
+    sort; md5 keys are uniformly distributed, so ranges balance with no
+    skew, and a downstream ``head``/``limit`` collapses to
+    TakeOrderedAndProject (no full sort materialized). No global
+    row-number is assigned here on purpose — a position column would
+    force a single-partition window; writers consume the ORDER."""
+    key = F.md5(
+        F.concat_ws(
+            ":",
+            F.col(id_col).cast("string"),
+            F.lit(str(int(seed))),
+            F.lit(str(int(epoch))),
+        )
+    )
+    return docs.withColumn("shuffle_key", key).orderBy("shuffle_key")

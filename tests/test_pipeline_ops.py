@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from datalake_public_spark.operators.components import connected_components
 from datalake_public_spark.operators.sampling import (
     assign_split,
+    epoch_shuffle,
     pack_sequences,
     stratified_sample,
     weighted_sample,
@@ -350,3 +351,34 @@ def test_chunk_documents_windows(spark):
 
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, max_tokens=4, overlap=4)
+
+
+def test_epoch_shuffle_is_deterministic_permutation(spark):
+    docs = spark.range(100).withColumnRenamed("id", "doc_id")
+    a = [r.doc_id for r in epoch_shuffle(docs, seed=7, epoch=0).collect()]
+    b = [r.doc_id for r in epoch_shuffle(docs, seed=7, epoch=0).collect()]
+    assert a == b                       # reproducible across runs
+    assert sorted(a) == list(range(100))  # a permutation, nothing lost
+    assert a != list(range(100))        # actually shuffled
+
+
+def test_epoch_shuffle_epochs_and_seeds_differ(spark):
+    docs = spark.range(100).withColumnRenamed("id", "doc_id")
+    e0 = [r.doc_id for r in epoch_shuffle(docs, seed=7, epoch=0).collect()]
+    e1 = [r.doc_id for r in epoch_shuffle(docs, seed=7, epoch=1).collect()]
+    s9 = [r.doc_id for r in epoch_shuffle(docs, seed=9, epoch=0).collect()]
+    assert e0 != e1 and e0 != s9
+    assert sorted(e1) == sorted(s9) == list(range(100))
+
+
+def test_epoch_shuffle_matches_engine_portable_spec(spark):
+    """The key is md5 of a plain string — recompute the expected order
+    in pure Python to pin the cross-engine contract."""
+    import hashlib
+
+    docs = spark.range(50).withColumnRenamed("id", "doc_id")
+    got = [r.doc_id for r in epoch_shuffle(docs, seed=17, epoch=3).collect()]
+    want = sorted(
+        range(50), key=lambda i: hashlib.md5(f"{i}:17:3".encode()).hexdigest()
+    )
+    assert got == want
