@@ -47,10 +47,15 @@ import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 
 class CommitConflict(RuntimeError):
     """Another writer published this version first — reload and retry."""
+
+
+class SchemaMismatch(ValueError):
+    """Write schema is incompatible with the table's committed schema."""
 
 
 @dataclass(frozen=True)
@@ -60,10 +65,50 @@ class Snapshot:
     files: tuple[str, ...]
     committed_at: float
     parent: int | None
+    schema_json: str | None = None  # absent on pre-schema-tracking manifests
 
     @property
     def n_files(self) -> int:
         return len(self.files)
+
+    @property
+    def schema(self) -> StructType | None:
+        return (
+            StructType.fromJson(json.loads(self.schema_json))
+            if self.schema_json
+            else None
+        )
+
+
+def _merge_schemas(
+    base: StructType, new: StructType, *, merge_schema: bool
+) -> StructType:
+    """Additive schema evolution (the Delta/Iceberg contract subset we
+    support): matching names must keep the exact same type; NEW columns
+    are appended only when ``merge_schema`` is set; columns missing from
+    the incoming frame are fine (old+new files both read under the
+    merged schema, absent columns fill as null). Type changes never
+    merge — a widening rewrite is a different operation."""
+    base_types = {f.name: f.dataType for f in base.fields}
+    new_fields = []
+    for f in new.fields:
+        if f.name in base_types:
+            if f.dataType != base_types[f.name]:
+                raise SchemaMismatch(
+                    f"column {f.name!r}: table has {base_types[f.name]}, "
+                    f"write has {f.dataType} (type changes don't merge)"
+                )
+        else:
+            new_fields.append(f)
+    if new_fields and not merge_schema:
+        raise SchemaMismatch(
+            f"write adds columns {[f.name for f in new_fields]} not in the "
+            "table schema; pass merge_schema=True to evolve additively"
+        )
+    merged = StructType(list(base.fields))
+    for f in new_fields:
+        merged = merged.add(f.name, f.dataType, nullable=True)
+    return merged
 
 
 class ManifestTable:
@@ -104,6 +149,7 @@ class ManifestTable:
             files=tuple(m["files"]),
             committed_at=m["committed_at"],
             parent=m["parent"],
+            schema_json=m.get("schema"),
         )
 
     def history(self) -> list[Snapshot]:
@@ -123,7 +169,13 @@ class ManifestTable:
             if f.endswith(".parquet")
         )
 
-    def _commit(self, files: list[str], operation: str, expected_parent: int | None) -> Snapshot:
+    def _commit(
+        self,
+        files: list[str],
+        operation: str,
+        expected_parent: int | None,
+        schema: StructType | None = None,
+    ) -> Snapshot:
         """Publish a new version atomically. ``expected_parent`` is the
         version this commit was based on — if someone else committed
         since, the O_EXCL create below fails and the caller must retry
@@ -142,6 +194,14 @@ class ManifestTable:
             "committed_at": time.time(),
             "parent": expected_parent,
         }
+        if schema is not None:
+            # record all fields nullable: an explicit non-nullable read
+            # schema over parquet is a lie the scanner can't enforce, and
+            # evolved columns ARE null in pre-evolution files
+            nullable = StructType(
+                [f.__class__(f.name, f.dataType, True) for f in schema.fields]
+            )
+            m["schema"] = json.dumps(nullable.jsonValue())
         path = self._manifest_path(version)
         # Publish atomically: fully write a private temp file, fsync it,
         # then os.link it to the manifest name — link fails if the name
@@ -163,18 +223,36 @@ class ManifestTable:
             os.unlink(tmp)
         return self.snapshot(version)
 
+    def _write_schema(
+        self, parent: int | None, df: DataFrame, merge_schema: bool
+    ) -> StructType:
+        """Resolve the schema this write commits: the table's schema
+        merged additively with the incoming frame's (``SchemaMismatch``
+        on type conflicts or non-optedin new columns). Pre-tracking
+        manifests (no schema recorded) adopt the incoming schema."""
+        base = self.snapshot(parent).schema if parent is not None else None
+        if base is None:
+            return df.schema
+        return _merge_schemas(base, df.schema, merge_schema=merge_schema)
+
     def overwrite(self, df: DataFrame) -> Snapshot:
         """Replace the table contents (the K2 'overwrite' shape, but
-        versioned: old snapshots remain readable)."""
+        versioned: old snapshots remain readable). An overwrite REPLACES
+        the schema too — full-snapshot semantics."""
         parent = self.current_version()
         files = self._stage_files(df)
-        return self._commit(files, "overwrite", parent)
+        return self._commit(files, "overwrite", parent, schema=df.schema)
 
-    def append(self, df: DataFrame) -> Snapshot:
+    def append(self, df: DataFrame, *, merge_schema: bool = False) -> Snapshot:
+        """Append rows. The write schema must match the table's; with
+        ``merge_schema=True`` new columns evolve the schema additively
+        (old files read as null for them — Delta's mergeSchema
+        contract). Type changes always raise ``SchemaMismatch``."""
         parent = self.current_version()
+        schema = self._write_schema(parent, df, merge_schema)
         base = self.snapshot(parent).files if parent is not None else ()
         files = list(base) + self._stage_files(df)
-        return self._commit(files, "append", parent)
+        return self._commit(files, "append", parent, schema=schema)
 
     def append_batch(self, df: DataFrame, batch_tag: str):
         """Idempotent tagged append for streaming sinks: commit ``df``
@@ -191,9 +269,10 @@ class ManifestTable:
         if any(s.operation == op for s in self.history()):
             return None
         parent = self.current_version()
+        schema = self._write_schema(parent, df, merge_schema=False)
         base = self.snapshot(parent).files if parent is not None else ()
         files = list(base) + self._stage_files(df)
-        return self._commit(files, op, parent)
+        return self._commit(files, op, parent, schema=schema)
 
     def delete_where(self, spark: SparkSession, condition: str) -> Snapshot:
         """Copy-on-write delete: files containing matching rows are
@@ -203,12 +282,19 @@ class ManifestTable:
 
         parent = self.current_version()
         snap = self.snapshot(parent)
+        def schema_reader():
+            # probe under the table schema, so predicates on evolved
+            # columns see nulls in pre-evolution files instead of
+            # failing resolution
+            if snap.schema is not None:
+                return spark.read.schema(snap.schema)
+            return spark.read
         keep: list[str] = []
         rewrite: list[str] = []
         for path in snap.files:
             # per-file match probe: one small scan with the predicate
             # pushed down (row-group stats make misses metadata-only)
-            n = spark.read.parquet(path).filter(condition).limit(1).count()
+            n = schema_reader().parquet(path).filter(condition).limit(1).count()
             (rewrite if n else keep).append(path)
         if not rewrite:
             return snap
@@ -216,19 +302,29 @@ class ManifestTable:
         # TRUE — rows where it evaluates to NULL must survive (a bare
         # ~cond is NULL for them and filter would drop them)
         cond = F.expr(condition)
-        survivors = spark.read.parquet(*rewrite).filter(~F.coalesce(cond, F.lit(False)))
+        survivors = schema_reader().parquet(*rewrite).filter(
+            ~F.coalesce(cond, F.lit(False))
+        )
         new_files = self._stage_files(survivors) if survivors.limit(1).count() else []
-        return self._commit(keep + new_files, "delete", parent)
+        return self._commit(keep + new_files, "delete", parent, schema=snap.schema)
 
     # -- read path ----------------------------------------------------------
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Read a snapshot under ITS committed schema: files written
+        before an additive evolution lack the new columns and surface
+        them as null — exactly the mergeSchema read contract, but from
+        one manifest field instead of a footer-merging scan over every
+        file (which at 100 TB is a full metadata pass)."""
         snap = self.snapshot(version)
         if not snap.files:
             raise FileNotFoundError(
                 f"table {self.root} v{snap.version} is empty — read a prior version"
             )
-        return spark.read.parquet(*snap.files)
+        reader = spark.read
+        if snap.schema is not None:
+            reader = reader.schema(snap.schema)
+        return reader.parquet(*snap.files)
 
     # -- maintenance --------------------------------------------------------
 
@@ -242,9 +338,9 @@ class ManifestTable:
         n_out = max(1, -(-total // (target_file_mb * 1024 * 1024)))
         if n_out >= snap.n_files:
             return snap  # nothing to gain
-        df = spark.read.parquet(*snap.files).repartition(int(n_out))
+        df = self.read(spark, parent).repartition(int(n_out))
         files = self._stage_files(df)
-        return self._commit(files, "compact", parent)
+        return self._commit(files, "compact", parent, schema=snap.schema)
 
     def vacuum(self, retain_versions: int = 1) -> list[str]:
         """Delete data files unreferenced by the newest ``retain_versions``

@@ -177,3 +177,71 @@ def test_write_table_available_now_stream_to_versioned_lake(spark, tmp_path):
 
     write_table_available_now(events_stream(spark, sf), root, checkpoint_dir=ckpt)
     assert t.read(spark).count() == expect  # nothing new to drain
+
+
+# ---------------------------------------------------------------------------
+# Schema tracking + additive evolution (Delta mergeSchema contract subset)
+# ---------------------------------------------------------------------------
+
+
+def test_append_mismatched_schema_raises_without_merge(spark, table):
+    from datalake_public_spark.sinks.table import SchemaMismatch
+
+    table.overwrite(_df(spark, 0, 5, "a"))
+    wider = _df(spark, 5, 10, "b").withColumn("extra", F.lit(1))
+    with pytest.raises(SchemaMismatch, match="extra"):
+        table.append(wider)
+
+
+def test_append_merge_schema_evolves_and_old_files_read_null(spark, table):
+    table.overwrite(_df(spark, 0, 5, "a"))
+    wider = _df(spark, 5, 10, "b").withColumn("extra", F.lit(7))
+    table.append(wider, merge_schema=True)
+    head = table.read(spark)
+    assert set(head.columns) == {"id", "tag", "v", "extra"}
+    got = {r.id: r.extra for r in head.collect()}
+    assert all(got[i] is None for i in range(5))      # pre-evolution files
+    assert all(got[i] == 7 for i in range(5, 10))
+    # appends at the merged schema may OMIT the evolved column too
+    table.append(_df(spark, 10, 12, "c"))
+    assert table.read(spark).count() == 12
+
+
+def test_append_type_change_never_merges(spark, table):
+    from datalake_public_spark.sinks.table import SchemaMismatch
+
+    table.overwrite(_df(spark, 0, 5, "a"))
+    retyped = _df(spark, 5, 10, "b").withColumn("v", F.col("v").cast("string"))
+    with pytest.raises(SchemaMismatch, match="type changes"):
+        table.append(retyped, merge_schema=True)
+
+
+def test_time_travel_reads_each_versions_own_schema(spark, table):
+    table.overwrite(_df(spark, 0, 5, "a"))
+    table.append(
+        _df(spark, 5, 10, "b").withColumn("extra", F.lit(1)), merge_schema=True
+    )
+    assert "extra" not in table.read(spark, version=0).columns
+    assert "extra" in table.read(spark, version=1).columns
+
+
+def test_overwrite_replaces_schema(spark, table):
+    table.overwrite(_df(spark, 0, 5, "a").withColumn("extra", F.lit(1)))
+    table.overwrite(_df(spark, 0, 5, "a"))  # narrower — full replace
+    assert "extra" not in table.read(spark).columns
+
+
+def test_compact_and_delete_preserve_evolved_schema(spark, table):
+    table.overwrite(_df(spark, 0, 20, "a"))
+    table.append(
+        _df(spark, 20, 40, "b").withColumn("extra", F.lit(3)), merge_schema=True
+    )
+    # delete on the EVOLVED column: pre-evolution rows read it as null →
+    # predicate NULL → rows survive (SQL DELETE semantics)
+    table.delete_where(spark, "extra = 3 AND id >= 30")
+    got = table.read(spark)
+    assert got.count() == 30
+    assert "extra" in got.columns
+    snap = table.compact(spark, target_file_mb=1024)
+    assert "extra" in table.read(spark).columns
+    assert table.read(spark).count() == 30
