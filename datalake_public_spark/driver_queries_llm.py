@@ -101,16 +101,91 @@ FROM documents
 # --------------------------------------------------------------------------
 
 
+# Boilerplate lines injected into the synthetic multi-line corpus for the
+# op='line' branch below — the literals appear verbatim in the oracle SQL.
+_LINE_HDR = "== corpus header =="
+_LINE_FTR = "== corpus footer =="
+
+
 def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.exact_dedup(_t(spark, sf, "documents"))
+    """Tagged union: op='doc' — whole-document exact dedup (hash-groupBy);
+    op='line' — C4-style LINE-level dedup / boilerplate removal over a
+    deterministic multi-line corpus (groups of 3 consecutive docs as
+    lines, with a known header/footer injected into every group; the
+    operator must strip the boilerplate from every group but the first).
+    Line rows report md5 of the reconstructed text and the number of
+    removed duplicate lines, so the oracle checks byte-exact rebuild."""
+    docs = _t(spark, sf, "documents")
+    doc_rows = dedup.exact_dedup(docs).select(
+        F.lit("doc").alias("op"), "content_hash", "keep_id", "n_copies"
+    )
+    grouped = (
+        docs.groupBy(F.expr("doc_id DIV 3").alias("gid"))
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.lit(_LINE_HDR),
+                F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("doc_id", "text"))),
+                        lambda s: s["text"],
+                    ),
+                ),
+                F.lit(_LINE_FTR),
+            ).alias("text")
+        )
+        .select(F.col("gid").alias("doc_id"), "text")
+    )
+    line_rows = dedup.line_dedup(grouped).select(
+        F.lit("line").alias("op"),
+        F.md5("text").alias("content_hash"),
+        F.col("doc_id").alias("keep_id"),
+        (F.col("n_lines") - F.col("n_kept")).cast("long").alias("n_copies"),
+    )
+    return doc_rows.unionByName(line_rows)
 
 
-DEDUP_EXACT_SQL = """
-SELECT md5(text) AS content_hash,
+DEDUP_EXACT_SQL = f"""
+SELECT 'doc' AS op, md5(text) AS content_hash,
        min(doc_id) AS keep_id,
        count(*) AS n_copies
 FROM documents
 GROUP BY md5(text)
+UNION ALL
+SELECT * FROM (
+WITH g AS (
+  SELECT doc_id // 3 AS gid,
+         '{_LINE_HDR}' || chr(10) ||
+         string_agg(text, chr(10) ORDER BY doc_id) || chr(10) ||
+         '{_LINE_FTR}' AS text
+  FROM documents GROUP BY doc_id // 3
+),
+lines AS (
+  SELECT gid, unnest(generate_series(1, len(parts))) AS pos, unnest(parts) AS line
+  FROM (SELECT gid, string_split(text, chr(10)) AS parts FROM g)
+),
+ranked AS (
+  SELECT gid, pos, line,
+         row_number() OVER (PARTITION BY md5(line) ORDER BY gid, pos) AS rn
+  FROM lines WHERE length(line) >= 1
+),
+surv AS (
+  SELECT gid, pos, line FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT gid, pos, line FROM lines WHERE length(line) < 1
+),
+nl AS (SELECT gid, count(*) AS n_lines FROM lines GROUP BY gid),
+rb AS (
+  SELECT gid, string_agg(line, chr(10) ORDER BY pos) AS text,
+         count(*) AS n_kept
+  FROM surv GROUP BY gid
+)
+SELECT 'line' AS op, md5(coalesce(rb.text, '')) AS content_hash,
+       nl.gid AS keep_id,
+       nl.n_lines - coalesce(rb.n_kept, 0) AS n_copies
+FROM nl LEFT JOIN rb ON nl.gid = rb.gid
+)
 """
 
 

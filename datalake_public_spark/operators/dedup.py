@@ -633,3 +633,80 @@ def embedding_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    delimiter: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """C4-style LINE-level corpus dedup (boilerplate removal): split each
+    document on ``delimiter``, keep only the corpus-wide FIRST occurrence
+    of each distinct line (first = lowest (doc id, line position)), and
+    reconstruct every document from its surviving lines in original
+    order. This is the classic C4 cleaning step that strips repeated
+    headers/footers/nav text appearing across many pages.
+
+    Lines shorter than ``min_chars`` never participate: they are kept
+    verbatim (dedup'ing empty/separator lines would eat paragraph
+    structure).
+
+    Returns (id_col, text = deduped text, n_lines, n_kept); documents
+    whose every line was a repeat elsewhere come back with text '' and
+    n_kept 0 — callers drop or keep them explicitly.
+
+    Scale: the global first-occurrence argmin shuffles (md5, id, pos)
+    triples — never line bodies; survivors come back via a second
+    shuffle join on the 16-byte hash; reconstruction groups on the doc
+    id. At 100 TB nothing wider than a hash key crosses the wire until
+    the final per-doc concat, which is partition-local to the doc group.
+    Ref parity: beyond the reference (training-pipeline extension)."""
+    import re
+
+    # delimiter is a LITERAL (concat_ws re-joins with it verbatim), but
+    # F.split takes a Java regex — quote metacharacters for the split side
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), re.escape(delimiter))).alias(
+            "pos", "line"
+        ),
+    )
+    dedupable = lines.filter(F.length("line") >= min_chars)
+    firsts = (
+        dedupable.select(F.md5("line").alias("h"), id_col, "pos")
+        .groupBy("h")
+        .agg(F.min(F.struct(id_col, "pos")).alias("first"))
+        .select("h", F.col(f"first.{id_col}"), F.col("first.pos"))
+    )
+    kept = dedupable.withColumn("h", F.md5("line")).join(
+        firsts, ["h", id_col, "pos"], "left_semi"
+    ).drop("h")
+    passthrough = lines.filter(F.length("line") < min_chars)
+    survivors = kept.unionByName(passthrough)
+    return (
+        lines.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .join(
+            survivors.groupBy(id_col).agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.concat_ws(
+                    delimiter,
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                        lambda s: s["line"],
+                    ),
+                ).alias("text"),
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )

@@ -356,3 +356,67 @@ def test_fuzzy_join_minhash_cross_table(spark):
     }
     assert got == exact
     assert set(got) == {(0, 100), (2, 101)}
+
+
+def test_line_dedup_strips_boilerplate_keeps_first(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "HEADER\nunique one\nFOOTER"),
+            (2, "HEADER\nunique two\nFOOTER"),
+            (3, "HEADER\nunique three\nFOOTER"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.line_dedup(df).collect()}
+    # first doc keeps everything; later docs lose the repeated lines
+    assert out[1].text == "HEADER\nunique one\nFOOTER"
+    assert out[2].text == "unique two"
+    assert out[3].text == "unique three"
+    assert (out[1].n_lines, out[1].n_kept) == (3, 3)
+    assert (out[3].n_lines, out[3].n_kept) == (3, 1)
+
+
+def test_line_dedup_all_duplicate_doc_becomes_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "same\nsame again"), (2, "same\nsame again")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.line_dedup(df).collect()}
+    assert out[1].text == "same\nsame again"
+    assert out[2].text == ""
+    assert out[2].n_kept == 0
+
+
+def test_line_dedup_first_is_lowest_doc_then_lowest_pos(spark):
+    # 'dup' appears twice in doc 5 (pos 0, 2) and once in doc 9:
+    # only doc 5 pos 0 survives
+    df = spark.createDataFrame(
+        [(5, "dup\nmid\ndup"), (9, "dup\nother")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.text for r in dedup.line_dedup(df).collect()}
+    assert out[5] == "dup\nmid"
+    assert out[9] == "other"
+
+
+def test_line_dedup_short_lines_pass_through(spark):
+    # lines under min_chars never dedup: empty separator lines survive
+    # in every doc even though they repeat corpus-wide
+    df = spark.createDataFrame(
+        [(1, "a top\n\nbottom"), (2, "x\n\ny")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.text for r in dedup.line_dedup(df).collect()}
+    assert out[1] == "a top\n\nbottom"
+    assert out[2] == "x\n\ny"
+
+
+def test_line_dedup_custom_delimiter_and_min_chars(spark):
+    df = spark.createDataFrame(
+        [(1, "aa|b|cc"), (2, "aa|b|dd")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.text
+        for r in dedup.line_dedup(df, delimiter="|", min_chars=2).collect()
+    }
+    # 'aa' dedups (len 2 >= min_chars); 'b' passes through everywhere
+    assert out[1] == "aa|b|cc"
+    assert out[2] == "b|dd"
