@@ -587,27 +587,88 @@ FROM ({SKEW_JOIN_SQL}) j
 
 
 def formats_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
-    """Write supplier as CSV and as ORC, read each back with the schema'd
-    reader, aggregate — lossless type fidelity for both formats in one
-    row set (op = format). Conversion is map-only (no shuffle); the
-    oracle aggregates the original parquet, so any write→read corruption
-    is a hash miss."""
-    from datalake_public_spark.driver_queries_ext import _format_roundtrip
+    """Lake-layout round trips, one row set (op = layout):
+      * op=csv/orc — write supplier in the format, read back with the
+        schema'd reader, aggregate (lossless type fidelity; map-only);
+      * op=zorder — write events parquet CLUSTERED on the Morton key of
+        (user bucket, value bucket) via sinks/zorder.py, read the
+        clustered files back, aggregate per Z-range. The oracle
+        recomputes the identical bit-interleave in SQL over the original
+        events, so both the cross-engine key and the layout round trip
+        are checked; the multi-dimension file-skipping evidence lives in
+        tests/test_zorder.py (footer min/max boxes)."""
+    import os
+    import tempfile
 
-    csv = _format_roundtrip(spark, sf, "csv").withColumn("op", F.lit("csv"))
-    orc = _format_roundtrip(spark, sf, "orc").withColumn("op", F.lit("orc"))
-    return csv.unionByName(orc).select(
-        "op", "s_nationkey", "n_suppliers", "acctbal_cents"
+    from datalake_public_spark.driver_queries_ext import _format_roundtrip
+    from datalake_public_spark.sinks import zorder
+
+    def shape(df, op, grp, n, cents):
+        return df.select(
+            F.lit(op).alias("op"),
+            F.col(grp).cast("long").alias("grp"),
+            F.col(n).cast("long").alias("n_rows"),
+            F.col(cents).cast("long").alias("cents"),
+        )
+
+    csv = shape(
+        _format_roundtrip(spark, sf, "csv"),
+        "csv", "s_nationkey", "n_suppliers", "acctbal_cents",
     )
+    orc = shape(
+        _format_roundtrip(spark, sf, "orc"),
+        "orc", "s_nationkey", "n_suppliers", "acctbal_cents",
+    )
+
+    keyed = _t(spark, sf, "events").select(
+        (F.col("user_id") % 256).alias("x"),
+        (F.floor("value").cast("long") % 256).alias("y"),
+        F.floor("value").cast("long").alias("vfloor"),
+    )
+    tag = sf.strip("/").replace("/", "_")
+    dest = os.path.join(tempfile.gettempdir(), f"dlps_zorder_{tag}")
+    (
+        keyed.withColumn("_zkey", zorder.morton_key(["x", "y"], bits=8))
+        .repartitionByRange(8, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .write.mode("overwrite")
+        .parquet(dest)
+    )
+    zagg = (
+        spark.read.parquet(dest)
+        .groupBy(F.shiftright("_zkey", 8).alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("vfloor").alias("cents"))
+    )
+    zed = shape(zagg, "zorder", "grp", "n_rows", "cents")
+    return csv.unionByName(orc).unionByName(zed)
 
 
 def _formats_sql() -> str:
     from datalake_public_spark.driver_queries_ext import _ROUNDTRIP_SQL
+    from datalake_public_spark.sinks.zorder import morton_sql
 
+    base = f"""SELECT CAST(s_nationkey AS BIGINT) AS grp,
+       CAST(n_suppliers AS BIGINT) AS n_rows,
+       CAST(acctbal_cents AS BIGINT) AS cents
+FROM ({_ROUNDTRIP_SQL}) t"""
     return f"""
-SELECT 'csv' AS op, s_nationkey, n_suppliers, acctbal_cents FROM ({_ROUNDTRIP_SQL}) a
+SELECT 'csv' AS op, grp, n_rows, cents FROM ({base}) a
 UNION ALL
-SELECT 'orc', s_nationkey, n_suppliers, acctbal_cents FROM ({_ROUNDTRIP_SQL}) b
+SELECT 'orc' AS op, grp, n_rows, cents FROM ({base}) b
+UNION ALL
+SELECT 'zorder' AS op, (zkey >> 8) AS grp,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(vfloor) AS BIGINT) AS cents
+FROM (
+  SELECT {morton_sql(['x', 'y'], bits=8)} AS zkey, vfloor
+  FROM (
+    SELECT user_id % 256 AS x,
+           CAST(floor(value) AS BIGINT) % 256 AS y,
+           CAST(floor(value) AS BIGINT) AS vfloor
+    FROM events
+  )
+)
+GROUP BY (zkey >> 8)
 """
 
 
