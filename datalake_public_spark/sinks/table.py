@@ -66,6 +66,9 @@ class Snapshot:
     committed_at: float
     parent: int | None
     schema_json: str | None = None  # absent on pre-schema-tracking manifests
+    # per-file column min/max for data skipping: {path: {col: [lo, hi]}};
+    # absent on pre-stats manifests (readers then skip nothing)
+    stats: dict | None = None
 
     @property
     def n_files(self) -> int:
@@ -150,6 +153,7 @@ class ManifestTable:
             committed_at=m["committed_at"],
             parent=m["parent"],
             schema_json=m.get("schema"),
+            stats=m.get("stats"),
         )
 
     def history(self) -> list[Snapshot]:
@@ -169,12 +173,58 @@ class ManifestTable:
             if f.endswith(".parquet")
         )
 
+    @staticmethod
+    def _collect_stats(files: list[str]) -> dict:
+        """Per-file column min/max from the parquet footers — the data-
+        skipping index (Delta's per-file stats, kept in the manifest so
+        pruning needs ZERO data-file I/O). Collected only for primitive
+        int/float/string columns; a column with missing footer stats in a
+        file simply has no entry, and pruning keeps that file. Local
+        metadata reads: O(files) footers, no row data touched."""
+        import pyarrow.parquet as pq
+
+        out: dict = {}
+        for path in files:
+            md = pq.ParquetFile(path).metadata
+            lo: dict = {}
+            hi: dict = {}
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    s = col.statistics
+                    if s is None or not s.has_min_max:
+                        continue
+                    mn, mx = s.min, s.max
+                    if isinstance(mn, bytes):
+                        try:
+                            mn, mx = mn.decode(), mx.decode()
+                        except UnicodeDecodeError:
+                            continue
+                    if not isinstance(mn, (int, float, str)):
+                        continue  # timestamps/decimals: not JSON-stable
+                    name = col.path_in_schema
+                    lo[name] = mn if name not in lo else min(lo[name], mn)
+                    hi[name] = mx if name not in hi else max(hi[name], mx)
+            out[path] = {c: [lo[c], hi[c]] for c in lo}
+        return out
+
+    def _carry_stats(self, parent: int | None, new_files: list[str]) -> dict:
+        """Stats for a commit: parent's entries carry over by reference
+        (their files are immutable), new files get fresh footer reads."""
+        base: dict = {}
+        if parent is not None:
+            base = dict(self.snapshot(parent).stats or {})
+        base.update(self._collect_stats(new_files))
+        return base
+
     def _commit(
         self,
         files: list[str],
         operation: str,
         expected_parent: int | None,
         schema: StructType | None = None,
+        stats: dict | None = None,
     ) -> Snapshot:
         """Publish a new version atomically. ``expected_parent`` is the
         version this commit was based on — if someone else committed
@@ -202,6 +252,9 @@ class ManifestTable:
                 [f.__class__(f.name, f.dataType, True) for f in schema.fields]
             )
             m["schema"] = json.dumps(nullable.jsonValue())
+        if stats is not None:
+            # only entries for files this manifest references
+            m["stats"] = {f: stats[f] for f in m["files"] if f in stats}
         path = self._manifest_path(version)
         # Publish atomically: fully write a private temp file, fsync it,
         # then os.link it to the manifest name — link fails if the name
@@ -241,7 +294,10 @@ class ManifestTable:
         the schema too — full-snapshot semantics."""
         parent = self.current_version()
         files = self._stage_files(df)
-        return self._commit(files, "overwrite", parent, schema=df.schema)
+        return self._commit(
+            files, "overwrite", parent, schema=df.schema,
+            stats=self._collect_stats(files),
+        )
 
     def append(self, df: DataFrame, *, merge_schema: bool = False) -> Snapshot:
         """Append rows. The write schema must match the table's; with
@@ -251,8 +307,11 @@ class ManifestTable:
         parent = self.current_version()
         schema = self._write_schema(parent, df, merge_schema)
         base = self.snapshot(parent).files if parent is not None else ()
-        files = list(base) + self._stage_files(df)
-        return self._commit(files, "append", parent, schema=schema)
+        new = self._stage_files(df)
+        return self._commit(
+            list(base) + new, "append", parent, schema=schema,
+            stats=self._carry_stats(parent, new),
+        )
 
     def append_batch(self, df: DataFrame, batch_tag: str):
         """Idempotent tagged append for streaming sinks: commit ``df``
@@ -271,8 +330,11 @@ class ManifestTable:
         parent = self.current_version()
         schema = self._write_schema(parent, df, merge_schema=False)
         base = self.snapshot(parent).files if parent is not None else ()
-        files = list(base) + self._stage_files(df)
-        return self._commit(files, op, parent, schema=schema)
+        new = self._stage_files(df)
+        return self._commit(
+            list(base) + new, op, parent, schema=schema,
+            stats=self._carry_stats(parent, new),
+        )
 
     def delete_where(self, spark: SparkSession, condition: str) -> Snapshot:
         """Copy-on-write delete: files containing matching rows are
@@ -306,7 +368,10 @@ class ManifestTable:
             ~F.coalesce(cond, F.lit(False))
         )
         new_files = self._stage_files(survivors) if survivors.limit(1).count() else []
-        return self._commit(keep + new_files, "delete", parent, schema=snap.schema)
+        return self._commit(
+            keep + new_files, "delete", parent, schema=snap.schema,
+            stats=self._carry_stats(parent, new_files),
+        )
 
     # -- read path ----------------------------------------------------------
 
@@ -326,6 +391,54 @@ class ManifestTable:
             reader = reader.schema(snap.schema)
         return reader.parquet(*snap.files)
 
+    def files_for(
+        self, ranges: dict[str, tuple], version: int | None = None
+    ) -> list[str]:
+        """The snapshot's files that can contain rows matching EVERY
+        closed range in ``ranges`` ({col: (lo, hi)}), judged by the
+        manifest's per-file min/max — manifest-only pruning, no file
+        I/O. Files without stats for a ranged column are conservatively
+        kept; pre-stats manifests prune nothing."""
+        snap = self.snapshot(version)
+        stats = snap.stats or {}
+
+        def admits(path: str) -> bool:
+            fstats = stats.get(path, {})
+            for col, (lo, hi) in ranges.items():
+                if col in fstats:
+                    fmin, fmax = fstats[col]
+                    if hi < fmin or lo > fmax:
+                        return False
+            return True
+
+        return [f for f in snap.files if admits(f)]
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        ranges: dict[str, tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read only the files ``ranges`` can match, WITH the range
+        predicates applied (so results equal ``read().filter(...)``
+        exactly — pruning is a pure I/O win, never a semantics change).
+        At 100 TB this is the difference between planning over every
+        file and opening only the z-ordered/partition-local slice; row-
+        group stats then prune further inside each surviving file."""
+        from pyspark.sql import functions as F
+
+        snap = self.snapshot(version)
+        files = self.files_for(ranges, version)
+        cond = F.lit(True)
+        for col, (lo, hi) in ranges.items():
+            cond = cond & F.col(col).between(lo, hi)
+        if not files:
+            return self.read(spark, version).filter(F.lit(False))
+        reader = spark.read
+        if snap.schema is not None:
+            reader = reader.schema(snap.schema)
+        return reader.parquet(*files).filter(cond)
+
     # -- maintenance --------------------------------------------------------
 
     def compact(self, spark: SparkSession, target_file_mb: int = 128) -> Snapshot:
@@ -340,7 +453,10 @@ class ManifestTable:
             return snap  # nothing to gain
         df = self.read(spark, parent).repartition(int(n_out))
         files = self._stage_files(df)
-        return self._commit(files, "compact", parent, schema=snap.schema)
+        return self._commit(
+            files, "compact", parent, schema=snap.schema,
+            stats=self._collect_stats(files),
+        )
 
     def vacuum(self, retain_versions: int = 1) -> list[str]:
         """Delete data files unreferenced by the newest ``retain_versions``

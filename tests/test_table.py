@@ -245,3 +245,92 @@ def test_compact_and_delete_preserve_evolved_schema(spark, table):
     snap = table.compact(spark, target_file_mb=1024)
     assert "extra" in table.read(spark).columns
     assert table.read(spark).count() == 30
+
+
+# -- data skipping (manifest-level per-file min/max stats) -----------------
+
+
+def test_stats_recorded_on_write(spark, table):
+    snap = table.overwrite(_df(spark, 0, 100, "a").repartition(4))
+    assert snap.stats is not None and len(snap.stats) == snap.n_files
+    all_lo = min(s["id"][0] for s in snap.stats.values())
+    all_hi = max(s["id"][1] for s in snap.stats.values())
+    assert (all_lo, all_hi) == (0, 99)
+    # string column stats collected too
+    assert all(s["tag"] == ["a", "a"] for s in snap.stats.values())
+
+
+def test_read_pruned_equals_filtered_read_and_skips_files(spark, table):
+    # 4 disjoint-range batches → one file each carries a tight id box
+    for lo in (0, 100, 200, 300):
+        df = _df(spark, lo, lo + 100, f"b{lo}").coalesce(1)
+        table.overwrite(df) if lo == 0 else table.append(df)
+    pruned_files = table.files_for({"id": (120, 180)})
+    assert len(pruned_files) == 1  # only the 100..199 batch survives
+    got = table.read_pruned(spark, {"id": (120, 180)})
+    want = table.read(spark).filter(F.col("id").between(120, 180))
+    assert sorted(r.id for r in got.collect()) == sorted(
+        r.id for r in want.collect()
+    )
+
+
+def test_append_carries_stats_by_reference(spark, table):
+    s0 = table.overwrite(_df(spark, 0, 50, "a").coalesce(1))
+    s1 = table.append(_df(spark, 50, 100, "b").coalesce(1))
+    # the carried file keeps its v0 stats entry verbatim
+    for f in s0.files:
+        assert s1.stats[f] == s0.stats[f]
+    assert len(s1.stats) == len(s1.files) == 2
+
+
+def test_pre_stats_manifest_prunes_nothing(spark, table):
+    import json
+
+    snap = table.overwrite(_df(spark, 0, 100, "a").repartition(4))
+    # simulate a manifest written before stats tracking existed
+    p = table._manifest_path(snap.version)
+    m = json.load(open(p))
+    del m["stats"]
+    json.dump(m, open(p, "w"))
+    assert table.files_for({"id": (0, 1)}) == list(table.snapshot().files)
+    got = table.read_pruned(spark, {"id": (0, 1)}).count()
+    assert got == 2
+
+
+def test_empty_prune_returns_empty_frame(spark, table):
+    table.overwrite(_df(spark, 0, 10, "a").coalesce(1))
+    df = table.read_pruned(spark, {"id": (500, 600)})
+    assert df.count() == 0
+    assert "id" in df.columns
+
+
+def test_delete_and_compact_refresh_stats(spark, table):
+    table.overwrite(_df(spark, 0, 100, "a").repartition(4))
+    s_del = table.delete_where(spark, "id >= 50")
+    assert all(s["id"][1] <= 49 for s in s_del.stats.values())
+    s_cmp = table.compact(spark)
+    assert set(s_cmp.stats) == set(s_cmp.files)
+
+
+def test_zordered_table_prunes_both_dimensions(spark, table):
+    # z-order the staged data → every file's min/max box is tight in x
+    # AND y, so manifest pruning skips files for predicates on either
+    from datalake_public_spark.sinks import zorder
+
+    n = 64
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    keyed = (
+        grid.withColumn("_zkey", zorder.morton_key(["x", "y"], bits=6))
+        .repartitionByRange(16, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+    )
+    snap = table.overwrite(keyed)
+    assert snap.n_files == 16
+    for ranges in ({"y": (8, 15)}, {"x": (8, 15)}):
+        kept = table.files_for(ranges)
+        assert len(kept) <= snap.n_files // 2, ranges
+        got = table.read_pruned(spark, ranges).count()
+        assert got == 8 * n
