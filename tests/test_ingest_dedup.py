@@ -1,0 +1,115 @@
+"""Continuous corpus ingestion with cross-batch dedup: stream-vs-batch
+equivalence, replay idempotence, and the index-first crash-window repair.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_public_spark.sinks.table import ManifestTable
+from datalake_public_spark.streaming.ingest_dedup import (
+    ingest_batch_dedup,
+    ingest_dedup_stream,
+)
+
+SCHEMA = "doc_id long, text string"
+
+
+def _write_batches(spark, src):
+    """Three arrival files: the second repeats half the first's texts,
+    the third repeats one of its own rows and one corpus-wide text."""
+    b1 = [(i, f"text number {i}") for i in range(10)]
+    b2 = [(100 + i, f"text number {i}") for i in range(5)] + [
+        (200 + i, f"fresh b2 {i}") for i in range(5)
+    ]
+    b3 = [(300, "fresh b3"), (301, "fresh b3"), (302, "text number 7")]
+    for n, rows in enumerate([b1, b2, b3], 1):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            f"{src}/f{n}", mode="overwrite"
+        )
+    return b1, b2, b3
+
+
+@pytest.fixture()
+def tables(tmp_path):
+    return (
+        ManifestTable(str(tmp_path / "corpus")),
+        ManifestTable(str(tmp_path / "index")),
+    )
+
+
+def test_stream_ingest_equals_batch_exact_dedup(spark, tmp_path, tables):
+    src = str(tmp_path / "src")
+    b1, b2, b3 = _write_batches(spark, src)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force one micro-batch per file
+        .parquet(f"{src}/f*")
+    )
+    corpus = ingest_dedup_stream(
+        stream,
+        str(tmp_path / "corpus"),
+        str(tmp_path / "index"),
+        str(tmp_path / "ckpt"),
+    )
+    got = {(r.doc_id, r.text) for r in corpus.read(spark).collect()}
+    # batch oracle: min doc_id per distinct text over the whole input
+    full = spark.createDataFrame(b1 + b2 + b3, SCHEMA)
+    want = {
+        (r.doc_id, r.text)
+        for r in full.groupBy("text").agg(F.min("doc_id").alias("doc_id")).collect()
+    }
+    assert got == want
+    assert len(got) == 16  # 10 + 5 fresh + 1 fresh (b3 self-dup collapsed)
+
+
+def test_fully_duplicate_batch_commits_nothing(spark, tables):
+    corpus, index = tables
+    b = spark.createDataFrame([(1, "only text")], SCHEMA)
+    assert ingest_batch_dedup(b, corpus, index, "b1") == 1
+    v = corpus.current_version()
+    dup = spark.createDataFrame([(2, "only text")], SCHEMA)
+    assert ingest_batch_dedup(dup, corpus, index, "b2") == 0
+    assert corpus.current_version() == v
+
+
+def test_replay_same_tag_is_idempotent(spark, tables):
+    corpus, index = tables
+    b = spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA)
+    ingest_batch_dedup(b, corpus, index, "b1")
+    cv, iv = corpus.current_version(), index.current_version()
+    # replay recomputes the survivors but both tagged appends no-op
+    assert ingest_batch_dedup(b, corpus, index, "b1") == 2
+    assert (corpus.current_version(), index.current_version()) == (cv, iv)
+    assert corpus.read(spark).count() == 2
+
+
+def test_crash_window_index_committed_corpus_missing_self_heals(spark, tables):
+    corpus, index = tables
+    b = spark.createDataFrame([(1, "x"), (2, "y")], SCHEMA)
+    # simulate the crash: index append landed, corpus append did not
+    index.append_batch(
+        b.select(
+            F.md5("text").alias("content_hash"),
+            "doc_id",
+            F.lit("b1").alias("batch_tag"),
+        ),
+        "b1",
+    )
+    assert corpus.current_version() is None
+    # replay of the same batch repairs the corpus, index untouched
+    iv = index.current_version()
+    assert ingest_batch_dedup(b, corpus, index, "b1") == 2
+    assert corpus.read(spark).count() == 2
+    assert index.current_version() == iv
+    # and duplicates still can't enter afterwards
+    dup = spark.createDataFrame([(9, "x")], SCHEMA)
+    assert ingest_batch_dedup(dup, corpus, index, "b2") == 0
+
+
+def test_index_stays_narrow(spark, tables):
+    corpus, index = tables
+    b = spark.createDataFrame([(1, "wide " * 1000)], SCHEMA)
+    ingest_batch_dedup(b, corpus, index, "b1")
+    assert set(index.read(spark).columns) == {"content_hash", "doc_id", "batch_tag"}
