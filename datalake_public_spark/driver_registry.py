@@ -765,7 +765,21 @@ def sampling_suite(spark: SparkSession, sf: str) -> DataFrame:
         F.col("lang").alias("k"),
         F.col("n_chars").cast("long").alias("n"),
     )
-    return s.unionByName(w)
+    # temperature mixture (alpha=0.5): rebalance docs across the skewed
+    # lang domains — rare langs keep sqrt(n_max/n_d)× more than 'en';
+    # membership is row-for-row in the oracle (bit-deterministic rates,
+    # see operators/sampling.temperature_mixture)
+    from datalake_public_spark.operators.sampling import temperature_mixture
+
+    m = temperature_mixture(
+        _t(spark, sf, "documents"), "doc_id", "lang", alpha=0.5, base_rate=0.5
+    ).select(
+        F.lit("mixture").alias("op"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("lang").alias("k"),
+        F.col("n_chars").cast("long").alias("n"),
+    )
+    return s.unionByName(w).unionByName(m)
 
 
 def _sampling_sql() -> str:
@@ -773,6 +787,7 @@ def _sampling_sql() -> str:
         _stratified_sql,
         _weighted_sample_sql,
     )
+    from datalake_public_spark.operators.sampling import temperature_mixture_sql
 
     return f"""
 SELECT 'stratified' AS op, CAST(event_id AS BIGINT) AS id, event_type AS k,
@@ -781,6 +796,9 @@ FROM ({_stratified_sql()}) s
 UNION ALL
 SELECT 'weighted', CAST(doc_id AS BIGINT), lang, CAST(n_chars AS BIGINT)
 FROM ({_weighted_sample_sql()}) w
+UNION ALL
+SELECT 'mixture', CAST(doc_id AS BIGINT), lang, CAST(n_chars AS BIGINT)
+FROM ({temperature_mixture_sql('documents', 'doc_id', 'lang', 0.5)}) m
 """
 
 

@@ -243,3 +243,69 @@ def epoch_shuffle(
         )
     )
     return docs.withColumn("shuffle_key", key).orderBy("shuffle_key")
+
+
+def temperature_mixture(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    *,
+    alpha: float = 0.5,
+    base_rate: float = 0.5,
+) -> DataFrame:
+    """Temperature-based domain rebalancing (the multilingual/domain
+    mixing rule: sample domain d with probability ∝ n_d^alpha, so
+    alpha < 1 upweights rare domains). Rates are anchored at the
+    DOMINANT domain: it keeps ``base_rate`` of its rows and every other
+    domain keeps ``min(1, base_rate * (n_max/n_d)^(1-alpha))`` — the
+    exact keep-rate ratio temperature sampling implies, without a global
+    normalizer whose float summation order would differ across engines.
+
+    At alpha=0.5 every arithmetic step (int→double, divide, sqrt,
+    multiply, min) is IEEE-correctly-rounded, so rates — and therefore
+    MEMBERSHIP — are bit-identical in any engine BY CONSTRUCTION (the
+    oracle-safety rule: design guarantees, not observed agreement).
+    Other alphas go through pow(), whose last-ulp behavior is
+    platform-defined: fine for production, not for exact-equality
+    oracles.
+
+    Scale: one tiny groupBy for domain counts, broadcast back, then a
+    scan-time hash filter — membership is a pure function of
+    (key, domain counts), stable under repartitioning; rows keep a
+    ``mixture_rate`` audit column."""
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    # global window over the POST-AGG domain table (a few rows), not data
+    nmax = F.max("__n").over(Window.partitionBy())
+    ratio = nmax.cast("double") / F.col("__n").cast("double")
+    factor = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, 1.0 - alpha)
+    rates = counts.select(
+        domain_col,
+        F.least(F.lit(1.0), F.lit(float(base_rate)) * factor).alias(
+            "mixture_rate"
+        ),
+    )
+    hashed = (F.col(key_col) * F.lit(KNUTH)) % F.lit(M32)
+    return df.join(F.broadcast(rates), domain_col).filter(
+        hashed.cast("double") < F.col("mixture_rate") * F.lit(float(M32))
+    )
+
+
+def temperature_mixture_sql(
+    table: str, key: str, domain: str, base_rate: float = 0.5
+) -> str:
+    """The alpha=0.5 mixture as ANSI SQL — lockstep twin of
+    ``temperature_mixture`` (same correctly-rounded operation sequence,
+    so membership matches bit-for-bit)."""
+    return f"""
+SELECT t.*, r.mixture_rate
+FROM {table} t
+JOIN (
+  SELECT {domain} AS d,
+         least(1.0, {float(base_rate)} * sqrt(
+           CAST((SELECT max(n) FROM (
+             SELECT count(*) AS n FROM {table} GROUP BY {domain})) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE))) AS mixture_rate
+  FROM {table} GROUP BY {domain}
+) r ON t.{domain} = r.d
+WHERE CAST(({key} * {KNUTH}) % {M32} AS DOUBLE) < r.mixture_rate * {float(M32)}
+"""

@@ -382,3 +382,58 @@ def test_epoch_shuffle_matches_engine_portable_spec(spark):
         range(50), key=lambda i: hashlib.md5(f"{i}:17:3".encode()).hexdigest()
     )
     assert got == want
+
+
+def test_temperature_mixture_rates_and_anchor(spark):
+    from datalake_public_spark.operators.sampling import temperature_mixture
+
+    # 400 'big' rows vs 100 'small' rows: small keeps sqrt(4)=2x the rate
+    df = spark.range(500).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 400, "big").otherwise("small").alias("d"),
+    )
+    out = temperature_mixture(df, "k", "d", alpha=0.5, base_rate=0.4)
+    rates = {r.d: r.mixture_rate for r in out.select("d", "mixture_rate").distinct().collect()}
+    assert rates["big"] == 0.4
+    assert abs(rates["small"] - 0.8) < 1e-12
+    kept = {r.d: r.cnt for r in out.groupBy("d").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # hash filter keeps ~rate fraction of each domain
+    assert abs(kept["big"] / 400 - 0.4) < 0.1
+    assert abs(kept["small"] / 100 - 0.8) < 0.12
+
+
+def test_temperature_mixture_caps_rate_at_one(spark):
+    from datalake_public_spark.operators.sampling import temperature_mixture
+
+    # tiny domain: base * sqrt(n_max/n) > 1 → every row kept
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 996, "big").otherwise("rare").alias("d"),
+    )
+    out = temperature_mixture(df, "k", "d", alpha=0.5, base_rate=0.3)
+    rare = out.filter(F.col("d") == "rare")
+    assert rare.count() == 4
+    assert all(r.mixture_rate == 1.0 for r in rare.collect())
+
+
+def test_temperature_mixture_alpha_one_is_uniform_rate(spark):
+    from datalake_public_spark.operators.sampling import temperature_mixture
+
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("d"),
+    )
+    out = temperature_mixture(df, "k", "d", alpha=1.0, base_rate=0.5)
+    rates = {r.mixture_rate for r in out.select("mixture_rate").distinct().collect()}
+    assert rates == {0.5}  # alpha=1 → no rebalancing, every domain at base
+
+
+def test_temperature_mixture_membership_is_stable_under_repartition(spark):
+    from datalake_public_spark.operators.sampling import temperature_mixture
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).cast("string").alias("d")
+    )
+    a = {r.k for r in temperature_mixture(df, "k", "d").collect()}
+    b = {r.k for r in temperature_mixture(df.repartition(13), "k", "d").collect()}
+    assert a == b and len(a) > 0
