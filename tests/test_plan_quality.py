@@ -316,3 +316,29 @@ def test_embedding_neardup_lsh_plan_shape(spark):
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
     assert "ArrowEvalPython" in p
+
+
+def test_temperature_mixture_broadcasts_rates_one_agg_shuffle(spark):
+    # the domain-rate table is tiny → must broadcast back (no shuffle of
+    # the corpus for the join); the only exchange is the count agg's
+    from datalake_public_spark.operators.sampling import temperature_mixture
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(spark, temperature_mixture(docs, "doc_id", "lang"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 3  # count-agg pair + broadcast exch
+
+
+def test_line_dedup_shuffles_hashes_not_bodies(spark):
+    # the first-occurrence argmin exchange must carry (h, id, pos) —
+    # never the line text; the reconstruct agg groups on the doc id
+    from datalake_public_spark.operators.dedup import line_dedup
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(spark, line_dedup(docs), "formatted")
+    assert "CartesianProduct" not in plan
+    # the argmin HashAggregate keys on the md5 hash, projected before
+    # the exchange (hash-partitioned on h, not on line)
+    assert "hashpartitioning(h" in plan
+    assert "hashpartitioning(line" not in plan
