@@ -313,28 +313,56 @@ class ManifestTable:
             stats=self._carry_stats(parent, new),
         )
 
+    def _tag_marker(self, batch_tag: str) -> str:
+        if os.sep in batch_tag or batch_tag in ("", ".", ".."):
+            raise ValueError(f"batch_tag {batch_tag!r} is not a valid tag name")
+        return os.path.join(self.manifest_dir, "_tags", batch_tag)
+
+    def _tag_committed(self, batch_tag: str) -> bool:
+        """Has ``append:<tag>`` ever committed? O(1) via the tag marker;
+        falls back to the O(versions) history scan when the marker is
+        missing (legacy tables, or a crash between commit and marker)
+        and self-heals by writing it."""
+        if os.path.exists(self._tag_marker(batch_tag)):
+            return True
+        if any(s.operation == f"append:{batch_tag}" for s in self.history()):
+            self._mark_tag(batch_tag)
+            return True
+        return False
+
+    def _mark_tag(self, batch_tag: str) -> None:
+        path = self._tag_marker(batch_tag)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w"):
+            pass
+
     def append_batch(self, df: DataFrame, batch_tag: str):
         """Idempotent tagged append for streaming sinks: commit ``df``
-        with operation ``append:<batch_tag>``; if that tag is already in
-        the manifest history, do nothing and return None. Spark's
-        streaming checkpoint already dedups replayed batches across
-        restarts — the tag makes a replay harmless even when a batch
-        re-fires after its commit (checkpoint lost/rolled back), closing
-        the duplicate-append window a plain ``append`` sink has.
+        with operation ``append:<batch_tag>``; if that tag has already
+        committed, do nothing and return None. Spark's streaming
+        checkpoint already dedups replayed batches across restarts — the
+        tag makes a replay harmless even when a batch re-fires after its
+        commit (checkpoint lost/rolled back), closing the
+        duplicate-append window a plain ``append`` sink has.
 
-        The history scan is O(versions); at production commit rates pair
-        it with ``vacuum``/retention so the manifest log stays bounded."""
-        op = f"append:{batch_tag}"
-        if any(s.operation == op for s in self.history()):
+        Replay detection is O(1): each committed tag leaves an empty
+        marker under ``_manifests/_tags/`` (written AFTER the manifest
+        commit — a crash between the two degrades one future check to
+        the history scan, which rewrites the marker). Without markers a
+        10k-micro-batch stream would re-read 10k manifests per batch."""
+        if self._tag_committed(batch_tag):
             return None
+        op = f"append:{batch_tag}"
         parent = self.current_version()
         schema = self._write_schema(parent, df, merge_schema=False)
         base = self.snapshot(parent).files if parent is not None else ()
         new = self._stage_files(df)
-        return self._commit(
+        snap = self._commit(
             list(base) + new, op, parent, schema=schema,
             stats=self._carry_stats(parent, new),
         )
+        self._mark_tag(batch_tag)
+        return snap
 
     def delete_where(self, spark: SparkSession, condition: str) -> Snapshot:
         """Copy-on-write delete: files containing matching rows are

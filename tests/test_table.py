@@ -334,3 +334,41 @@ def test_zordered_table_prunes_both_dimensions(spark, table):
         assert len(kept) <= snap.n_files // 2, ranges
         got = table.read_pruned(spark, ranges).count()
         assert got == 8 * n
+
+
+# -- O(1) replay detection (tag markers) -----------------------------------
+
+
+def test_append_batch_marker_written_and_checked(spark, table):
+    table.append_batch(_df(spark, 0, 5, "a"), "b1")
+    assert os.path.exists(table._tag_marker("b1"))
+    # replay: no new version even with different rows (same tag)
+    v = table.current_version()
+    assert table.append_batch(_df(spark, 5, 9, "b"), "b1") is None
+    assert table.current_version() == v
+
+
+def test_append_batch_missing_marker_falls_back_and_heals(spark, table):
+    table.append_batch(_df(spark, 0, 5, "a"), "b1")
+    os.remove(table._tag_marker("b1"))  # crash window: commit, no marker
+    v = table.current_version()
+    assert table.append_batch(_df(spark, 0, 5, "a"), "b1") is None  # history scan
+    assert table.current_version() == v
+    assert os.path.exists(table._tag_marker("b1"))  # healed
+
+
+def test_tags_survive_vacuum(spark, table):
+    table.append_batch(_df(spark, 0, 5, "a"), "b1")
+    table.overwrite(_df(spark, 0, 5, "c"))
+    table.vacuum(retain_versions=1)  # b1's manifest is gone
+    v = table.current_version()
+    assert table.append_batch(_df(spark, 0, 5, "a"), "b1") is None
+    assert table.current_version() == v
+
+
+def test_bad_tag_names_rejected(spark, table):
+    import pytest as _pytest
+
+    for bad in ("", "..", f"a{os.sep}b"):
+        with _pytest.raises(ValueError):
+            table._tag_marker(bad)
