@@ -122,3 +122,164 @@ def ingest_dedup_stream(
     )
     _await_or_raise(q, timeout_s, "ingest_dedup_stream")
     return corpus
+
+
+def ingest_batch_neardedup(
+    batch: DataFrame,
+    corpus: ManifestTable,
+    exact_index: ManifestTable,
+    sig_index: ManifestTable,
+    batch_tag: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket: int = 200,
+) -> int:
+    """Ingest one batch with EXACT + NEAR dedup against everything
+    already ingested.
+
+    Within the batch: exact dedup (min id per hash), then MinHash+LSH
+    pairs verified with exact Jaccard (the shingle sets are in hand),
+    connected components, keep-min-per-cluster — the same composition
+    as ``dedupe_corpus``, scoped to the batch.
+
+    Against the corpus: the signature index stores one narrow
+    ``(doc_id, sig[num_perm], batch_tag)`` row per ingested doc (~0.5 KB
+    at 64 perms — at 1 B docs the index is ~0.5 TB vs the corpus's
+    100 TB). Batch and index signatures band map-side; candidates come
+    from the (band, key) join (hot buckets above ``max_bucket`` dropped
+    on the index side — boilerplate guard, as in fuzzy_join_minhash);
+    matches are confirmed by the standard signature-agreement estimator
+    (fraction of equal components ≈ Jaccard; corpus shingles are not
+    stored, so the verify is the unbiased estimate rather than exact —
+    the documented precision tradeoff of signature-only indexes).
+
+    Commit order and replay semantics follow ``ingest_batch_dedup``:
+    all index appends first, corpus last, one tag everywhere; anti-join
+    and band joins exclude the replaying tag's own rows so a replay
+    recomputes the identical survivor set. Returns the survivor count.
+
+    Per-batch cost: O(batch) + one scan of the narrow indexes + the
+    band-collision join — never a corpus scan. At extreme index sizes,
+    materialize the band index bucketed on (band, key)
+    (sinks/bucketing.py) to make the join co-partitioned."""
+    from datalake_public_spark.operators.components import connected_components
+    from datalake_public_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    spark = batch.sparkSession
+    r = num_perm // bands
+
+    # -- exact: vs index, then within batch --------------------------------
+    hashed = batch.withColumn("content_hash", F.md5(F.col(text_col)))
+    eidx = _index_read(spark, exact_index)
+    if eidx is not None:
+        hashed = hashed.join(
+            eidx.filter(F.col("batch_tag") != batch_tag).select("content_hash"),
+            "content_hash",
+            "left_anti",
+        )
+    firsts = hashed.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+    fresh = hashed.join(firsts, ["content_hash", id_col], "left_semi")
+
+    # -- near: within batch (exact-verified LSH + components, keep-min) ---
+    pairs = minhash_lsh_pairs(
+        fresh, text_col, id_col,
+        shingle_n=shingle_n, num_perm=num_perm, bands=bands,
+        threshold=threshold, max_bucket=max_bucket,
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(pairs)
+    losers = (
+        comp.groupBy("component")
+        .agg(F.min("node").alias("keep"))
+        .join(comp, "component")
+        .filter(F.col("node") != F.col("keep"))
+        .select(F.col("node").alias(id_col))
+    )
+    fresh = fresh.join(losers, id_col, "left_anti")
+
+    # -- near: vs the accumulated signature index --------------------------
+    def banded(sig_df, side):
+        return sig_df.select(
+            F.col("id").alias(f"{side}_id"),
+            F.col("sig").alias(f"{side}_sig"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.xxhash64(F.slice("sig", b * r + 1, r)).alias("key"),
+                    ),
+                )
+            ).alias("bk"),
+        ).select(f"{side}_id", f"{side}_sig", "bk.band", "bk.key")
+
+    bsigs = minhash_signatures(
+        fresh, text_col, id_col, shingle_n=shingle_n, num_perm=num_perm
+    ).select("id", "sig").persist()
+    bsigs.count()  # materialize before multi-branch reuse
+    sidx = _index_read(spark, sig_index)
+    if sidx is not None:
+        isigs = (
+            sidx.filter(F.col("batch_tag") != batch_tag)
+            .select(F.col(id_col).alias("id"), "sig")
+        )
+        ib = banded(isigs, "corpus")
+        ok = (
+            ib.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") <= max_bucket)
+            .select("band", "key")
+        )
+        cand = (
+            banded(bsigs, "batch")
+            .join(ib.join(ok, ["band", "key"], "left_semi"), ["band", "key"])
+            .select("batch_id", "batch_sig", "corpus_id", "corpus_sig")
+            .distinct()
+        )
+        # signature-agreement estimate, computed ONCE under a name (the
+        # no-HOF-repetition rule) on the bounded candidate set
+        agree = F.size(
+            F.filter(
+                F.zip_with("batch_sig", "corpus_sig", lambda x, y: x == y),
+                lambda b: b,
+            )
+        )
+        near = (
+            cand.withColumn("est", agree / F.lit(float(num_perm)))
+            .filter(F.col("est") >= threshold)
+            .select(F.col("batch_id").alias(id_col))
+            .distinct()
+        )
+        fresh = fresh.join(near, id_col, "left_anti")
+
+    fresh = fresh.persist()
+    try:
+        n_new = fresh.count()
+        if n_new == 0:
+            return 0
+        sig_index.append_batch(
+            bsigs.join(fresh.select(F.col(id_col).alias("id")), "id", "left_semi")
+            .select(
+                F.col("id").alias(id_col), "sig",
+                F.lit(batch_tag).alias("batch_tag"),
+            ),
+            batch_tag,
+        )
+        exact_index.append_batch(
+            fresh.select(
+                "content_hash", F.col(id_col), F.lit(batch_tag).alias("batch_tag")
+            ),
+            batch_tag,
+        )
+        corpus.append_batch(fresh.drop("content_hash"), batch_tag)
+        return n_new
+    finally:
+        fresh.unpersist()
+        bsigs.unpersist()

@@ -113,3 +113,77 @@ def test_index_stays_narrow(spark, tables):
     b = spark.createDataFrame([(1, "wide " * 1000)], SCHEMA)
     ingest_batch_dedup(b, corpus, index, "b1")
     assert set(index.read(spark).columns) == {"content_hash", "doc_id", "batch_tag"}
+
+
+# -- near-dup ingestion ----------------------------------------------------
+
+
+def _near_tables(tmp_path):
+    from datalake_public_spark.sinks.table import ManifestTable
+
+    return (
+        ManifestTable(str(tmp_path / "corpus")),
+        ManifestTable(str(tmp_path / "eidx")),
+        ManifestTable(str(tmp_path / "sidx")),
+    )
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep green forest to hide from every single hunter nearby"
+)
+NEAR = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep green forest to hide from every single hunter today"
+)
+OTHER = (
+    "completely different content about spark shuffles partitions and "
+    "catalyst optimizer rules with nothing shared at all between corpora"
+)
+
+
+def test_neardedup_within_batch_keeps_min_of_cluster(spark, tmp_path):
+    from datalake_public_spark.streaming.ingest_dedup import ingest_batch_neardedup
+
+    corpus, eidx, sidx = _near_tables(tmp_path)
+    b = spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, OTHER)], SCHEMA
+    )
+    n = ingest_batch_neardedup(b, corpus, eidx, sidx, "b1")
+    assert n == 2
+    kept = {r.doc_id for r in corpus.read(spark).collect()}
+    assert kept == {1, 3}  # near-pair (1,2) collapsed to min id
+
+
+def test_neardedup_across_batches_via_signature_index(spark, tmp_path):
+    from datalake_public_spark.streaming.ingest_dedup import ingest_batch_neardedup
+
+    corpus, eidx, sidx = _near_tables(tmp_path)
+    assert ingest_batch_neardedup(
+        spark.createDataFrame([(1, BASE)], SCHEMA), corpus, eidx, sidx, "b1"
+    ) == 1
+    # the near-variant arrives in a LATER batch: caught by the sig index
+    assert ingest_batch_neardedup(
+        spark.createDataFrame([(10, NEAR), (11, OTHER)], SCHEMA),
+        corpus, eidx, sidx, "b2",
+    ) == 1
+    kept = {r.doc_id for r in corpus.read(spark).collect()}
+    assert kept == {1, 11}
+    # exact dup across batches still caught by the exact index
+    assert ingest_batch_neardedup(
+        spark.createDataFrame([(20, OTHER)], SCHEMA), corpus, eidx, sidx, "b3"
+    ) == 0
+
+
+def test_neardedup_replay_is_idempotent_and_heals(spark, tmp_path):
+    from datalake_public_spark.streaming.ingest_dedup import ingest_batch_neardedup
+
+    corpus, eidx, sidx = _near_tables(tmp_path)
+    b = spark.createDataFrame([(1, BASE), (2, OTHER)], SCHEMA)
+    assert ingest_batch_neardedup(b, corpus, eidx, sidx, "b1") == 2
+    vs = (corpus.current_version(), eidx.current_version(), sidx.current_version())
+    assert ingest_batch_neardedup(b, corpus, eidx, sidx, "b1") == 2
+    assert (
+        corpus.current_version(), eidx.current_version(), sidx.current_version()
+    ) == vs
+    assert corpus.read(spark).count() == 2
