@@ -486,6 +486,34 @@ class ManifestTable:
             stats=self._collect_stats(files),
         )
 
+    def file_diff(self, v_from: int, v_to: int) -> dict:
+        """Metadata-only diff between two snapshots: which data files
+        ``v_to`` added and removed relative to ``v_from``. O(manifest
+        sizes), no data I/O — the audit primitive behind 'what did this
+        commit touch' at any table size."""
+        a = set(self.snapshot(v_from).files)
+        b = set(self.snapshot(v_to).files)
+        return {"added": sorted(b - a), "removed": sorted(a - b)}
+
+    def maintain(
+        self,
+        spark: SparkSession,
+        *,
+        max_files: int = 64,
+        target_file_mb: int = 128,
+        retain_versions: int = 10,
+    ) -> Snapshot:
+        """The periodic maintenance pass a streaming-append table needs:
+        compact when the head snapshot exceeds ``max_files`` (many small
+        per-batch files otherwise accumulate forever and every read pays
+        per-file open cost), then vacuum to the retention window. No-op
+        below the threshold. Returns the head snapshot."""
+        snap = self.snapshot()
+        if snap.n_files > max_files:
+            snap = self.compact(spark, target_file_mb)
+            self.vacuum(retain_versions)
+        return snap
+
     def vacuum(self, retain_versions: int = 1) -> list[str]:
         """Delete data files unreferenced by the newest ``retain_versions``
         manifests, and drop the older manifests. Returns deleted paths.

@@ -372,3 +372,31 @@ def test_bad_tag_names_rejected(spark, table):
     for bad in ("", "..", f"a{os.sep}b"):
         with _pytest.raises(ValueError):
             table._tag_marker(bad)
+
+
+# -- maintenance policy / version diff -------------------------------------
+
+
+def test_maintain_compacts_small_file_buildup(spark, table):
+    table.overwrite(_df(spark, 0, 10, "a").coalesce(1))
+    for i in range(6):  # streaming-append shape: one small file per batch
+        table.append_batch(_df(spark, 10 + i * 5, 15 + i * 5, "b").coalesce(1), f"t{i}")
+    before = table.snapshot()
+    assert before.n_files == 7
+    after = table.maintain(spark, max_files=4, retain_versions=2)
+    assert after.operation == "compact"
+    assert after.n_files < before.n_files
+    assert table.read(spark).count() == 40
+    assert len(table.versions()) == 2  # vacuumed to the retention window
+    # below threshold → no-op
+    assert table.maintain(spark, max_files=4).version == after.version
+
+
+def test_file_diff_is_metadata_only(spark, table):
+    s0 = table.overwrite(_df(spark, 0, 10, "a").coalesce(1))
+    s1 = table.append(_df(spark, 10, 20, "b").coalesce(1))
+    d = table.file_diff(s0.version, s1.version)
+    assert d["removed"] == [] and len(d["added"]) == 1
+    s2 = table.delete_where(spark, "id < 5")
+    d2 = table.file_diff(s1.version, s2.version)
+    assert len(d2["removed"]) == 1 and len(d2["added"]) == 1
