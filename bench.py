@@ -46,6 +46,7 @@ HEADLINE = [
     "sessionize",
     "tumbling_window_agg",
     "dedup_exact",
+    "dedup_lines",
     "dedup_minhash_lsh",
     "text_quality_score",
     "doc_fingerprint",
@@ -89,10 +90,50 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    # dedup_exact's registry entry grew an op=line union branch (round 3)
+    # — bench the PURE exact-dedup operator so the headline number stays
+    # comparable across rounds, and time the line-dedup composition as
+    # its own entry
+    from datalake_public_spark.operators.dedup import exact_dedup, line_dedup
+
+    def _docs(spark_, sfd):
+        return spark_.read.parquet(f"{sfd.rstrip('/')}/documents.parquet")
+
+    def _grouped_docs(spark_, sfd):
+        d = _docs(spark_, sfd)
+        return (
+            d.groupBy(F.expr("doc_id DIV 3").alias("gid"))
+            .agg(
+                F.concat_ws(
+                    "\n",
+                    F.lit("== hdr =="),
+                    F.concat_ws(
+                        "\n",
+                        F.transform(
+                            F.sort_array(F.collect_list(F.struct("doc_id", "text"))),
+                            lambda s: s["text"],
+                        ),
+                    ),
+                    F.lit("== ftr =="),
+                ).alias("text")
+            )
+            .select(F.col("gid").alias("doc_id"), "text")
+        )
+
+    extra = {
+        "dedup_exact": lambda s, d: exact_dedup(_docs(s, d)),
+        "dedup_lines": lambda s, d: line_dedup(_grouped_docs(s, d)),
+    }
+
+    def build(name):
+        if name in extra:
+            return extra[name](spark, sf_dir)
+        return registry[name].spark(spark, sf_dir)
+
     best: dict[str, float] = {}
     for _rep in range(reps):
         for name in HEADLINE:
-            t = run_noop(registry[name].spark(spark, sf_dir))
+            t = run_noop(build(name))
             best[name] = min(best.get(name, float("inf")), t)
     timings = {n: round(t, 3) for n, t in best.items()}
 
@@ -122,17 +163,24 @@ def main() -> None:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     shutil.rmtree(bdir, ignore_errors=True)
 
-    total = round(sum(timings.values()), 3)
+    # round-3 extension queries report separately (like `bucketed`) so
+    # `value` keeps summing the original 12-query set across rounds
+    EXTENSIONS = {"dedup_lines"}
+    core = {n: t for n, t in timings.items() if n not in EXTENSIONS}
+    total = round(sum(core.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_wall_time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": core,
                 "sf": sf,
                 "reps": reps,
                 "bucketed": {n: round(t, 3) for n, t in bucketed_best.items()},
+                "extensions": {
+                    n: t for n, t in timings.items() if n in EXTENSIONS
+                },
             }
         )
     )
