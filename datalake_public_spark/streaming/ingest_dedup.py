@@ -23,6 +23,13 @@ already-committed index append, and the missing corpus append lands. Corpus-firs
 window where another batch re-ingests duplicates. Duplicates never
 enter; missing rows self-heal on replay.
 
+File sizing: every commit coalesces to ``out_partitions`` output files
+(default 1 — micro-batches are small relative to executor memory; a
+32-partition write per batch per table grew the file count 100× faster
+and per-batch wall time with it, measured in NOTES_r3). Pair long-
+running streams with ``ManifestTable.maintain()`` so corpus and index
+file counts stay bounded regardless of batch count.
+
 Ref parity: beyond the reference (streaming ingestion extension; the
 reference ingests via 3-hourly cron, ``dags/dag_bike.py:36``).
 """
@@ -50,6 +57,7 @@ def ingest_batch_dedup(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    out_partitions: int = 1,
 ) -> int:
     """Ingest one batch: drop rows whose content hash is already in the
     index, dedup within the batch (min id per hash wins), then commit
@@ -80,10 +88,12 @@ def ingest_batch_dedup(
         index.append_batch(
             fresh.select(
                 "content_hash", F.col(id_col), F.lit(batch_tag).alias("batch_tag")
-            ),
+            ).coalesce(out_partitions),
             batch_tag,
         )
-        corpus.append_batch(fresh.drop("content_hash"), batch_tag)
+        corpus.append_batch(
+            fresh.drop("content_hash").coalesce(out_partitions), batch_tag
+        )
         return n_new
     finally:
         fresh.unpersist()
@@ -138,6 +148,7 @@ def ingest_batch_neardedup(
     bands: int = 16,
     threshold: float = 0.5,
     max_bucket: int = 200,
+    out_partitions: int = 1,
 ) -> int:
     """Ingest one batch with EXACT + NEAR dedup against everything
     already ingested.
@@ -269,16 +280,18 @@ def ingest_batch_neardedup(
             .select(
                 F.col("id").alias(id_col), "sig",
                 F.lit(batch_tag).alias("batch_tag"),
-            ),
+            ).coalesce(out_partitions),
             batch_tag,
         )
         exact_index.append_batch(
             fresh.select(
                 "content_hash", F.col(id_col), F.lit(batch_tag).alias("batch_tag")
-            ),
+            ).coalesce(out_partitions),
             batch_tag,
         )
-        corpus.append_batch(fresh.drop("content_hash"), batch_tag)
+        corpus.append_batch(
+            fresh.drop("content_hash").coalesce(out_partitions), batch_tag
+        )
         return n_new
     finally:
         fresh.unpersist()
