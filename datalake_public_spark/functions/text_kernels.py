@@ -135,3 +135,59 @@ def fingerprint256_kernel(col: Column | str) -> Column:
 def simhash32_kernel(col: Column | str) -> Column:
     """Arrow twin of ``text_funcs.simhash32(col)``."""
     return _udf("sim", _simhash32_fn)(col)
+
+
+# -- text normalization (the pre-tokenization cleaning pass) ---------------
+#
+# Fixed transformation chain, defined ONCE here and mirrored verbatim in
+# NORMALIZE_SQL (DuckDB): NFC unicode normalization, CRLF->LF, control
+# strip (keep \t \n), horizontal-whitespace collapse, space-trim around
+# newlines, outer space trim. Patterns stay in the common subset of
+# Python re and RE2 so both engines compile them identically.
+
+_NORM_STEPS = (
+    (r"\r\n", "\n"),
+    (r"[\x00-\x08\x0b-\x1f\x7f]", ""),
+    (r"[ \t]+", " "),
+    (r" *\n *", "\n"),
+)
+
+
+def _normalize_fn(texts: pd.Series) -> pd.Series:
+    import unicodedata
+
+    mask = texts.notna()
+    out = pd.Series([None] * len(texts), dtype="object")
+    if mask.any():
+        s = texts[mask].map(lambda t: unicodedata.normalize("NFC", t))
+        for pat, rep in _NORM_STEPS:
+            s = s.str.replace(pat, rep, regex=True)
+        out[mask] = s.str.strip(" ")
+    return out
+
+
+def normalize_text_kernel(col: Column | str) -> Column:
+    """Arrow-batched text normalization (NFC needs Python's unicodedata —
+    Spark has no built-in NFC; everything else rides along in the same
+    vectorized pass). NULL propagates."""
+    if "norm" not in _UDF_CACHE:
+        _UDF_CACHE["norm"] = pandas_udf("string")(_normalize_fn)
+    return _UDF_CACHE["norm"](col)
+
+
+def normalize_text_sql(col: str) -> str:
+    """The identical chain as DuckDB SQL (nfc_normalize + RE2 global
+    regexp_replace) — lockstep twin of ``normalize_text_kernel``. The
+    replacement steps are spelled with escaped pattern literals (RE2
+    resolves ``\\r``/``\\n``/``\\x..`` inside the pattern, so the SQL
+    string needs no raw control bytes)."""
+    expr = f"nfc_normalize({col})"
+    steps_sql = (
+        ("'\\r\\n'", "chr(10)"),
+        ("'[\\x00-\\x08\\x0b-\\x1f\\x7f]'", "''"),
+        ("'[ \\t]+'", "' '"),
+        ("' *\\n *'", "chr(10)"),
+    )
+    for pat, rep in steps_sql:
+        expr = f"regexp_replace({expr}, {pat}, {rep}, 'g')"
+    return f"trim({expr}, ' ')"

@@ -416,3 +416,24 @@ def fingerprint(
         T.rolling_hash(prefix).alias("fingerprint"),
         T.simhash32(text_col).alias("simhash"),
     )
+
+
+def normalize_text(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The pre-tokenization cleaning pass: NFC unicode normalization,
+    CRLF→LF, control-character strip (tabs/newlines kept), horizontal-
+    whitespace collapse, space-trim around newlines, outer trim — one
+    Arrow-batched kernel (Spark has no built-in NFC), with a lockstep
+    DuckDB twin (``functions.text_kernels.normalize_text_sql``) so the
+    chain is cross-engine pinned. Emits the normalized text plus the
+    original/normalized char counts (the audit columns a cleaning run
+    reports). Scale: map-only, no shuffle; NULL text propagates."""
+    from datalake_public_spark.functions.text_kernels import normalize_text_kernel
+
+    wide = widen_for_compute(docs)
+    return wide.select(
+        F.col(id_col),
+        normalize_text_kernel(F.col(text_col)).alias("text"),
+        F.length(F.col(text_col)).alias("n_chars_raw"),
+    ).withColumn("n_chars_norm", F.length("text"))

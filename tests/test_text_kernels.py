@@ -105,3 +105,44 @@ def test_kernel_survives_megatoken(spark):
     )
     diff = both.filter(~(F.col("spec").eqNullSafe(F.col("kernel")))).count()
     assert diff == 0
+
+
+# -- normalization kernel --------------------------------------------------
+
+
+def test_normalize_text_matches_duckdb_on_crafted_unicode(spark):
+    import duckdb
+    import pandas as pd
+
+    from datalake_public_spark.functions.text_kernels import normalize_text_sql
+    from datalake_public_spark.operators.text import normalize_text
+
+    rows = [
+        (1, "café crema"),          # decomposed é → composed
+        (2, "a\r\nb\rc"),                       # CRLF + stray CR
+        (3, "x\x00y\x07z\x7f!"),               # control chars stripped
+        (4, "too   many\t\tspaces"),            # collapse runs
+        (5, "  lead \n trail  "),               # trim + around-newline
+        (6, None),                              # NULL propagates
+        (7, "é already composed"),         # NFC idempotent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_chars_raw, r.n_chars_norm)
+        for r in normalize_text(df).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = con.execute(
+        f"SELECT doc_id, {normalize_text_sql('text')} AS text FROM t"
+    ).df()
+    for _, row in want.iterrows():
+        w = None if row.text is None or row.text != row.text else row.text
+        assert got[row.doc_id][0] == w, row.doc_id
+    # spot-check semantics, not just twin agreement
+    assert got[1][0] == "café crema" and got[1][1] == 11 and got[1][2] == 10
+    assert got[2][0] == "a\nb\nc" or got[2][0] == "a\nbc"  # stray \r stripped
+    assert got[3][0] == "xyz!"
+    assert got[4][0] == "too many spaces"
+    assert got[5][0] == "lead\ntrail"
+    assert got[6][0] is None
