@@ -417,3 +417,148 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> float:
     hit = a.join(e, ["query_id", "match_id"]).count()
     total = e.count()
     return hit / total if total else math.nan
+
+
+# -- persistent IVF index (build once, probe many) -------------------------
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    index_root: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    train_size: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+):
+    """Materialize an IVF index as two versioned tables under
+    ``index_root``: ``centroids`` (cell, centroid) and ``assignments``
+    (vec id → cell). ``ivf_topk`` recomputes the corpus-side cell
+    assignment — a full-corpus kernel pass — on EVERY call; a serving
+    deployment builds the index once and every query batch afterwards
+    reads the narrow assignment table instead (probe cost only).
+    Versioning comes from ManifestTable: rebuilds are atomic commits,
+    readers pin a snapshot, and ``extend_ivf_index`` appends new
+    vectors' assignments as the corpus grows (centroids fixed — the
+    standard IVF regime; rebuild when drift accumulates)."""
+    from datalake_public_spark.sinks.table import ManifestTable
+
+    spark = corpus.sparkSession
+    sample = [
+        r[0]
+        for r in corpus.select(vec_col, id_col)
+        .orderBy(id_col)
+        .limit(train_size)
+        .collect()
+    ]
+    C = _train_centroids_numpy(sample, n_cells, iters, seed)
+    cent_tbl = ManifestTable(f"{index_root.rstrip('/')}/centroids")
+    cent_tbl.overwrite(
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in row]) for i, row in enumerate(C)],
+            "cell int, centroid array<double>",
+        ).coalesce(1)
+    )
+    assign_tbl = ManifestTable(f"{index_root.rstrip('/')}/assignments")
+    assign_tbl.overwrite(
+        widen_for_compute(corpus).select(
+            F.col(id_col).alias("vec_id"),
+            F.element_at(_cell_udf(C, 1)(F.col(vec_col)), 1).alias("cell"),
+        )
+    )
+    return cent_tbl, assign_tbl
+
+
+def _load_centroids(spark, index_root: str) -> "np.ndarray":
+    from datalake_public_spark.sinks.table import ManifestTable
+
+    rows = (
+        ManifestTable(f"{index_root.rstrip('/')}/centroids")
+        .read(spark)
+        .orderBy("cell")
+        .collect()
+    )
+    return np.array([np.asarray(r.centroid, dtype=np.float64) for r in rows])
+
+
+def extend_ivf_index(
+    new_vectors: DataFrame,
+    index_root: str,
+    batch_tag: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Assign NEW vectors to the existing centroids and append them to
+    the assignment table (idempotent via ``batch_tag`` — safe inside a
+    streaming foreachBatch). Only the new rows run the kernel."""
+    from datalake_public_spark.sinks.table import ManifestTable
+
+    spark = new_vectors.sparkSession
+    C = _load_centroids(spark, index_root)
+    assign_tbl = ManifestTable(f"{index_root.rstrip('/')}/assignments")
+    return assign_tbl.append_batch(
+        widen_for_compute(new_vectors).select(
+            F.col(id_col).alias("vec_id"),
+            F.element_at(_cell_udf(C, 1)(F.col(vec_col)), 1).alias("cell"),
+        ).coalesce(1),
+        batch_tag,
+    )
+
+
+def ivf_topk_prebuilt(
+    queries: DataFrame,
+    corpus: DataFrame,
+    index_root: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: str = "kernel",
+) -> DataFrame:
+    """``ivf_topk`` against a prebuilt index: identical results for the
+    same centroids (assignment is deterministic), but the corpus-side
+    work per query batch drops from a full-corpus kernel pass to a scan
+    of the narrow (vec_id, cell) table — the build cost is paid once,
+    not per batch."""
+    from pyspark.sql import Window
+
+    spark = queries.sparkSession
+    C = _load_centroids(spark, index_root)
+    from datalake_public_spark.sinks.table import ManifestTable
+
+    c_cells = (
+        ManifestTable(f"{index_root.rstrip('/')}/assignments")
+        .read(spark)
+        .select(F.col("vec_id").alias("match_id"), "cell")
+    )
+    q_cells = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(_cell_udf(C, n_probe)(F.col(vec_col))).alias("cell"),
+    )
+    cand = (
+        c_cells.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id")
+    )
+    corpus = widen_for_compute(corpus)
+    if rerank == "kernel":
+        return exact_rerank(
+            cand, queries, corpus, vec_col=vec_col, id_col=id_col, k=k
+        )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "match_id")
+        .withColumn("cos", F.round(V.cosine("qv", "cv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "match_id", "cos", "rk")
+    )

@@ -102,3 +102,48 @@ def test_int8_quantization_roundtrip_and_recall(spark, emb):
     exact = brute_force_topk(emb.filter(F.col("vec_id") < 8), emb, k=10)
     approx = brute_force_topk(deq.filter(F.col("vec_id") < 8), deq, k=10)
     assert similarity.recall_at_k(approx, exact, k=10) >= 0.8
+
+
+# -- persistent IVF index --------------------------------------------------
+
+
+def test_prebuilt_ivf_equals_inline_ivf(spark, tmp_path):
+    from datalake_public_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_prebuilt,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    root = str(tmp_path / "ivf")
+    build_ivf_index(emb, root, n_cells=8)
+    pre = ivf_topk_prebuilt(queries, emb, root, k=5, n_probe=3).collect()
+    inline = ivf_topk(queries, emb, k=5, n_cells=8, n_probe=3).collect()
+    key = lambda rows: sorted((r.query_id, r.match_id, r.cos, r.rk) for r in rows)
+    assert key(pre) == key(inline)
+
+
+def test_extend_ivf_index_assigns_only_new(spark, tmp_path):
+    from datalake_public_spark.operators.similarity import (
+        build_ivf_index,
+        extend_ivf_index,
+        ivf_topk_prebuilt,
+    )
+    from datalake_public_spark.sinks.table import ManifestTable
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") < 150)
+    new = emb.filter(F.col("vec_id") >= 150)
+    root = str(tmp_path / "ivf")
+    build_ivf_index(old, root, n_cells=8)
+    extend_ivf_index(new, root, "b1")
+    assigns = ManifestTable(f"{root}/assignments").read(spark)
+    assert assigns.count() == emb.count()
+    # replay of the same tag is a no-op
+    assert extend_ivf_index(new, root, "b1") is None
+    assert ManifestTable(f"{root}/assignments").read(spark).count() == emb.count()
+    # the extended index serves queries over the full corpus
+    q = emb.filter(F.col("vec_id") < 4)
+    out = ivf_topk_prebuilt(q, emb, root, k=5, n_probe=8)
+    assert out.groupBy("query_id").count().count() == 4
