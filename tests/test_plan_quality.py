@@ -336,9 +336,16 @@ def test_line_dedup_shuffles_hashes_not_bodies(spark):
     from datalake_public_spark.operators.dedup import line_dedup
 
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
-    plan = _plan(spark, line_dedup(docs), "formatted")
+    df = line_dedup(docs)
+    plan = _plan(spark, df, "formatted")
     assert "CartesianProduct" not in plan
     # the argmin HashAggregate keys on the md5 hash, projected before
     # the exchange (hash-partitioned on h, not on line)
     assert "hashpartitioning(h" in plan
     assert "hashpartitioning(line" not in plan
+    # ONE corpus scan: both branches (argmin + flag join) read the
+    # persisted line frame — every parquet-scan node in the explain text
+    # sits UNDER an InMemoryTableScan (the cache-rebuild plan printed
+    # for completeness), so the cache reads must cover all branches
+    assert plan.count("InMemoryTableScan") >= 2
+    df.sparkSession.catalog.clearCache()
