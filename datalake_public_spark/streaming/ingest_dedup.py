@@ -296,3 +296,46 @@ def ingest_batch_neardedup(
     finally:
         fresh.unpersist()
         bsigs.unpersist()
+
+
+def ingest_neardedup_stream(
+    docs_stream: DataFrame,
+    corpus_root: str,
+    exact_index_root: str,
+    sig_index_root: str,
+    checkpoint: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    timeout_s: int = 600,
+    maintain_every: int = 32,
+    **near_kwargs,
+) -> ManifestTable:
+    """Drain a document stream (availableNow) into an exact+near
+    deduplicated corpus (``ingest_batch_neardedup`` per micro-batch,
+    batch-id idempotence tags). Every ``maintain_every`` batches the
+    three tables run ``maintain()`` so file counts stay bounded on
+    long streams (the NOTES_r3 flat-cost condition)."""
+    from datalake_public_spark.streaming.runner import _await_or_raise
+
+    corpus = ManifestTable(corpus_root)
+    eidx = ManifestTable(exact_index_root)
+    sidx = ManifestTable(sig_index_root)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_batch_neardedup(
+            batch_df, corpus, eidx, sidx, f"b{batch_id:06d}",
+            text_col=text_col, id_col=id_col, **near_kwargs,
+        )
+        if maintain_every and batch_id and batch_id % maintain_every == 0:
+            for t in (corpus, eidx, sidx):
+                t.maintain(batch_df.sparkSession)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(q, timeout_s, "ingest_neardedup_stream")
+    return corpus

@@ -187,3 +187,25 @@ def test_neardedup_replay_is_idempotent_and_heals(spark, tmp_path):
         corpus.current_version(), eidx.current_version(), sidx.current_version()
     ) == vs
     assert corpus.read(spark).count() == 2
+
+
+def test_neardedup_stream_end_to_end(spark, tmp_path):
+    from datalake_public_spark.streaming.ingest_dedup import ingest_neardedup_stream
+
+    src = str(tmp_path / "src")
+    f1 = [(1, BASE), (2, OTHER)]
+    f2 = [(10, NEAR), (11, BASE), (12, "yet more standalone content here "
+                                       "with its own vocabulary entirely")]
+    for n, rows in ((1, f1), (2, f2)):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            f"{src}/f{n}", mode="overwrite"
+        )
+    corpus = ingest_neardedup_stream(
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*"),
+        str(tmp_path / "c"), str(tmp_path / "e"), str(tmp_path / "s"),
+        str(tmp_path / "ckpt"),
+    )
+    kept = {r.doc_id for r in corpus.read(spark).collect()}
+    # 10 is a near-dup of 1, 11 an exact dup of 1 — both dropped
+    assert kept == {1, 2, 12}
