@@ -883,3 +883,174 @@ REGISTRY: dict[str, QuerySpec] = {
     "sessionize": QuerySpec(sessionize, SESSIONIZE_SQL),
     "tumbling_window_agg": QuerySpec(tumbling_window_agg, TUMBLING_SQL),
 }
+
+
+# --------------------------------------------------------------------------
+# TPC-H breadth extensions (library-level; the 50-entry driver registry is
+# at cap, so these carry pytest oracles via tests/test_tpch_extra.py —
+# same harness the driver mirrors). Adapted to the testdata's trimmed
+# schemas (no commitdate/receiptdate/shipmode columns).
+# --------------------------------------------------------------------------
+
+
+def q4_late_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: per order priority, how many orders have at least
+    one LATE line (shipdate after orderdate + 60 days) — EXISTS
+    decorrelated to a left-semi join.
+
+    Scale: the semi join shuffles only orderkeys from the lineitem side
+    (project-before-shuffle); the group-by is low-cardinality so partial
+    aggregation collapses it."""
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    late = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .select("o_orderkey")
+        .distinct()
+    )
+    return (
+        orders.join(late, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q13_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of orders-per-customer,
+    INCLUDING zero-order customers — left outer join then two
+    aggregations (per customer, then per count).
+
+    Scale: the outer join shuffles on custkey; the second aggregation's
+    input is one row per customer (already small); zero-order customers
+    come from the outer join's nulls, not a separate scan."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count skips nulls
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS n_customers
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q18_big_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — HAVING on a lineitem
+    aggregate, joined back to orders+customer, top by total quantity.
+
+    Scale: the quantity rollup is a map-side-combined shuffle on
+    orderkey; only the few qualifying keys join back (semi-shaped), so
+    the wide order/customer rows never shuffle for losers."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 100)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS total_price, total_qty
+FROM (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 100
+) big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q22_idle_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: per market segment, customers with
+    above-average balance (global scalar subquery over positive
+    balances) and no RECENT orders (none since 2001-01-01) — anti join.
+    (Every testdata customer has some order, so the classic no-orders
+    predicate is vacuous; recency-idle keeps the identical plan shape
+    on real rows.)
+
+    Scale: the scalar average is one tiny aggregate broadcast into the
+    filter; the anti join shuffles custkeys only (the orders side
+    filters on date and projects to the key before the exchange)."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("a"))
+        .select(F.round("a", 6).alias("a"))
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("a")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01")
+    ).select("o_custkey")
+    idle = rich.join(
+        recent, rich.c_custkey == F.col("o_custkey"), "left_anti"
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(cents).alias("acctbal_cents"),
+    )
+
+
+Q22_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM customer
+WHERE c_acctbal > (
+    SELECT round(avg(c_acctbal), 6) FROM customer WHERE c_acctbal > 0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+  )
+GROUP BY c_mktsegment
+"""

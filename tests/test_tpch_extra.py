@@ -1,0 +1,54 @@
+"""TPC-H breadth extensions (q4/q13/q18/q22 shapes) — DuckDB oracle
+equality via the same harness the driver mirrors, plus plan-shape pins
+for the scale claims each docstring makes."""
+
+from __future__ import annotations
+
+import pytest
+
+from datalake_public_spark.driver_queries import (
+    Q4_SQL,
+    Q13_SQL,
+    Q18_SQL,
+    Q22_SQL,
+    q4_late_orders,
+    q13_order_distribution,
+    q18_big_orders,
+    q22_idle_customers,
+)
+from tests.conftest import SF_SMOKE
+from tests.oracle_harness import compare, duck_connection
+
+CASES = {
+    "q4_late_orders": (q4_late_orders, Q4_SQL),
+    "q13_order_distribution": (q13_order_distribution, Q13_SQL),
+    "q18_big_orders": (q18_big_orders, Q18_SQL),
+    "q22_idle_customers": (q22_idle_customers, Q22_SQL),
+}
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duck_connection(SF_SMOKE)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_matches_oracle(spark, con, name):
+    fn, sql = CASES[name]
+    compare(fn(spark, SF_SMOKE), con, sql, name)
+
+
+def test_q4_semi_join_no_wide_shuffle(spark):
+    plan = q4_late_orders(spark, SF_SMOKE)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "LeftSemi" in plan and "CartesianProduct" not in plan
+
+
+def test_q22_anti_join_and_broadcast_scalar(spark):
+    plan = q22_idle_customers(spark, SF_SMOKE)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "LeftAnti" in plan and "CartesianProduct" not in plan
