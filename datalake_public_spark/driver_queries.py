@@ -1054,3 +1054,129 @@ WHERE c_acctbal > (
   )
 GROUP BY c_mktsegment
 """
+
+
+def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum total revenue over
+    a ship-date window — an aggregate view joined against its own scalar
+    max (ties all surface, as in the spec).
+
+    Scale: ONE revenue rollup shuffle on suppkey; the scalar max is a
+    tiny aggregate broadcast back; supplier dimension broadcasts."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01"))
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = li.groupBy("l_suppkey").agg(F.sum(cents).alias("total_cents"))
+    top = rev.agg(F.max("total_cents").alias("m"))
+    sup = _t(spark, sf, "supplier")
+    return (
+        rev.join(F.broadcast(top), rev.total_cents == F.col("m"))
+        .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_cents")
+    )
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_cents
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_cents = (SELECT max(total_cents) FROM rev)
+"""
+
+
+def q16_supplier_variety(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape: per (brand, size band), how many DISTINCT
+    suppliers ship the part — with a NOT-IN exclusion list (suppliers in
+    debt), decorrelated to an anti join. partsupp doesn't exist in this
+    testdata; lineitem's (partkey, suppkey) pairs are the association.
+
+    Scale: the pair set projects to two keys before its distinct
+    shuffle; the exclusion list is a tiny broadcast anti join; the
+    final countDistinct is a two-phase aggregate on low-cardinality
+    group keys."""
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = _t(spark, sf, "part")
+    bad = _t(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    pairs = li.join(
+        F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
+    )
+    return (
+        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_brand", (F.col("p_size") - F.col("p_size") % 10).alias("size_band")
+        )
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_size - p_size % 10 AS size_band,
+       count(DISTINCT l_suppkey) AS n_suppliers
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+"""
+
+
+def q20_heavy_shippers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers whose shipped quantity of some part
+    exceeds a threshold fraction (20% — the testdata spreads parts
+    across many suppliers, so the spec's 50% never fires) of that
+    part's total shipped quantity —
+    nested IN decorrelated to a semi join against an aggregate-derived
+    key set.
+
+    Scale: both rollups share the lineitem scan's (partkey, suppkey)
+    shuffle grain; the qualifying key set is keys-only; the supplier
+    dimension broadcasts for the final projection."""
+    li = _t(spark, sf, "lineitem")
+    per_pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.sum("l_quantity"), 2).alias("pair_qty")
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.round(F.sum("l_quantity"), 2).alias("part_qty")
+    )
+    heavy = (
+        per_pair.join(per_part, "l_partkey")
+        .filter(F.col("pair_qty") > F.col("part_qty") * 0.2)
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = _t(spark, sf, "supplier")
+    return (
+        sup.join(heavy, sup.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
+    )
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT pair.l_suppkey
+  FROM (
+    SELECT l_partkey, l_suppkey, round(sum(l_quantity), 2) AS pair_qty
+    FROM lineitem GROUP BY 1, 2
+  ) pair
+  JOIN (
+    SELECT l_partkey, round(sum(l_quantity), 2) AS part_qty
+    FROM lineitem GROUP BY 1
+  ) tot ON pair.l_partkey = tot.l_partkey
+  WHERE pair.pair_qty > tot.part_qty * 0.2
+)
+"""

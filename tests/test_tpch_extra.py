@@ -9,11 +9,17 @@ import pytest
 from datalake_public_spark.driver_queries import (
     Q4_SQL,
     Q13_SQL,
+    Q15_SQL,
+    Q16_SQL,
     Q18_SQL,
+    Q20_SQL,
     Q22_SQL,
     q4_late_orders,
     q13_order_distribution,
+    q15_top_supplier,
+    q16_supplier_variety,
     q18_big_orders,
+    q20_heavy_shippers,
     q22_idle_customers,
 )
 from tests.conftest import SF_SMOKE
@@ -22,7 +28,10 @@ from tests.oracle_harness import compare, duck_connection
 CASES = {
     "q4_late_orders": (q4_late_orders, Q4_SQL),
     "q13_order_distribution": (q13_order_distribution, Q13_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q16_supplier_variety": (q16_supplier_variety, Q16_SQL),
     "q18_big_orders": (q18_big_orders, Q18_SQL),
+    "q20_heavy_shippers": (q20_heavy_shippers, Q20_SQL),
     "q22_idle_customers": (q22_idle_customers, Q22_SQL),
 }
 
