@@ -1180,3 +1180,85 @@ WHERE s_suppkey IN (
   WHERE pair.pair_qty > tot.part_qty * 0.2
 )
 """
+
+
+def q10_returned_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items (l_returnflag =
+    'R') per customer over a quarter, top 20 — fact filter, one shuffle
+    on the join key, broadcast customer/nation, TakeOrdered top-k.
+
+    Scale: the returnflag+date filters push to the lineitem scan; only
+    qualifying rows shuffle on orderkey; the per-customer aggregate is
+    map-side combined; the top 20 is per-partition heaps, no full sort."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(cents).alias("lost_cents"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.desc("lost_cents"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS lost_cents,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY lost_cents DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lines whose quantity is below 20%
+    of their part's average quantity — a correlated scalar average
+    decorrelated to a per-part aggregate joined back.
+
+    Scale: the per-part average shares the lineitem scan; both sides
+    shuffle once on partkey (AQE co-locates); output is one row."""
+    li = _t(spark, sf, "lineitem")
+    avg_q = li.groupBy("l_partkey").agg(
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        li.join(avg_q, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("avg_qty") * 0.2)
+        .agg(
+            F.sum(cents).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q17_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       count(*) AS n_lines
+FROM lineitem li
+JOIN (
+  SELECT l_partkey, round(avg(l_quantity), 6) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+) a ON li.l_partkey = a.l_partkey
+WHERE li.l_quantity < a.avg_qty * 0.2
+"""

@@ -8,16 +8,20 @@ import pytest
 
 from datalake_public_spark.driver_queries import (
     Q4_SQL,
+    Q10_SQL,
     Q13_SQL,
     Q15_SQL,
     Q16_SQL,
+    Q17_SQL,
     Q18_SQL,
     Q20_SQL,
     Q22_SQL,
     q4_late_orders,
+    q10_returned_revenue,
     q13_order_distribution,
     q15_top_supplier,
     q16_supplier_variety,
+    q17_small_quantity_revenue,
     q18_big_orders,
     q20_heavy_shippers,
     q22_idle_customers,
@@ -27,9 +31,11 @@ from tests.oracle_harness import compare, duck_connection
 
 CASES = {
     "q4_late_orders": (q4_late_orders, Q4_SQL),
+    "q10_returned_revenue": (q10_returned_revenue, Q10_SQL),
     "q13_order_distribution": (q13_order_distribution, Q13_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "q16_supplier_variety": (q16_supplier_variety, Q16_SQL),
+    "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
     "q18_big_orders": (q18_big_orders, Q18_SQL),
     "q20_heavy_shippers": (q20_heavy_shippers, Q20_SQL),
     "q22_idle_customers": (q22_idle_customers, Q22_SQL),
