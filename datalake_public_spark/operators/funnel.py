@@ -1,0 +1,127 @@
+"""Product-analytics operators: ordered funnels and cohort retention.
+
+The two queries every event-analytics deployment runs daily, expressed
+as single-pass aggregations (no self-join-per-step, which is the naive
+formulation and goes quadratic in funnel depth):
+
+  * ``funnel`` — how many users reached step k of an ORDERED sequence
+    with true sequential semantics. One groupBy(user) pass collects the
+    sorted timestamps of each step type; the completion chain is k
+    row-local first-element-after lookups over those arrays.
+  * ``cohort_retention`` — the (cohort period × periods-since-first)
+    activity matrix behind every retention curve. Two aggregations:
+    first-seen per user (one shuffle), then the distinct-user count per
+    (cohort, offset) cell.
+
+Both are deterministic and carry lockstep DuckDB SQL twins in
+tests/test_funnel.py. Scale: ``funnel`` shuffles one row per user
+holding k sorted step-timestamp arrays (the per-user state every
+windowFunnel-style engine keeps); ``cohort_retention`` shuffles
+(user, first_seen) pairs then cell aggregates. Nothing is quadratic
+in steps or periods.
+
+Ref parity: beyond the reference (event-analytics extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-step conversion counts for an ordered funnel with TRUE
+    sequential semantics: a user reaches step k iff some ``steps[k]``
+    event happened strictly after their step-(k-1) completion time —
+    the completion time being the EARLIEST step-k event that satisfies
+    the chain (so a later re-occurrence still qualifies when the
+    earliest one came too soon). Returns (step int, step_name string,
+    n_users bigint); counts are monotone non-increasing.
+
+    Implementation: ONE shuffle — per user, the sorted timestamp array
+    of each step type (collect_list skips non-matching rows via the
+    conditional); then k row-local chain lookups, each "first element
+    greater than the previous qualified time" (binary-search semantics
+    via F.filter + element_at on the sorted array). Each qualified
+    time is computed once under a name in its own projection stage
+    (multi-referenced aliases survive CollapseProject — the interpreted-
+    HOF no-CSE rule). The final unpivot is a stack() over the single
+    aggregated row, so the whole plan stays lazy.
+
+    Scale: the shuffled row per user is k sorted timestamp arrays
+    (bounded by that user's funnel-relevant events — the same per-user
+    state every windowFunnel-style engine keeps); everything after the
+    aggregate is row-local."""
+    aggs = [
+        F.sort_array(
+            F.collect_list(F.when(F.col(type_col) == s, F.col(ts_col)))
+        ).alias(f"a{i}")
+        for i, s in enumerate(steps)
+    ]
+    staged = events.groupBy(user_col).agg(*aggs)
+    staged = staged.withColumn("q0", F.try_element_at("a0", F.lit(1)))
+    for i in range(1, len(steps)):
+        # single-arg lambda: a second parameter would make Spark treat
+        # it as an (element, index) lambda; the filter expression is
+        # built eagerly here, so closing over prev is loop-safe
+        prev = F.col(f"q{i-1}")
+        staged = staged.withColumn(
+            f"q{i}",
+            F.try_element_at(  # ANSI: plain element_at throws on empty
+                F.filter(f"a{i}", lambda x: x > prev), F.lit(1)
+            ),  # noqa: B023
+        )
+    one = staged.agg(
+        *[
+            F.sum(F.col(f"q{i}").isNotNull().cast("long")).alias(f"n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    stack_args = ", ".join(
+        f"{i}, '{steps[i]}', n{i}" for i in range(len(steps))
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(steps)}, {stack_args}) AS (step, step_name, n_users)"
+        )
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    period: str = "week",
+) -> DataFrame:
+    """The retention matrix: for each cohort (period of a user's FIRST
+    event), how many of its users were active 0, 1, 2… periods later.
+    Returns (cohort_start timestamp, period_offset int, n_users long).
+
+    Two shuffles: first-seen per user (map-side combined min), then the
+    per-cell distinct count. ``period`` is any ``date_trunc`` unit."""
+    first = events.groupBy(user_col).agg(
+        F.date_trunc(period, F.min(ts_col)).alias("cohort_start")
+    )
+    activity = events.select(
+        user_col, F.date_trunc(period, F.col(ts_col)).alias("active_period")
+    ).distinct()
+    unit_days = {"week": 7, "day": 1}[period]
+    return (
+        activity.join(first, user_col)
+        .withColumn(
+            "period_offset",
+            (
+                F.datediff(F.col("active_period"), F.col("cohort_start"))
+                / unit_days
+            ).cast("int"),
+        )
+        .groupBy("cohort_start", "period_offset")
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )

@@ -1,0 +1,117 @@
+"""Funnel + cohort retention: crafted-sequence semantics, DuckDB twin
+equality on the real events table, and monotonicity invariants."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from datalake_public_spark.operators.funnel import cohort_retention, funnel
+from tests.conftest import SF_SMOKE
+
+STEPS = ["view", "click", "purchase"]
+
+# chained per-user first-after lookups, k CTE stages (the SQL twin)
+FUNNEL_SQL = """
+WITH q0 AS (
+  SELECT user_id, min(ts) AS q FROM events WHERE event_type = 'view' GROUP BY 1
+), q1 AS (
+  SELECT e.user_id, min(e.ts) AS q
+  FROM events e JOIN q0 ON e.user_id = q0.user_id
+  WHERE e.event_type = 'click' AND e.ts > q0.q GROUP BY 1
+), q2 AS (
+  SELECT e.user_id, min(e.ts) AS q
+  FROM events e JOIN q1 ON e.user_id = q1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > q1.q GROUP BY 1
+)
+SELECT 0 AS step, 'view' AS step_name, (SELECT count(*) FROM q0) AS n_users
+UNION ALL SELECT 1, 'click', (SELECT count(*) FROM q1)
+UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM q2)
+"""
+
+
+def test_funnel_sequential_semantics_crafted(spark):
+    rows = [
+        # u1 completes in order
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 11:00:00", "click"),
+        (1, "2024-01-01 12:00:00", "purchase"),
+        # u2: click BEFORE view, then a second click after — still counts
+        (2, "2024-01-01 09:00:00", "click"),
+        (2, "2024-01-01 10:00:00", "view"),
+        (2, "2024-01-01 11:00:00", "click"),
+        # u3: purchase before its qualifying click — reaches click,
+        # but not purchase
+        (3, "2024-01-01 10:00:00", "view"),
+        (3, "2024-01-01 10:30:00", "purchase"),
+        (3, "2024-01-01 11:00:00", "click"),
+        # u4: never views
+        (4, "2024-01-01 10:00:00", "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, event_type string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {r.step_name: r.n_users for r in funnel(df, STEPS).collect()}
+    assert out == {"view": 3, "click": 3, "purchase": 1}
+
+
+def test_funnel_matches_duckdb_on_real_events(spark):
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    got = {
+        (r.step, r.step_name): r.n_users
+        for r in funnel(events, STEPS).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_SMOKE}/events.parquet')"
+    )
+    want = {
+        (r[0], r[1]): r[2] for r in con.execute(FUNNEL_SQL).fetchall()
+    }
+    assert got == want
+    ns = [got[(i, s)] for i, s in enumerate(STEPS)]
+    assert ns == sorted(ns, reverse=True) and ns[0] > 0  # monotone funnel
+
+
+def test_cohort_retention_matches_duckdb(spark):
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    got = {
+        (str(r.cohort_start)[:10], r.period_offset): r.n_users
+        for r in cohort_retention(events).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_SMOKE}/events.parquet')"
+    )
+    want = {
+        (str(r[0])[:10], r[1]): r[2]
+        for r in con.execute("""
+            WITH first AS (
+              SELECT user_id, date_trunc('week', min(ts)) AS cohort_start
+              FROM events GROUP BY 1
+            ), act AS (
+              SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events
+            )
+            SELECT cohort_start,
+                   CAST(date_diff('day', cohort_start, p) / 7 AS INT) AS period_offset,
+                   count(DISTINCT act.user_id) AS n_users
+            FROM act JOIN first USING (user_id)
+            GROUP BY 1, 2
+        """).fetchall()
+    }
+    assert got == want
+    # offset-0 cell of each cohort counts the whole cohort
+    cohorts = {c for c, _ in got}
+    for c in cohorts:
+        assert got[(c, 0)] >= max(
+            n for (cc, off), n in got.items() if cc == c and off > 0
+        ) if any(cc == c and off > 0 for (cc, off) in got) else True
+
+
+def test_funnel_plan_single_user_shuffle(spark):
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    plan = funnel(events, STEPS)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert plan.count("Exchange") <= 2  # user agg + final single-row agg
+    assert "CartesianProduct" not in plan
