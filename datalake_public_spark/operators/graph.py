@@ -1,0 +1,138 @@
+"""Iterative graph analytics on edge DataFrames: PageRank and label
+propagation — the GraphFrames-basics tier, built on the same
+localCheckpoint iteration discipline as operators/components.py
+(lineage truncated per round so plans don't grow with iterations).
+
+Both are deterministic given the input (no randomness; ties in label
+propagation break by smallest label), so the tests pin exact values on
+crafted graphs plus structural invariants (rank conservation,
+convergence) on the testdata-derived graph.
+
+Scale per round: one shuffle-join of messages against the edge list
+keyed on src, one aggregation keyed on dst — the standard message-
+passing shape. Degrees are computed once up front. Ref parity: beyond
+the reference (graph-analytics extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 60,
+    tol: float = 1e-4,
+) -> DataFrame:
+    """PageRank over a DIRECTED edge list. Returns (node, rank) with
+    ranks summing to the node count (the 1-per-node normalization).
+
+    Dangling nodes (no out-edges) redistribute their rank mass
+    uniformly each round — without that, total rank leaks and the
+    conservation invariant (and any downstream normalization) silently
+    breaks. Stops early when the max per-node delta drops under
+    ``tol`` (geometric contraction at roughly the damping factor —
+    1e-4 needs ~40-60 rounds on adversarial shapes, hence the default
+    budget); raises if ``max_iter`` rounds pass without convergence
+    (partial ranks must not masquerade as results — the components.py
+    contract)."""
+    out_deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    ranks = nodes.select("node", F.lit(1.0).alias("rank")).localCheckpoint()
+    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("to")).join(
+        out_deg, "node"
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        contrib = (
+            e.join(ranks, "node")
+            .select("to", (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy(F.col("to").alias("node"))
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        dangling = (
+            ranks.join(out_deg, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
+            .first()
+            .d
+        )
+        base = (1.0 - damping) + damping * dangling / n
+        new_ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        delta = (
+            new_ranks.alias("n")
+            .join(ranks.alias("o"), "node")
+            .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
+            .first()
+            .d
+        )
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            return ranks
+    raise RuntimeError(
+        f"pagerank did not converge in {max_iter} rounds (last delta {delta})"
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Community detection by synchronous label propagation on the
+    UNDIRECTED view of ``edges``: each round every node adopts the most
+    frequent label among its neighbors, ties broken by the smallest
+    label (which also makes the algorithm deterministic — the classic
+    formulation's random tie-break is not reproducible across runs).
+    Runs exactly ``max_iter`` rounds (LPA oscillates on bipartite
+    structures; a fixed round budget is the standard practice).
+    Returns (node, label)."""
+    und = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .unionByName(
+            edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        und.select("node").distinct().select("node", F.col("node").alias("label"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        counts = (
+            und.alias("e")
+            .join(labels.alias("l"), F.col("e.nbr") == F.col("l.node"))
+            .groupBy(F.col("e.node").alias("node"), F.col("l.label").alias("label"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = counts.groupBy("node").agg(
+            F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m")
+        )
+        labels = best.select(
+            "node", (-F.col("m.neg")).alias("label")
+        ).localCheckpoint()
+    return labels
