@@ -1,0 +1,63 @@
+"""Robust anomaly detection over grouped numeric columns.
+
+Flags rows whose value deviates from their group's MEDIAN by more than
+``k`` robust standard deviations, where the robust sd is
+MAD × 1.4826 (the normal-consistency constant). Median/MAD instead of
+mean/stddev because anomalies contaminate the very statistics a
+naive z-score uses — one large outlier inflates stddev enough to hide
+itself (masking); the 50%-breakdown median/MAD pair does not.
+
+Implementation: the per-group median/MAD come from the Arrow
+grouped-agg UDAFs in functions/udaf.py (exact, bit-matched to DuckDB's
+``median``/``mad`` — the existing cross-engine contract), broadcast
+back to the rows. Groups with MAD = 0 (constant-valued) flag any
+deviation at all (score = +inf convention would break the scalar
+contract, so the score column is NULL there and ``is_anomaly`` is
+``value != median``).
+
+Scale: one grouped-agg shuffle (whole-group Arrow batches — the UDAF
+contract) + a broadcast join of the tiny per-group stats; scoring is
+row-local. Ref parity: beyond the reference (quality-monitoring
+extension; composes the R4 gate family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# scale factor making MAD a consistent sigma estimate under normality
+MAD_SIGMA = 1.4826
+
+
+def robust_anomalies(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    *,
+    k: float = 3.5,
+) -> DataFrame:
+    """All input rows plus (grp_median, grp_mad, robust_score,
+    is_anomaly). ``robust_score`` = |x - median| / (MAD * 1.4826),
+    NULL when MAD = 0; ``is_anomaly`` is score > k, or any deviation
+    from the median in a MAD-0 group."""
+    from datalake_public_spark.functions.udaf import mad_udaf, median_udaf
+
+    stats = df.groupBy(*group_cols).agg(
+        median_udaf(value_col).alias("grp_median"),
+        mad_udaf(value_col).alias("grp_mad"),
+    )
+    dev = F.abs(F.col(value_col) - F.col("grp_median"))
+    score = F.when(
+        F.col("grp_mad") > 0, dev / (F.col("grp_mad") * F.lit(MAD_SIGMA))
+    )
+    return (
+        df.join(F.broadcast(stats), group_cols)
+        .withColumn("robust_score", F.round(score, 6))
+        .withColumn(
+            "is_anomaly",
+            # compare the UNROUNDED score: the display rounding must not
+            # flip a decision at the threshold boundary
+            F.when(F.col("grp_mad") > 0, score > k).otherwise(dev > 0),
+        )
+    )
