@@ -134,3 +134,57 @@ def incremental_rollup(
         q.awaitTermination(timeout_s)
     finally:
         q.stop()
+
+
+def merge_table_delta(
+    spark: SparkSession,
+    table,
+    v_from: int | None,
+    v_to: int,
+    target_path: str,
+    aggregate: Callable[[DataFrame], DataFrame],
+    *,
+    key_cols: tuple[str, ...],
+    partition_col: str,
+    sum_cols: tuple[str, ...],
+) -> None:
+    """Incrementally maintain a rollup over a ManifestTable: aggregate
+    ONLY the data files the ``v_from → v_to`` commits added (from
+    ``file_diff`` — manifest metadata, no table scan) and fold the
+    partial aggregate into the rollup with ``merge_additive``.
+
+    Valid only for append-only lineages: a diff that REMOVED files
+    (delete/compact/overwrite happened in between) cannot be folded
+    additively and raises — rebuild the rollup from the snapshot
+    instead. ``v_from=None`` means 'from empty' (every file counts).
+
+    The lake pattern this enables: writers append batches to the
+    versioned corpus; a reader holds its last-processed version and,
+    per tick, folds exactly the new files — O(new data), no matter how
+    large the table has grown."""
+    if v_from is None:
+        added = list(table.snapshot(v_to).files)
+        removed: list[str] = []
+    else:
+        diff = table.file_diff(v_from, v_to)
+        added, removed = diff["added"], diff["removed"]
+    if removed:
+        raise ValueError(
+            f"non-additive lineage v{v_from}->v{v_to}: {len(removed)} file(s) "
+            "removed (delete/compact/overwrite) — rebuild the rollup from "
+            "the snapshot instead of folding"
+        )
+    if not added:
+        return
+    reader = spark.read
+    snap = table.snapshot(v_to)
+    if snap.schema is not None:
+        reader = reader.schema(snap.schema)
+    merge_additive(
+        spark,
+        target_path,
+        aggregate(reader.parquet(*added)),
+        key_cols=key_cols,
+        partition_col=partition_col,
+        sum_cols=sum_cols,
+    )

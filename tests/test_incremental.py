@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
@@ -133,3 +134,59 @@ def test_fresh_checkpoint_is_a_rebuild_not_a_resume(spark, tmp_path):
     # documented contract is wipe-checkpoint ⇒ rebuild the target too
     _tick(spark, src, target, str(tmp_path / "ckpt2"))
     assert _rollup(spark, target) == {"click": (2, 200)}
+
+
+# -- rollup maintenance over ManifestTable commits -------------------------
+
+
+def test_merge_table_delta_tracks_appends(spark, tmp_path):
+    from datalake_public_spark.sinks.table import ManifestTable
+    from datalake_public_spark.streaming.incremental import merge_table_delta
+
+    tbl = ManifestTable(str(tmp_path / "t"))
+    target = str(tmp_path / "mv")
+
+    def agg(df):
+        return df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("total")
+        )
+
+    def fold(v_from, v_to):
+        merge_table_delta(
+            spark, tbl, v_from, v_to, target, agg,
+            key_cols=("k",), partition_col="k", sum_cols=("n", "total"),
+        )
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("k"), (F.col("id") % 3)).alias("k"), F.col("id").alias("v")
+        )
+
+    s0 = tbl.overwrite(batch(0, 50).coalesce(1))
+    fold(None, s0.version)
+    s1 = tbl.append(batch(50, 120).coalesce(1))
+    fold(s0.version, s1.version)
+    s2 = tbl.append(batch(120, 200).coalesce(1))
+    fold(s1.version, s2.version)
+
+    mv = {r.k: (r.n, r.total) for r in spark.read.parquet(target).collect()}
+    want = {r.k: (r.n, r.total) for r in agg(tbl.read(spark)).collect()}
+    assert mv == want  # MV == full re-aggregation after 3 commits
+
+
+def test_merge_table_delta_refuses_non_additive_lineage(spark, tmp_path):
+    from datalake_public_spark.sinks.table import ManifestTable
+    from datalake_public_spark.streaming.incremental import merge_table_delta
+
+    tbl = ManifestTable(str(tmp_path / "t"))
+    df = spark.range(10).select(
+        F.concat(F.lit("k"), (F.col("id") % 2)).alias("k"), F.col("id").alias("v")
+    )
+    s0 = tbl.overwrite(df.coalesce(1))
+    s1 = tbl.delete_where(spark, "v >= 5")
+    with pytest.raises(ValueError, match="non-additive"):
+        merge_table_delta(
+            spark, tbl, s0.version, s1.version, str(tmp_path / "mv"),
+            lambda d: d.groupBy("k").agg(F.count(F.lit(1)).alias("n")),
+            key_cols=("k",), partition_col="k", sum_cols=("n",),
+        )
