@@ -136,3 +136,64 @@ def label_propagation(
             "node", (-F.col("m.neg")).alias("label")
         ).localCheckpoint()
     return labels
+
+
+def hierarchy_paths(
+    edges: DataFrame,
+    *,
+    parent: str = "parent",
+    child: str = "child",
+    max_depth: int = 32,
+) -> DataFrame:
+    """Flatten a parent→child hierarchy into per-node (root, depth,
+    path) rows — the recursive-CTE query Spark SQL cannot express
+    (no WITH RECURSIVE), provided as an iterative operator instead.
+
+    Roots are nodes that appear as a parent but never as a child;
+    depth 0 rows are the roots themselves; ``path`` is the
+    '/'-joined node chain from the root. Expansion runs breadth-first,
+    one join per level, stopping at the first empty frontier;
+    exceeding ``max_depth`` raises (a cycle would otherwise loop
+    forever — hierarchies are DAGs by contract, and a cycle is data
+    corruption worth failing loudly on).
+
+    Scale: level k's join is frontier⋈edges on the parent key — cost
+    follows the frontier size, not the whole hierarchy; lineage is
+    truncated per level (localCheckpoint) like every iterative operator
+    here."""
+    kids = edges.select(
+        F.col(parent).alias("p"), F.col(child).alias("c")
+    ).localCheckpoint()
+    roots = (
+        kids.select(F.col("p").alias("node"))
+        .distinct()
+        .join(kids.select(F.col("c").alias("node")).distinct(), "node", "left_anti")
+    )
+    frontier = roots.select(
+        "node",
+        F.col("node").alias("root"),
+        F.lit(0).alias("depth"),
+        F.col("node").cast("string").alias("path"),
+    ).localCheckpoint()
+    out = frontier
+    for depth in range(1, max_depth + 2):
+        nxt = (
+            frontier.join(kids, frontier.node == kids.p)
+            .select(
+                F.col("c").alias("node"),
+                "root",
+                F.lit(depth).alias("depth"),
+                F.concat_ws("/", "path", F.col("c").cast("string")).alias("path"),
+            )
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            return out
+        if depth > max_depth:
+            raise RuntimeError(
+                f"hierarchy deeper than max_depth={max_depth} — cycle or "
+                "corrupted parent links"
+            )
+        out = out.unionByName(nxt)
+        frontier = nxt
+    return out

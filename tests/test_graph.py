@@ -68,3 +68,51 @@ def test_label_propagation_deterministic(spark):
     a = sorted(map(tuple, label_propagation(e, max_iter=4).collect()))
     b = sorted(map(tuple, label_propagation(e.repartition(7), max_iter=4).collect()))
     assert a == b
+
+
+def test_hierarchy_paths_matches_duckdb_recursive_cte(spark):
+    import duckdb
+    import pandas as pd
+
+    # two trees + a diamond-free DAG edge set
+    edges = [(1, 2), (1, 3), (2, 4), (2, 5), (4, 8), (10, 11), (11, 12)]
+    df = spark.createDataFrame(edges, "parent long, child long")
+    from datalake_public_spark.operators.graph import hierarchy_paths
+
+    got = {
+        (r.node, r.root, r.depth, r.path)
+        for r in hierarchy_paths(df).collect()
+    }
+    con = duckdb.connect()
+    con.register("e", pd.DataFrame(edges, columns=["parent", "child"]))
+    want = {
+        tuple(r)
+        for r in con.execute("""
+            WITH RECURSIVE roots AS (
+              SELECT DISTINCT parent AS node FROM e
+              WHERE parent NOT IN (SELECT child FROM e)
+            ), walk AS (
+              SELECT node, node AS root, 0 AS depth,
+                     CAST(node AS VARCHAR) AS path FROM roots
+              UNION ALL
+              SELECT e.child, w.root, w.depth + 1,
+                     w.path || '/' || CAST(e.child AS VARCHAR)
+              FROM walk w JOIN e ON e.parent = w.node
+            )
+            SELECT node, root, depth, path FROM walk
+        """).fetchall()
+    }
+    assert got == want
+
+
+def test_hierarchy_paths_raises_on_cycle(spark):
+    import pytest as _p
+
+    from datalake_public_spark.operators.graph import hierarchy_paths
+
+    # 1→2→3→1 cycle reachable from root 0
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 1)], "parent long, child long"
+    )
+    with _p.raises(RuntimeError, match="cycle"):
+        hierarchy_paths(df, max_depth=10)
