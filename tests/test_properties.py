@@ -208,5 +208,40 @@ def test_int8_quantization_error_bound(spark, vecs):
         assert r.worst_err <= r.scale / 2 + 1e-9 * max(1.0, r.scale), r
 
 
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.characters(codec="utf-8", exclude_characters="\x00\n"),
+                min_size=1,
+                max_size=30,
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SET
+def test_line_dedup_identity_and_idempotence(spark, docs):
+    """When every line in the corpus is globally unique, line_dedup is
+    the identity on text; and running it twice equals running it once
+    (idempotence) for ANY corpus."""
+    from datalake_public_spark.operators.dedup import line_dedup
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = line_dedup(df)
+    all_lines = [ln for _, t in rows for ln in t.split("\n")]
+    if len(set(all_lines)) == len(all_lines):
+        got = {r.doc_id: r.text for r in once.collect()}
+        assert got == dict(rows)  # identity on unique-line corpora
+    twice = line_dedup(once.select("doc_id", "text"))
+    a = sorted((r.doc_id, r.text) for r in once.select("doc_id", "text").collect())
+    b = sorted((r.doc_id, r.text) for r in twice.select("doc_id", "text").collect())
+    assert a == b  # idempotence
+
+
 if __name__ == "__main__":  # pragma: no cover
     pytest.main([__file__, "-q"])
