@@ -51,6 +51,8 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:  # empty edge list: no nodes, no ranks (and no 0-division)
+        return nodes.select("node", F.lit(1.0).alias("rank"))
     ranks = nodes.select("node", F.lit(1.0).alias("rank")).localCheckpoint()
     e = edges.select(F.col(src).alias("node"), F.col(dst).alias("to")).join(
         out_deg, "node"

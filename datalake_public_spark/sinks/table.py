@@ -507,7 +507,12 @@ class ManifestTable:
         compact when the head snapshot exceeds ``max_files`` (many small
         per-batch files otherwise accumulate forever and every read pays
         per-file open cost), then vacuum to the retention window. No-op
-        below the threshold. Returns the head snapshot."""
+        below the threshold — or on a table with no commits yet (a
+        streaming tick may maintain tables a fully-duplicate feed never
+        wrote to). Returns the head snapshot, or None for an empty
+        table."""
+        if self.current_version() is None:
+            return None
         snap = self.snapshot()
         if snap.n_files > max_files:
             snap = self.compact(spark, target_file_mb)

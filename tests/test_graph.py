@@ -116,3 +116,10 @@ def test_hierarchy_paths_raises_on_cycle(spark):
     )
     with _p.raises(RuntimeError, match="cycle"):
         hierarchy_paths(df, max_depth=10)
+
+
+def test_pagerank_empty_edges(spark):
+    from datalake_public_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(e).count() == 0

@@ -400,3 +400,7 @@ def test_file_diff_is_metadata_only(spark, table):
     s2 = table.delete_where(spark, "id < 5")
     d2 = table.file_diff(s1.version, s2.version)
     assert len(d2["removed"]) == 1 and len(d2["added"]) == 1
+
+
+def test_maintain_on_empty_table_is_noop(spark, table):
+    assert table.maintain(spark) is None
