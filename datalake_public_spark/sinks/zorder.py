@@ -94,6 +94,9 @@ def write_zordered(
         *[F.min(c).alias(f"lo_{c}") for c in cols],
         *[F.max(c).alias(f"hi_{c}") for c in cols],
     ).first()
+    if bounds[f"lo_{cols[0]}"] is None:  # empty frame: nothing to cluster
+        df.write.mode("overwrite").parquet(path)
+        return
     normed = [
         normalize_to_bits(c, bounds[f"lo_{c}"], bounds[f"hi_{c}"], bits)
         for c in cols

@@ -108,3 +108,14 @@ def test_zordered_scan_prunes_row_groups_in_spark(spark, tmp_path):
         .count()
     )
     assert got == 3 * 2
+
+
+def test_write_zordered_empty_frame(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    empty = spark.range(0).select(
+        F.col("id").alias("x"), F.col("id").alias("y")
+    )
+    path = str(tmp_path / "empty")
+    zorder.write_zordered(empty, path, ["x", "y"])
+    assert spark.read.parquet(path).count() == 0
