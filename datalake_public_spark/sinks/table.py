@@ -419,16 +419,86 @@ class ManifestTable:
             reader = reader.schema(snap.schema)
         return reader.parquet(*snap.files)
 
+    def index_blooms(
+        self,
+        spark: SparkSession,
+        cols: list[str],
+        *,
+        n_bits: int = 8192,
+        version: int | None = None,
+    ) -> Snapshot:
+        """Build per-file Bloom filters for ``cols`` and commit them as
+        a new snapshot (operation 'index': same files, augmented stats
+        under ``bloom:<col>`` keys). Equality predicates on indexed
+        columns then prune files min/max bounds cannot (point lookups
+        on high-cardinality unclustered columns — Delta's bloom index,
+        kept manifest-side where it is engine-owned and testable).
+
+        The build is DISTRIBUTED: one narrow scan of (file, col) grouped
+        by input file, each group folding its distinct values into a
+        bitmap in an Arrow batch; only n_files (file, b64) rows reach
+        the driver."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from datalake_public_spark.sinks.zorder import bloom_build
+
+        snap = self.snapshot(version)
+        reader = spark.read
+        if snap.schema is not None:
+            reader = reader.schema(snap.schema)
+        src = reader.parquet(*snap.files).select(
+            F.input_file_name().alias("__file"), *cols
+        )
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            row = {"__file": [pdf["__file"].iloc[0]]}
+            for c in cols:
+                row[f"bloom_{c}"] = [
+                    bloom_build(pdf[c].dropna().unique(), n_bits=n_bits)
+                ]
+            return pd.DataFrame(row)
+
+        schema = "__file string, " + ", ".join(f"bloom_{c} string" for c in cols)
+        rows = src.groupBy("__file").applyInPandas(build, schema).collect()
+        # input_file_name returns a file:// URI ("file:///abs/path");
+        # manifest paths are plain absolute paths
+        from urllib.parse import unquote, urlparse
+
+        by_path = {unquote(urlparse(r["__file"]).path): r for r in rows}
+        stats = dict(snap.stats or {})
+        for path in snap.files:
+            r = by_path.get(path)
+            if r is None:
+                continue  # empty file produced no group — no bloom
+            entry = dict(stats.get(path, {}))
+            for c in cols:
+                entry[f"bloom:{c}"] = r[f"bloom_{c}"]
+            stats[path] = entry
+        return self._commit(
+            list(snap.files), "index", self.current_version(),
+            schema=snap.schema, stats=stats,
+        )
+
     def files_for(
-        self, ranges: dict[str, tuple], version: int | None = None
+        self,
+        ranges: dict[str, tuple] | None = None,
+        version: int | None = None,
+        *,
+        eq: dict | None = None,
     ) -> list[str]:
         """The snapshot's files that can contain rows matching EVERY
-        closed range in ``ranges`` ({col: (lo, hi)}), judged by the
-        manifest's per-file min/max — manifest-only pruning, no file
-        I/O. Files without stats for a ranged column are conservatively
+        closed range in ``ranges`` ({col: (lo, hi)}) and EVERY equality
+        in ``eq`` ({col: value}), judged by the manifest's per-file
+        min/max and Bloom filters — manifest-only pruning, no file I/O.
+        Files without stats/blooms for a column are conservatively
         kept; pre-stats manifests prune nothing."""
+        from datalake_public_spark.sinks.zorder import bloom_might_contain
+
         snap = self.snapshot(version)
         stats = snap.stats or {}
+        ranges = ranges or {}
+        eq = eq or {}
 
         def admits(path: str) -> bool:
             fstats = stats.get(path, {})
@@ -437,6 +507,14 @@ class ManifestTable:
                     fmin, fmax = fstats[col]
                     if hi < fmin or lo > fmax:
                         return False
+            for col, val in eq.items():
+                if col in fstats:
+                    fmin, fmax = fstats[col]
+                    if val < fmin or val > fmax:
+                        return False
+                bloom = fstats.get(f"bloom:{col}")
+                if bloom is not None and not bloom_might_contain(bloom, val):
+                    return False
             return True
 
         return [f for f in snap.files if admits(f)]
@@ -444,22 +522,27 @@ class ManifestTable:
     def read_pruned(
         self,
         spark: SparkSession,
-        ranges: dict[str, tuple],
+        ranges: dict[str, tuple] | None = None,
         version: int | None = None,
+        *,
+        eq: dict | None = None,
     ) -> DataFrame:
-        """Read only the files ``ranges`` can match, WITH the range
-        predicates applied (so results equal ``read().filter(...)``
-        exactly — pruning is a pure I/O win, never a semantics change).
-        At 100 TB this is the difference between planning over every
-        file and opening only the z-ordered/partition-local slice; row-
-        group stats then prune further inside each surviving file."""
+        """Read only the files the ``ranges``/``eq`` predicates can
+        match, WITH the predicates applied (so results equal
+        ``read().filter(...)`` exactly — pruning is a pure I/O win,
+        never a semantics change). At 100 TB this is the difference
+        between planning over every file and opening only the
+        z-ordered/bloom-matching slice; row-group stats then prune
+        further inside each surviving file."""
         from pyspark.sql import functions as F
 
         snap = self.snapshot(version)
-        files = self.files_for(ranges, version)
+        files = self.files_for(ranges, version, eq=eq)
         cond = F.lit(True)
-        for col, (lo, hi) in ranges.items():
+        for col, (lo, hi) in (ranges or {}).items():
             cond = cond & F.col(col).between(lo, hi)
+        for col, val in (eq or {}).items():
+            cond = cond & (F.col(col) == F.lit(val))
         if not files:
             return self.read(spark, version).filter(F.lit(False))
         reader = spark.read

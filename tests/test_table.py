@@ -404,3 +404,68 @@ def test_file_diff_is_metadata_only(spark, table):
 
 def test_maintain_on_empty_table_is_noop(spark, table):
     assert table.maintain(spark) is None
+
+
+# -- bloom-filter file index (equality skipping) ---------------------------
+
+
+def test_bloom_index_prunes_point_lookups(spark, table):
+    # 4 disjoint-id batches, one file each; ids are NOT range-clustered
+    # inside a file for strings, so we use md5 content keys where
+    # min/max bounds are useless but blooms are exact
+    from pyspark.sql import functions as F
+
+    for lo in (0, 100, 200, 300):
+        df = (
+            spark.range(lo, lo + 100)
+            .select(F.col("id"), F.md5(F.col("id").cast("string")).alias("h"))
+            .coalesce(1)
+        )
+        table.overwrite(df) if lo == 0 else table.append(df)
+    snap = table.index_blooms(spark, ["h"])
+    assert snap.operation == "index" and snap.n_files == 4
+    # a value from the 2nd batch: bloom keeps exactly its file (md5
+    # bounds straddle everything, so min/max alone cannot prune)
+    import hashlib
+
+    target = hashlib.md5(b"150").hexdigest()
+    kept = table.files_for(eq={"h": target})
+    assert len(kept) == 1
+    got = table.read_pruned(spark, eq={"h": target}).collect()
+    assert len(got) == 1 and got[0].id == 150
+    # absent value: every file's bloom rejects it
+    assert table.files_for(eq={"h": "not-a-real-hash"}) == []
+    assert table.read_pruned(spark, eq={"h": "zzz"}).count() == 0
+
+
+def test_bloom_and_range_pruning_compose(spark, table):
+    from pyspark.sql import functions as F
+
+    for lo in (0, 100):
+        df = (
+            spark.range(lo, lo + 100)
+            .select(F.col("id"), F.md5(F.col("id").cast("string")).alias("h"))
+            .coalesce(1)
+        )
+        table.overwrite(df) if lo == 0 else table.append(df)
+    table.index_blooms(spark, ["h"])
+    import hashlib
+
+    t = hashlib.md5(b"50").hexdigest()
+    # eq on h (bloom) + range on id (min/max) must agree with a filter
+    got = table.read_pruned(spark, {"id": (0, 99)}, eq={"h": t}).collect()
+    assert len(got) == 1 and got[0].id == 50
+    # contradictory range and eq: zero files, empty result
+    assert table.read_pruned(spark, {"id": (100, 199)}, eq={"h": t}).count() == 0
+
+
+def test_unindexed_column_eq_is_conservative(spark, table):
+    from pyspark.sql import functions as F
+
+    table.overwrite(
+        spark.range(10).select(F.col("id"), F.lit("x").alias("s")).coalesce(1)
+    )
+    # no bloom built: eq prunes only by min/max (id bounds apply)
+    assert table.files_for(eq={"id": 5}) == list(table.snapshot().files)
+    assert table.files_for(eq={"id": 500}) == []  # bounds still work
+    assert table.read_pruned(spark, eq={"id": 5}).count() == 1
