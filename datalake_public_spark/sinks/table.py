@@ -401,6 +401,74 @@ class ManifestTable:
             stats=self._carry_stats(parent, new_files),
         )
 
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: list[str],
+    ) -> Snapshot:
+        """MERGE (upsert): rows matching ``key_cols`` are REPLACED by the
+        source's row, unmatched source rows are inserted — one atomic
+        commit (the Delta MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED
+        INSERT shape, full-row update form).
+
+        Copy-on-write at FILE granularity: one pass tags every target
+        row with its input file and finds the files containing any
+        matching key (bounded collect — n_files at most); only those
+        files rewrite (their non-matching rows survive alongside the
+        whole source); untouched files — and their stats — carry over by
+        reference. Cost is O(files containing matches + source), not
+        O(table). Duplicate keys WITHIN the source raise (a
+        nondeterministic multi-update is the classic MERGE trap)."""
+        from urllib.parse import unquote, urlparse
+
+        from pyspark.sql import functions as F
+
+        dup = (
+            source.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "source has duplicate keys — MERGE would update the same "
+                "row twice nondeterministically; dedup the source first"
+            )
+        parent = self.current_version()
+        snap = self.snapshot(parent)
+        reader = spark.read
+        if snap.schema is not None:
+            reader = reader.schema(snap.schema)
+        tagged = reader.parquet(*snap.files).withColumn(
+            "__file", F.input_file_name()
+        )
+        affected_uris = [
+            r["__file"]
+            for r in tagged.join(
+                source.select(*key_cols).distinct(), key_cols, "left_semi"
+            )
+            .select("__file")
+            .distinct()
+            .collect()
+        ]
+        affected = {unquote(urlparse(u).path) for u in affected_uris}
+        keep = [f for f in snap.files if f not in affected]
+        survivors = (
+            tagged.filter(F.col("__file").isin(list(affected_uris)))
+            .drop("__file")
+            .join(source.select(*key_cols), key_cols, "left_anti")
+        )
+        merged = survivors.unionByName(
+            source.select(*[f.name for f in survivors.schema.fields])
+        )
+        new_files = self._stage_files(merged)
+        stats = {f: s for f, s in (snap.stats or {}).items() if f in keep}
+        stats.update(self._collect_stats(new_files))
+        return self._commit(
+            keep + new_files, "merge", parent, schema=snap.schema, stats=stats
+        )
+
     # -- read path ----------------------------------------------------------
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:

@@ -469,3 +469,62 @@ def test_unindexed_column_eq_is_conservative(spark, table):
     assert table.files_for(eq={"id": 5}) == list(table.snapshot().files)
     assert table.files_for(eq={"id": 500}) == []  # bounds still work
     assert table.read_pruned(spark, eq={"id": 5}).count() == 1
+
+
+# -- MERGE (upsert) --------------------------------------------------------
+
+
+def test_merge_updates_and_inserts_atomically(spark, table):
+    table.overwrite(_df(spark, 0, 10, "a").coalesce(1))
+    table.append(_df(spark, 10, 20, "a").coalesce(1))
+    src = spark.createDataFrame(
+        [(5, "UPDATED", 500), (99, "NEW", 990)],
+        "id long, tag string, v long",
+    )
+    snap = table.merge(spark, src, ["id"])
+    assert snap.operation == "merge"
+    rows = {r.id: (r.tag, r.v) for r in table.read(spark).collect()}
+    assert rows[5] == ("UPDATED", 500)   # matched → replaced
+    assert rows[99] == ("NEW", 990)      # unmatched → inserted
+    assert rows[3] == ("a", 6)           # untouched row intact
+    assert len(rows) == 21
+
+
+def test_merge_rewrites_only_affected_files(spark, table):
+    s0 = table.overwrite(_df(spark, 0, 10, "a").coalesce(1))
+    s1 = table.append(_df(spark, 10, 20, "b").coalesce(1))
+    untouched = set(s1.files) - set(s0.files)  # the 10..19 file
+    src = spark.createDataFrame([(5, "u", 0)], "id long, tag string, v long")
+    s2 = table.merge(spark, src, ["id"])
+    # the batch-b file (no id 5) carries over by reference, stats intact
+    assert untouched <= set(s2.files)
+    for f in untouched:
+        assert s2.stats[f] == s1.stats[f]
+    assert set(s0.files) & set(s2.files) == set()  # affected file rewritten
+
+
+def test_merge_pure_insert_keeps_all_files(spark, table):
+    s0 = table.overwrite(_df(spark, 0, 10, "a").coalesce(1))
+    src = spark.createDataFrame([(50, "n", 1)], "id long, tag string, v long")
+    s1 = table.merge(spark, src, ["id"])
+    assert set(s0.files) <= set(s1.files)
+    assert table.read(spark).count() == 11
+
+
+def test_merge_rejects_duplicate_source_keys(spark, table):
+    import pytest as _p
+
+    table.overwrite(_df(spark, 0, 5, "a").coalesce(1))
+    src = spark.createDataFrame(
+        [(1, "x", 0), (1, "y", 0)], "id long, tag string, v long"
+    )
+    with _p.raises(ValueError, match="duplicate keys"):
+        table.merge(spark, src, ["id"])
+
+
+def test_merge_time_travel_sees_pre_merge_state(spark, table):
+    s0 = table.overwrite(_df(spark, 0, 5, "a").coalesce(1))
+    src = spark.createDataFrame([(0, "u", -1)], "id long, tag string, v long")
+    table.merge(spark, src, ["id"])
+    old = {r.id: r.tag for r in table.read(spark, s0.version).collect()}
+    assert old[0] == "a"  # snapshot isolation across the merge
