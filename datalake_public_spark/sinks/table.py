@@ -714,12 +714,28 @@ class ManifestTable:
         below the threshold — or on a table with no commits yet (a
         streaming tick may maintain tables a fully-duplicate feed never
         wrote to). Returns the head snapshot, or None for an empty
-        table."""
+        table.
+
+        Bloom indexes are REBUILT after a compaction for every column
+        the pre-compact snapshot had indexed — compacted files are new
+        files with fresh min/max stats but no blooms, and silently
+        losing the index would degrade point-lookup pruning to
+        conservative full-candidate reads."""
         if self.current_version() is None:
             return None
         snap = self.snapshot()
         if snap.n_files > max_files:
+            bloom_cols = sorted(
+                {
+                    key.split(":", 1)[1]
+                    for fstats in (snap.stats or {}).values()
+                    for key in fstats
+                    if key.startswith("bloom:")
+                }
+            )
             snap = self.compact(spark, target_file_mb)
+            if bloom_cols:
+                snap = self.index_blooms(spark, bloom_cols)
             self.vacuum(retain_versions)
         return snap
 

@@ -528,3 +528,24 @@ def test_merge_time_travel_sees_pre_merge_state(spark, table):
     table.merge(spark, src, ["id"])
     old = {r.id: r.tag for r in table.read(spark, s0.version).collect()}
     assert old[0] == "a"  # snapshot isolation across the merge
+
+
+def test_maintain_rebuilds_bloom_index_after_compaction(spark, table):
+    from pyspark.sql import functions as F
+
+    for lo in (0, 100, 200, 300, 400):
+        df = (
+            spark.range(lo, lo + 100)
+            .select(F.col("id"), F.md5(F.col("id").cast("string")).alias("h"))
+            .coalesce(1)
+        )
+        table.overwrite(df) if lo == 0 else table.append(df)
+    table.index_blooms(spark, ["h"])
+    snap = table.maintain(spark, max_files=2, retain_versions=1)
+    assert snap.operation == "index"  # compact then re-index
+    import hashlib
+
+    t = hashlib.md5(b"250").hexdigest()
+    kept = table.files_for(eq={"h": t})
+    assert 0 < len(kept) < snap.n_files or snap.n_files == 1
+    assert table.read_pruned(spark, eq={"h": t}).count() == 1
