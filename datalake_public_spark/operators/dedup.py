@@ -30,6 +30,34 @@ from datalake_public_spark.functions import vector as V
 from datalake_public_spark.sources.readers import widen_for_compute
 
 
+def _adopt_caches(out: DataFrame, *frames: DataFrame) -> DataFrame:
+    """Attach the persisted intermediates behind ``out`` (each ``frame``
+    that is itself cached, plus any caches a frame already adopted) so
+    callers can release them with ``release_caches`` once ``out`` is
+    materialized. One-shot callers may skip the release (caches die
+    with the session); PER-MICRO-BATCH callers MUST release or cached
+    partitions accumulate on executors until LRU pressure evicts them
+    (the long-stream leak)."""
+    caches: list[DataFrame] = list(getattr(out, "_graft_caches", ()))
+    for f in frames:
+        caches.extend(getattr(f, "_graft_caches", ()))
+        if getattr(f, "is_cached", False):
+            caches.append(f)
+    out._graft_caches = tuple(caches)
+    return out
+
+
+def release_caches(df: DataFrame) -> None:
+    """Unpersist every cached intermediate an operator attached to
+    ``df`` via ``_adopt_caches``. Call AFTER materializing ``df`` —
+    the returned frame is lazy and its plan reuses the caches; an early
+    release silently degrades the single-scan shape back to
+    recompute-per-branch."""
+    for c in getattr(df, "_graft_caches", ()):
+        c.unpersist()
+    df._graft_caches = ()
+
+
 def exact_dedup(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -290,7 +318,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return verified
+    return _adopt_caches(verified, sigs)
 
 
 def fuzzy_join_minhash(
@@ -354,7 +382,7 @@ def fuzzy_join_minhash(
 
     sh_l = sigs_l.select(F.col("id").alias("left_id"), F.col("shingles").alias("sh_l"))
     sh_r = sigs_r.select(F.col("id").alias("right_id"), F.col("shingles").alias("sh_r"))
-    return (
+    return _adopt_caches(
         cand.join(sh_l, "left_id")
         .join(sh_r, "right_id")
         .withColumn(
@@ -366,7 +394,9 @@ def fuzzy_join_minhash(
             ),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("left_id", "right_id", "jaccard")
+        .select("left_id", "right_id", "jaccard"),
+        sigs_l,
+        sigs_r,
     )
 
 
@@ -480,7 +510,7 @@ def dedupe_corpus(
     survivors = labels.filter(F.col("node") == F.col("component")).select(
         F.col("node").alias(id_col)
     )
-    return reps.join(survivors, id_col, "left_semi")
+    return _adopt_caches(reps.join(survivors, id_col, "left_semi"), pairs)
 
 
 def embedding_neardup_lsh(
@@ -714,4 +744,6 @@ def line_dedup(
             ),
         ).alias("text"),
     )
-    return out.select(id_col, "text", "n_lines", "n_kept")
+    return _adopt_caches(
+        out.select(id_col, "text", "n_lines", "n_kept"), lines
+    )

@@ -47,7 +47,12 @@ def clean_corpus(
     stage name → surviving doc count (empty when ``with_report`` is
     off). ``line_level=True`` enables corpus-wide line dedup between
     normalization and quality filtering (for corpora with multi-line
-    documents)."""
+    documents).
+
+    ``clean_df`` carries the stages' persisted intermediates (line
+    frame, LSH signatures); long-lived or repeated callers should run
+    ``dedup.release_caches(clean_df)`` AFTER materializing it —
+    ``ingest_batch_neardedup`` does this per micro-batch."""
     report: dict[str, int] = {}
 
     def count(stage: str, df: DataFrame) -> DataFrame:
@@ -62,18 +67,21 @@ def clean_corpus(
     )
     stage = count("normalized", normalized)
 
+    line_frame = None
     if line_level:
-        stage = (
-            D.line_dedup(stage, "text", id_col)
-            .filter("n_kept > 0")
-            .select(id_col, "text")
-        )
+        line_frame = D.line_dedup(stage, "text", id_col)
+        stage = line_frame.filter("n_kept > 0").select(id_col, "text")
         stage = count("line_dedup", stage)
 
     stage = T.quality_filter(stage, "text", id_col, **(quality_kwargs or {}))
     stage = count("quality_filter", stage)
 
     cleaned = D.dedupe_corpus(stage, "text", id_col, **(neardedup_kwargs or {}))
+    if line_frame is not None:
+        # the .filter().select() above drops the cache handles the
+        # operator attached — re-adopt them so release_caches(clean_df)
+        # frees the persisted line frame too
+        cleaned = D._adopt_caches(cleaned, line_frame)
     cleaned = count("dedup", cleaned)
 
     return cleaned, report

@@ -178,8 +178,13 @@ class ManifestTable:
         """Per-file column min/max from the parquet footers — the data-
         skipping index (Delta's per-file stats, kept in the manifest so
         pruning needs ZERO data-file I/O). Collected only for primitive
-        int/float/string columns; a column with missing footer stats in a
-        file simply has no entry, and pruning keeps that file. Local
+        int/float/string columns. A column whose stats are missing or
+        unusable in ANY row group of a file gets NO entry for that whole
+        file (pruning then conservatively keeps it): keeping the other
+        row groups' bounds would under-cover — e.g. a binary column that
+        decodes in some row groups only would publish bounds that miss
+        real values, and files_for would wrongly skip the file (merge
+        then leaves stale duplicate keys; read_pruned drops rows). Local
         metadata reads: O(files) footers, no row data touched."""
         import pyarrow.parquet as pq
 
@@ -188,25 +193,31 @@ class ManifestTable:
             md = pq.ParquetFile(path).metadata
             lo: dict = {}
             hi: dict = {}
+            incomplete: set = set()  # cols with any unusable row group
             for rg in range(md.num_row_groups):
                 row_group = md.row_group(rg)
                 for ci in range(row_group.num_columns):
                     col = row_group.column(ci)
+                    name = col.path_in_schema
                     s = col.statistics
                     if s is None or not s.has_min_max:
+                        incomplete.add(name)
                         continue
                     mn, mx = s.min, s.max
                     if isinstance(mn, bytes):
                         try:
                             mn, mx = mn.decode(), mx.decode()
                         except UnicodeDecodeError:
+                            incomplete.add(name)
                             continue
                     if not isinstance(mn, (int, float, str)):
-                        continue  # timestamps/decimals: not JSON-stable
-                    name = col.path_in_schema
+                        incomplete.add(name)  # timestamps/decimals: not JSON-stable
+                        continue
                     lo[name] = mn if name not in lo else min(lo[name], mn)
                     hi[name] = mx if name not in hi else max(hi[name], mx)
-            out[path] = {c: [lo[c], hi[c]] for c in lo}
+            out[path] = {
+                c: [lo[c], hi[c]] for c in lo if c not in incomplete
+            }
         return out
 
     def _carry_stats(self, parent: int | None, new_files: list[str]) -> dict:
@@ -558,7 +569,16 @@ class ManifestTable:
         The build is DISTRIBUTED: one narrow scan of (file, col) grouped
         by input file, each group folding its distinct values into a
         bitmap in an Arrow batch; only n_files (file, b64) rows reach
-        the driver."""
+        the driver.
+
+        Concurrency: the commit's expected parent is the SNAPSHOT READ
+        AT THE START of the build (``version`` or the then-current
+        head), not the head re-read at commit time — an append landing
+        during the long scan makes this raise ``CommitConflict`` (retry
+        against the new head) instead of silently publishing a stale
+        file list that drops the append. For the same reason an
+        explicit older ``version`` cannot roll the head back: it
+        conflicts unless that snapshot is still the head."""
         import pandas as pd
         from pyspark.sql import functions as F
 
@@ -597,7 +617,7 @@ class ManifestTable:
                 entry[f"bloom:{c}"] = r[f"bloom_{c}"]
             stats[path] = entry
         return self._commit(
-            list(snap.files), "index", self.current_version(),
+            list(snap.files), "index", snap.version,
             schema=snap.schema, stats=stats,
         )
 

@@ -37,8 +37,18 @@ def morton_key(cols: list[Column | str], bits: int = 16) -> Column:
     """Interleave the low ``bits`` bits of each (already integer,
     non-negative, < 2**bits) column into one Morton key. Bit i of
     column j lands at position i*len(cols)+j, so all columns share the
-    key's significance evenly."""
+    key's significance evenly.
+
+    ``bits * len(cols)`` must fit in the 63 value bits of a signed long:
+    bit 63 is the sign bit, and setting it would flip hot keys negative
+    and corrupt the curve order at the most significant position —
+    silent clustering degradation, so it raises instead."""
     n = len(cols)
+    if bits * n > 63:
+        raise ValueError(
+            f"morton key needs {bits * n} bits but a signed long has 63 "
+            f"value bits — use bits <= {63 // n} for {n} columns"
+        )
     cs = [F.col(c) if isinstance(c, str) else c for c in cols]
     z = F.lit(0).cast("long")
     for i in range(bits):
@@ -52,6 +62,11 @@ def morton_sql(cols: list[str], bits: int = 16) -> str:
     """The identical interleave as ANSI SQL (DuckDB-compatible) — kept in
     lockstep with morton_key so the two engines cannot drift."""
     n = len(cols)
+    if bits * n > 63:  # same sign-bit guard as morton_key (lockstep)
+        raise ValueError(
+            f"morton key needs {bits * n} bits but a signed long has 63 "
+            f"value bits — use bits <= {63 // n} for {n} columns"
+        )
     terms = [
         f"(((CAST({c} AS BIGINT) >> {i}) & 1) << {i * n + j})"
         for i in range(bits)
@@ -89,7 +104,13 @@ def write_zordered(
     Bounds for normalization come from one bounded min/max agg (1 driver
     row). Files are produced by range-partitioning on the key then
     sorting within partitions, so each file covers a compact Z-curve
-    segment — a small min/max box in every dimension."""
+    segment — a small min/max box in every dimension.
+
+    ``bits`` auto-reduces so the interleaved key fits the 63 value bits
+    of a signed long (4 columns at the default 16 would otherwise set
+    the sign bit — see ``morton_key``); resolution per dimension drops,
+    correctness does not (predicates still apply at read)."""
+    bits = min(bits, 63 // len(cols))
     bounds = df.agg(
         *[F.min(c).alias(f"lo_{c}") for c in cols],
         *[F.max(c).alias(f"hi_{c}") for c in cols],
@@ -162,12 +183,30 @@ import base64
 import hashlib as _hashlib
 
 
+def bloom_canon(v) -> str:
+    """ONE canonical string per logical value, applied on BOTH the build
+    and the probe side — the two must hash identical bytes or pruning
+    silently drops matching files. The trap: an int64 column with any
+    null reaches the pandas build as float64 (5 → 5.0), so a plain
+    str() would index '5.0' while a probe for 5 hashes '5'. Integral
+    floats therefore coerce to their int form; everything else uses
+    str() (pandas date/Timestamp str forms match their datetime.date /
+    datetime.datetime probe twins)."""
+    import math
+
+    if isinstance(v, float):  # covers numpy float64 (a float subclass)
+        if not (math.isnan(v) or math.isinf(v)) and v == int(v):
+            return str(int(v))
+    return str(v)
+
+
 def bloom_build(values, n_bits: int = 8192, k: int = 5) -> str:
-    """Build a base64 Bloom bitmap over the values' string forms.
-    Double hashing (Kirsch–Mitzenmacher): h_i = h1 + i*h2 mod m."""
+    """Build a base64 Bloom bitmap over the values' canonical string
+    forms (``bloom_canon``). Double hashing (Kirsch–Mitzenmacher):
+    h_i = h1 + i*h2 mod m."""
     bits = bytearray(n_bits // 8)
     for v in values:
-        d = _hashlib.md5(str(v).encode()).digest()
+        d = _hashlib.md5(bloom_canon(v).encode()).digest()
         h1 = int.from_bytes(d[:8], "big")
         h2 = int.from_bytes(d[8:], "big") | 1
         for i in range(k):
@@ -179,7 +218,7 @@ def bloom_build(values, n_bits: int = 8192, k: int = 5) -> str:
 def bloom_might_contain(bloom_b64: str, value, k: int = 5) -> bool:
     bits = base64.b64decode(bloom_b64)
     n_bits = len(bits) * 8
-    d = _hashlib.md5(str(value).encode()).digest()
+    d = _hashlib.md5(bloom_canon(value).encode()).digest()
     h1 = int.from_bytes(d[:8], "big")
     h2 = int.from_bytes(d[8:], "big") | 1
     for i in range(k):

@@ -182,6 +182,7 @@ def ingest_batch_neardedup(
     from datalake_public_spark.operators.dedup import (
         minhash_lsh_pairs,
         minhash_signatures,
+        release_caches,
     )
 
     spark = batch.sparkSession
@@ -200,11 +201,15 @@ def ingest_batch_neardedup(
     fresh = hashed.join(firsts, ["content_hash", id_col], "left_semi")
 
     # -- near: within batch (exact-verified LSH + components, keep-min) ---
-    pairs = minhash_lsh_pairs(
+    # keep the raw handle: it carries the operator's persisted signature
+    # frame, released in the finally below (per-micro-batch calls MUST
+    # release or caches accumulate across a long stream)
+    raw_pairs = minhash_lsh_pairs(
         fresh, text_col, id_col,
         shingle_n=shingle_n, num_perm=num_perm, bands=bands,
         threshold=threshold, max_bucket=max_bucket,
-    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    pairs = raw_pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     comp = connected_components(pairs)
     losers = (
         comp.groupBy("component")
@@ -296,6 +301,7 @@ def ingest_batch_neardedup(
     finally:
         fresh.unpersist()
         bsigs.unpersist()
+        release_caches(raw_pairs)
 
 
 def ingest_neardedup_stream(

@@ -420,3 +420,34 @@ def test_line_dedup_custom_delimiter_and_min_chars(spark):
     # 'aa' dedups (len 2 >= min_chars); 'b' passes through everywhere
     assert out[1] == "aa|b|cc"
     assert out[2] == "b|dd"
+
+
+def test_operators_track_and_release_caches(spark):
+    """Operators that persist intermediates (line frame, LSH signatures)
+    attach them to the returned lazy frame; release_caches unpersists
+    after materialization — the per-micro-batch leak guard."""
+    docs = spark.createDataFrame(
+        [(1, "a\nb\nc"), (2, "a\nx\ny"), (3, "unique\nlines\nhere")],
+        "doc_id long, text string",
+    )
+    out = dedup.line_dedup(docs)
+    out.count()
+    caches = out._graft_caches
+    assert caches and all(c.is_cached for c in caches)
+    dedup.release_caches(out)
+    assert not any(c.is_cached for c in caches)
+    assert out._graft_caches == ()
+
+    pairs = dedup.minhash_lsh_pairs(docs)
+    assert pairs._graft_caches and all(c.is_cached for c in pairs._graft_caches)
+    dedup.release_caches(pairs)
+    assert not any(c.is_cached for c in getattr(pairs, "_graft_caches", ()))
+
+
+def test_dedupe_corpus_propagates_caches(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(50)
+    out = dedup.dedupe_corpus(docs)
+    out.count()
+    assert out._graft_caches and all(c.is_cached for c in out._graft_caches)
+    dedup.release_caches(out)
+    assert not any(c.is_cached for c in getattr(out, "_graft_caches", ()))

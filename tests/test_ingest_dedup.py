@@ -209,3 +209,25 @@ def test_neardedup_stream_end_to_end(spark, tmp_path):
     kept = {r.doc_id for r in corpus.read(spark).collect()}
     # 10 is a near-dup of 1, 11 an exact dup of 1 — both dropped
     assert kept == {1, 2, 12}
+
+
+def test_neardedup_batch_leaves_no_lingering_caches(spark, tmp_path):
+    """Per-micro-batch calls must not accumulate cached partitions on
+    executors across a long stream (ADVICE r3): the batch releases the
+    LSH signature cache and its own persists before returning."""
+    from datalake_public_spark.streaming.ingest_dedup import (
+        ingest_batch_neardedup,
+    )
+
+    corpus = ManifestTable(str(tmp_path / "c"))
+    eidx = ManifestTable(str(tmp_path / "e"))
+    sidx = ManifestTable(str(tmp_path / "s"))
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    for b in range(2):
+        batch = spark.createDataFrame(
+            [(b * 10 + i, f"doc body {b} {i}") for i in range(6)], SCHEMA
+        )
+        ingest_batch_neardedup(batch, corpus, eidx, sidx, f"t{b}")
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before
+    assert corpus.read(spark).count() == 12

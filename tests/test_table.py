@@ -549,3 +549,63 @@ def test_maintain_rebuilds_bloom_index_after_compaction(spark, table):
     kept = table.files_for(eq={"h": t})
     assert 0 < len(kept) < snap.n_files or snap.n_files == 1
     assert table.read_pruned(spark, eq={"h": t}).count() == 1
+
+
+def test_index_blooms_conflicts_instead_of_rolling_back(spark, table):
+    """An index build based on a non-head snapshot must raise
+    CommitConflict, not silently republish the stale file list (which
+    would drop concurrently-appended files from the head and let vacuum
+    delete them). Same code path as an append landing mid-build: the
+    commit's expected parent is the snapshot read at build start."""
+    table.overwrite(_df(spark, 0, 10, "a"))
+    table.append(_df(spark, 10, 20, "b"))
+    head = table.current_version()
+    head_files = set(table.snapshot().files)
+    with pytest.raises(CommitConflict):
+        table.index_blooms(spark, ["tag"], version=0)
+    assert table.current_version() == head
+    assert set(table.snapshot().files) == head_files
+
+
+def test_bloom_probes_int_column_containing_nulls(spark, table):
+    """int64 + null reaches the pandas bloom build as float64 (5 → 5.0);
+    without value canonicalization the probe for 5 hashes '5' against an
+    index of '5.0' and read_pruned silently drops matching rows."""
+    df1 = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 7)], "id long, v long"
+    ).coalesce(1)
+    df2 = spark.createDataFrame(
+        [(4, 100), (5, 200)], "id long, v long"
+    ).coalesce(1)
+    table.overwrite(df1)
+    table.append(df2)
+    table.index_blooms(spark, ["v"])
+    # min/max already rejects the second file; the bloom must KEEP the
+    # first (this is the contract: pruning never changes results)
+    assert len(table.files_for(eq={"v": 5})) == 1
+    got = table.read_pruned(spark, eq={"v": 5}).collect()
+    want = table.read(spark).filter("v = 5").collect()
+    assert [r.id for r in got] == [r.id for r in want] == [1]
+    # float-form probe canonicalizes to the same key
+    assert len(table.files_for(eq={"v": 5.0})) == 1
+
+
+def test_collect_stats_drops_partially_decodable_columns(tmp_path):
+    """A binary column whose stats decode in some row groups only must
+    have NO per-file entry (keeping the decodable groups' bounds
+    under-covers: files_for would wrongly skip the file, merge would
+    leave stale duplicate keys, read_pruned would drop rows)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t1 = pa.table({"k": pa.array([1, 2]), "b": pa.array([b"aa", b"ab"])})
+    t2 = pa.table(
+        {"k": pa.array([3, 4]), "b": pa.array([b"\xff\xfe", b"\xff\xff"])}
+    )
+    path = str(tmp_path / "f.parquet")
+    with pq.ParquetWriter(path, t1.schema) as w:
+        w.write_table(t1)
+        w.write_table(t2)
+    stats = ManifestTable._collect_stats([path])
+    assert stats[path]["k"] == [1, 4]  # full-file bounds, both row groups
+    assert "b" not in stats[path]  # conservative: no under-covering entry

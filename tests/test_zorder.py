@@ -6,6 +6,7 @@ boxes prune files in BOTH dimensions, vs single-sort pruning only one).
 from __future__ import annotations
 
 import duckdb
+import pytest
 from pyspark.sql import functions as F
 
 from datalake_public_spark.sinks import zorder
@@ -119,3 +120,48 @@ def test_write_zordered_empty_frame(spark, tmp_path):
     path = str(tmp_path / "empty")
     zorder.write_zordered(empty, path, ["x", "y"])
     assert spark.read.parquet(path).count() == 0
+
+
+def test_morton_key_rejects_sign_bit_overflow(spark):
+    """bits*len(cols) > 63 would set a long's sign bit — hot keys flip
+    negative and Z-curve order corrupts at the MSB. Both engines' key
+    builders raise in lockstep."""
+    from datalake_public_spark.sinks.zorder import morton_key, morton_sql
+
+    with pytest.raises(ValueError):
+        morton_key(["a", "b", "c", "d"], bits=16)
+    with pytest.raises(ValueError):
+        morton_sql(["a", "b", "c", "d"], bits=16)
+    # 4 dims at 15 bits = 60 bits: fine
+    morton_key(["a", "b", "c", "d"], bits=15)
+    morton_sql(["a", "b", "c", "d"], bits=15)
+
+
+def test_write_zordered_autoreduces_bits_for_many_dims(spark, tmp_path):
+    """The convenience writer auto-reduces resolution instead of raising
+    (documented): 4 dims at default bits drop to 15 bits each."""
+    df = spark.range(200).select(
+        F.col("id").alias("a"),
+        (F.col("id") * 3 % 97).alias("b"),
+        (F.col("id") * 7 % 89).alias("c"),
+        (F.col("id") * 11 % 83).alias("d"),
+    )
+    out = str(tmp_path / "z4")
+    zorder.write_zordered(df, out, ["a", "b", "c", "d"], n_files=4)
+    assert spark.read.parquet(out).count() == 200
+
+
+def test_bloom_canon_unifies_integral_float_forms():
+    from datalake_public_spark.sinks.zorder import (
+        bloom_build,
+        bloom_canon,
+        bloom_might_contain,
+    )
+
+    assert bloom_canon(5) == bloom_canon(5.0) == "5"
+    assert bloom_canon(2.5) == "2.5"
+    assert bloom_canon("x") == "x"
+    b = bloom_build([5.0, 7.0, 2.5])  # the pandas float64-coerced forms
+    assert bloom_might_contain(b, 5)
+    assert bloom_might_contain(b, 7)
+    assert bloom_might_contain(b, 2.5)
