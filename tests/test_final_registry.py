@@ -22,6 +22,11 @@ from tests.oracle_harness import compare, duck_connection
 # queries that exist only in FINAL_REGISTRY (merged/reshaped — not covered
 # by the per-family contract tests)
 MERGED = [
+    "r3_union_by_name",  # round 4: r1_join_enrich folded in as op='r1'
+    "scd2_suite",  # round 4: scd2_history + scd2_pit_join merged
+    "tpch_breadth",  # round 4: Q4/Q13/Q18/Q22 conformed union
+    "event_graph_suite",  # round 4: funnel + cohort + pagerank + hierarchy
+    "dedup_minhash_lsh",  # round 4: self-verifying reshape (invariant row)
     "p_row_normalize",
     "p_window_weight",
     "window_suite",
