@@ -50,7 +50,11 @@ def oracle_sql() -> dict[str, str]:
     invariant oracles — the Spark side computes the exact answer in the
     same pass and emits checked booleans/counts that the SQL reproduces
     as literals (recall floors, error bounds, cluster-structure
-    invariants; see each query's docstring). dedup_minhash_lsh's exact
-    oracle relies on banding recall == 1 on this corpus, guarded by
-    tests/test_dedup.py::test_lsh_recall_is_one_on_testdata."""
+    invariants; see each query's docstring). Round 4: the LSH-family
+    oracles (dedup_minhash_lsh, dedup_components) are self-verifying —
+    pair/survivor rows are computed over the LSH∪exact-baseline union
+    (equal to the exact baseline on ANY corpus, since the verify step
+    makes LSH precision 1) and in-plan precision/recall booleans ride
+    as an invariants row, so banding-recall regressions degrade to an
+    invariant check instead of failing the driver."""
     return {name: spec.oracle for name, spec in _ALL.items() if spec.oracle is not None}

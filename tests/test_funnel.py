@@ -115,3 +115,49 @@ def test_funnel_plan_single_user_shuffle(spark):
     )
     assert plan.count("Exchange") <= 2  # user agg + final single-row agg
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_iterative_matches_array_mode(spark):
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    a = {
+        (r.step, r.step_name): r.n_users
+        for r in funnel(events, STEPS).collect()
+    }
+    b = {
+        (r.step, r.step_name): r.n_users
+        for r in funnel(events, STEPS, mode="iterative").collect()
+    }
+    assert a == b
+
+
+def test_funnel_iterative_handles_hot_user(spark):
+    """One bot user with 1e5 funnel-relevant events: the iterative mode
+    keeps per-user state O(1) (no per-user array), and both modes agree
+    on the counts — the round-4 hot-user guard."""
+    import pyspark.sql.functions as SF
+
+    # hot user 999: 100k alternating view/click events, purchase at the
+    # very end; normal users 1..10 complete cleanly
+    hot = spark.range(100_000).select(
+        SF.lit(999).alias("user_id"),
+        SF.timestamp_seconds(1_700_000_000 + SF.col("id")).alias("ts"),
+        SF.when(SF.col("id") % 2 == 0, "view").otherwise("click").alias(
+            "event_type"
+        ),
+    )
+    last = spark.createDataFrame(
+        [(999, 1_700_200_000, "purchase")]
+        + [
+            (u, 1_700_000_000 + 10 * s, step)
+            for u in range(1, 11)
+            for s, step in enumerate(STEPS)
+        ],
+        "user_id long, epoch long, event_type string",
+    ).select("user_id", SF.timestamp_seconds("epoch").alias("ts"), "event_type")
+    ev = hot.unionByName(last)
+    a = {r.step_name: r.n_users for r in funnel(ev, STEPS).collect()}
+    b = {
+        r.step_name: r.n_users
+        for r in funnel(ev, STEPS, mode="iterative").collect()
+    }
+    assert a == b == {"view": 11, "click": 11, "purchase": 11}

@@ -609,3 +609,92 @@ def test_collect_stats_drops_partially_decodable_columns(tmp_path):
     stats = ManifestTable._collect_stats([path])
     assert stats[path]["k"] == [1, 4]  # full-file bounds, both row groups
     assert "b" not in stats[path]  # conservative: no under-covering entry
+
+
+class _RacingTable(ManifestTable):
+    """ManifestTable that lets another writer land a commit right before
+    this table's own commit — a deterministic interleaving of the race
+    window (work done against a stale parent, commit attempted after the
+    head advanced)."""
+
+    def __init__(self, root, interloper):
+        super().__init__(root)
+        self._interloper = interloper
+        self._fired = False
+
+    def _commit(self, *a, **k):
+        if not self._fired and self._interloper is not None:
+            self._fired = True
+            self._interloper()
+        return super()._commit(*a, **k)
+
+
+def _merge_src(spark, rows):
+    return spark.createDataFrame(rows, "id long, tag string, v long")
+
+
+def test_concurrent_merges_disjoint_keys_conflict_then_succeed(spark, table):
+    """Two interleaved MERGEs on disjoint keys: the loser gets a clean
+    CommitConflict (optimistic concurrency — never a silent lost
+    update), and a retry against the new head lands BOTH updates."""
+    table.overwrite(_df(spark, 0, 20, "base").repartition(2))
+    other = ManifestTable(table.root)
+    fired = lambda: other.merge(  # noqa: E731
+        spark, _merge_src(spark, [(5, "writerB", 500)]), ["id"]
+    )
+    racing = _RacingTable(table.root, fired)
+    src_a = _merge_src(spark, [(15, "writerA", 1500)])
+    with pytest.raises(CommitConflict):
+        racing.merge(spark, src_a, ["id"])
+    # retry against the advanced head succeeds and preserves B's commit
+    snap = ManifestTable(table.root).merge(spark, src_a, ["id"])
+    assert snap.operation == "merge"
+    got = {
+        r.id: (r.tag, r.v)
+        for r in table.read(spark).filter("id in (5, 15)").collect()
+    }
+    assert got == {5: ("writerB", 500), 15: ("writerA", 1500)}
+    assert table.read(spark).count() == 20  # no duplicate or lost rows
+
+
+def test_concurrent_merges_overlapping_keys_conflict_then_last_wins(
+    spark, table
+):
+    """Same key from both writers: loser conflicts cleanly; its retry
+    re-reads the winner's head and replaces the row (last-writer-wins
+    at retry time — exactly one row per key, never two versions)."""
+    table.overwrite(_df(spark, 0, 10, "base").repartition(2))
+    other = ManifestTable(table.root)
+    fired = lambda: other.merge(  # noqa: E731
+        spark, _merge_src(spark, [(7, "writerB", 700)]), ["id"]
+    )
+    racing = _RacingTable(table.root, fired)
+    src_a = _merge_src(spark, [(7, "writerA", 777)])
+    with pytest.raises(CommitConflict):
+        racing.merge(spark, src_a, ["id"])
+    ManifestTable(table.root).merge(spark, src_a, ["id"])
+    rows = table.read(spark).filter("id = 7").collect()
+    assert len(rows) == 1 and (rows[0].tag, rows[0].v) == ("writerA", 777)
+    assert table.read(spark).count() == 10
+    # history shows both merges + the conflict left no partial version
+    ops = [s.operation for s in table.history()]
+    assert ops.count("merge") == 2
+
+
+def test_concurrent_bloom_index_build_conflicts_with_append(spark, table):
+    """An append landing during a bloom-index build: the index commit
+    must raise CommitConflict (its file list predates the append) —
+    the deterministic twin of the mid-build race."""
+    table.overwrite(_df(spark, 0, 50, "a").coalesce(1))
+    other = ManifestTable(table.root)
+    import datalake_public_spark.sinks.table as table_mod
+
+    fired = lambda: other.append(_df(spark, 50, 60, "late").coalesce(1))  # noqa: E731
+    racing = _RacingTable(table.root, fired)
+    with pytest.raises(CommitConflict):
+        racing.index_blooms(spark, ["tag"])
+    # the append's rows are still on the head — nothing rolled back
+    assert table.read(spark).count() == 60
+    # a clean rebuild against the new head succeeds
+    snap = ManifestTable(table.root).index_blooms(spark, ["tag"])
+    assert snap.operation == "index"
