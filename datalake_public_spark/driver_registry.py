@@ -1607,6 +1607,97 @@ SELECT 'invariants', NULL, NULL, NULL, TRUE
 """
 
 
+def dedup_ngram_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram-Jaccard pairs + the CROSS-TABLE fuzzy join in one
+    entry (round 4: fuzzy_join_minhash was the last dedup-family
+    operator with no driver row).
+
+    op='within' — the full-corpus exact pair baseline (unchanged former
+    entry). op='cross' — entity resolution between two tables (the
+    even/odd doc_id halves of documents stand in for new-crawl vs
+    existing-corpus): fuzzy_join_minhash's banded-MinHash candidates,
+    exact-verified, UNIONed with the in-plan exact cross-parity baseline
+    — the same self-verifying construction as dedup_minhash_lsh (fuzzy
+    output is a subset of the baseline by construction since both score
+    the identical shingle sets, so the union equals the baseline on ANY
+    corpus). op='invariants' — in-plan precision (every fuzzy pair
+    matches a baseline pair exactly) and recall-floor booleans.
+
+    The cross baseline is derived from the within baseline by parity
+    restriction (Jaccard is pair-local: cross-table pairs between the
+    halves are exactly the odd-parity-sum pairs of the full corpus)."""
+    from datalake_public_spark.operators import dedup as D
+
+    docs = _t(spark, sf, "documents")
+    none_bool = F.lit(None).cast("boolean")
+    within = D.ngram_jaccard_pairs(docs, threshold=0.5)
+    w_rows = within.select(
+        F.lit("within").alias("op"), "id_a", "id_b", "jaccard",
+        none_bool.alias("ok"),
+    )
+    left = docs.filter(F.col("doc_id") % 2 == 0)
+    right = docs.filter(F.col("doc_id") % 2 == 1)
+    fuzzy = D.fuzzy_join_minhash(left, right, threshold=0.5)
+    exact_cross = within.filter((F.col("id_a") + F.col("id_b")) % 2 == 1).select(
+        F.when(F.col("id_a") % 2 == 0, F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("left_id"),
+        F.when(F.col("id_a") % 2 == 0, F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("right_id"),
+        "jaccard",
+    )
+    c_rows = (
+        exact_cross.unionByName(fuzzy)
+        .distinct()
+        .select(
+            F.lit("cross").alias("op"),
+            F.col("left_id").alias("id_a"),
+            F.col("right_id").alias("id_b"),
+            "jaccard",
+            none_bool.alias("ok"),
+        )
+    )
+    n_f = fuzzy.agg(F.count(F.lit(1)).alias("n_f"))
+    n_m = fuzzy.join(
+        exact_cross, ["left_id", "right_id", "jaccard"], "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_m"))
+    n_e = exact_cross.agg(F.count(F.lit(1)).alias("n_e"))
+    inv = (
+        n_f.crossJoin(n_m)  # 1×1 aggregate pairs — bounded
+        .crossJoin(n_e)
+        .select(
+            F.lit("invariants").alias("op"),
+            F.lit(None).cast("long").alias("id_a"),
+            F.lit(None).cast("long").alias("id_b"),
+            F.lit(None).cast("double").alias("jaccard"),
+            (
+                (F.col("n_m") == F.col("n_f"))
+                & (F.col("n_f") * 2 >= F.col("n_e"))
+            ).alias("ok"),
+        )
+    )
+    return w_rows.unionByName(c_rows).unionByName(inv)
+
+
+def _dedup_ngram_fuzzy_sql() -> str:
+    from datalake_public_spark.driver_queries_llm import DEDUP_NGRAM_SQL
+
+    return f"""
+SELECT 'within' AS op, id_a, id_b, jaccard, CAST(NULL AS BOOLEAN) AS ok
+FROM ({DEDUP_NGRAM_SQL}) w
+UNION ALL
+SELECT 'cross',
+       CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END,
+       CASE WHEN id_a % 2 = 0 THEN id_b ELSE id_a END,
+       jaccard, NULL
+FROM ({DEDUP_NGRAM_SQL}) c
+WHERE (id_a + id_b) % 2 = 1
+UNION ALL
+SELECT 'invariants', NULL, NULL, NULL, TRUE
+"""
+
+
 def dedup_components_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """Cluster labels + the dedupe_corpus survivor set in one driver row.
 
@@ -2117,7 +2208,9 @@ def _build_final() -> dict[str, QuerySpec]:
         "vocab_top_tokens": QuerySpec(vocab_familiarity, _vocab_familiarity_sql()),
         # --- deduplication ---
         "dedup_exact": keep(LLM_REGISTRY, "dedup_exact"),
-        "dedup_ngram_jaccard": keep(LLM_REGISTRY, "dedup_ngram_jaccard"),
+        "dedup_ngram_jaccard": QuerySpec(
+            dedup_ngram_fuzzy, _dedup_ngram_fuzzy_sql()
+        ),
         "dedup_minhash_lsh": QuerySpec(
             dedup_minhash_selfverifying, _dedup_minhash_selfverifying_sql()
         ),

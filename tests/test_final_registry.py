@@ -27,6 +27,7 @@ MERGED = [
     "tpch_breadth",  # round 4: Q4/Q13/Q18/Q22 conformed union
     "event_graph_suite",  # round 4: funnel + cohort + pagerank + hierarchy
     "dedup_minhash_lsh",  # round 4: self-verifying reshape (invariant row)
+    "dedup_ngram_jaccard",  # round 4: cross-table fuzzy join folded in
     "p_row_normalize",
     "p_window_weight",
     "window_suite",
