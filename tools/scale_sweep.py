@@ -1,0 +1,168 @@
+"""Run the FULL 50-entry driver registry vs DuckDB on a (scale) SF dir
+and record per-query verdicts as JSON — the at-scale correctness
+artifact (VERDICT r3 item 3: convert the '×10 survives' claims from
+prose to evidence).
+
+Compare protocol: the strict driver-grade compare first (row count +
+column names + Arrow dtypes + order-insensitive exact values). A strict
+failure retries under a FLOAT-TOLERANT compare (rel 1e-9 on float cells,
+everything else exact): at millions of rows, Spark's and DuckDB's
+physical plans sum doubles in different orders, so a `round(sum(x), 2)`
+can legitimately differ in the last cent (NOTES_r3: ×10 q5 revenue
+differed by ≤ $0.01, rel 2e-11) — a plan artifact, not a logic bug. The
+JSON separates `strict` / `float_tolerant` / `fail` so nothing hides.
+
+Usage: python tools/scale_sweep.py [sf_dir] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def fast_rows(df) -> list[tuple]:
+    """normalize() from the oracle harness, but via itertuples (the
+    iterrows path is ~50× slower and dominated the first ×10 sweep
+    attempt — 100k+-row union entries never finished inside the run
+    budget). Same cell canonicalization, same order-insensitive sort."""
+    from tests.oracle_harness import _norm_cell
+
+    cols = sorted(df.columns)
+    out = [
+        tuple(_norm_cell(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    ]
+    out.sort(key=repr)
+    return out
+
+
+def tolerant_equal(s_rows: list[tuple], o_rows: list[tuple]) -> bool:
+    """Order-insensitive compare with float tolerance: rows are aligned
+    by sorting on their float-rounded form, then compared cell-wise."""
+
+    def key(row):
+        return tuple(
+            round(v, 6) if isinstance(v, float) else v for v in row
+        ).__repr__()
+
+    s_sorted = sorted(s_rows, key=key)
+    o_sorted = sorted(o_rows, key=key)
+    if len(s_sorted) != len(o_sorted):
+        return False
+    for a, b in zip(s_sorted, o_sorted):
+        if len(a) != len(b):
+            return False
+        for x, y in zip(a, b):
+            if isinstance(x, float) and isinstance(y, float):
+                if math.isnan(x) and math.isnan(y):
+                    continue
+                # rel 1e-9 covers raw float-sum order divergence;
+                # abs 1.5e-4 covers DISPLAY-ROUNDING flips: a
+                # round(agg, 4) straddling its boundary amplifies a
+                # 1e-9-relative plan difference into one unit of the 4th
+                # decimal (observed: stddev 270.2224 vs 270.2223 at 1M
+                # rows). Columns where exact value matters are integer
+                # cents by design throughout the registry.
+                if not math.isclose(x, y, rel_tol=1e-9, abs_tol=1.5e-4):
+                    return False
+            elif x != y:
+                return False
+    return True
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_sf1.0"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/SCALE_r4.json"
+
+    from datalake_public_spark import EngineConfig, get_spark
+    from datalake_public_spark.driver_registry import FINAL_REGISTRY
+    from tests.oracle_harness import assert_types_match, duck_connection
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        EngineConfig(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_connection(sf_dir)
+
+    results: dict[str, dict] = {}
+    t_start = time.time()
+
+    def flush() -> None:
+        verdicts = [r["verdict"] for r in results.values()]
+        summary = {
+            "sf_dir": sf_dir,
+            "n_queries": len(results),
+            "strict": verdicts.count("strict"),
+            "float_tolerant": verdicts.count("float_tolerant"),
+            "fail": verdicts.count("fail"),
+            "wall_s": round(time.time() - t_start, 1),
+            "results": results,
+        }
+        with open(out_path, "w") as f:
+            json.dump(summary, f, indent=1)
+
+    for name, spec in FINAL_REGISTRY.items():
+        print(f"-> {name}", flush=True)
+        t0 = time.time()
+        try:
+            s_tbl = spec.spark(spark, sf_dir).toArrow()
+            o_tbl = con.execute(spec.oracle).fetch_arrow_table()
+            s = s_tbl.to_pandas()
+            o = o_tbl.to_pandas()
+            assert sorted(s.columns) == sorted(o.columns), (
+                f"columns differ: {sorted(s.columns)} vs {sorted(o.columns)}"
+            )
+            assert_types_match(s_tbl, o_tbl, name)
+            assert len(s) == len(o), f"row count {len(s)} vs {len(o)}"
+            assert len(s) > 0, "empty result"
+            ns, no = fast_rows(s), fast_rows(o)
+            if ns == no:
+                results[name] = {
+                    "verdict": "strict",
+                    "rows": len(s),
+                    "s": round(time.time() - t0, 1),
+                }
+            elif tolerant_equal(ns, no):
+                results[name] = {
+                    "verdict": "float_tolerant",
+                    "rows": len(s),
+                    "s": round(time.time() - t0, 1),
+                }
+            else:
+                diffs = [(a, b) for a, b in zip(ns, no) if a != b][:3]
+                results[name] = {
+                    "verdict": "fail",
+                    "rows": len(s),
+                    "s": round(time.time() - t0, 1),
+                    "err": f"values differ; first diffs: {diffs!r}"[:400],
+                }
+        except Exception as e:
+            results[name] = {
+                "verdict": "fail",
+                "s": round(time.time() - t0, 1),
+                "err": str(e)[:400],
+            }
+        print(name, results[name]["verdict"], results[name]["s"], flush=True)
+        flush()
+
+    flush()
+    print(
+        json.dumps(
+            {
+                k: v
+                for k, v in json.load(open(out_path)).items()
+                if k != "results"
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
