@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from datalake_public_spark.operators.iterutils import release_local_checkpoint
+
 
 def connected_components(
     edges: DataFrame,
@@ -101,10 +103,16 @@ def connected_components(
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
+        # the superseded round's checkpoint is never read again (changed
+        # was the last consumer) — free it now instead of waiting for GC
+        release_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
+            release_local_checkpoint(und)
             return labels
 
+    release_local_checkpoint(und)
+    release_local_checkpoint(labels)
     raise RuntimeError(
         f"connected_components did not converge within max_iter={max_iter} "
         "rounds; the graph is larger/deeper than expected — raise max_iter"

@@ -122,6 +122,10 @@ def _funnel_iterative(
     q_{k-1}, as a join + min-agg per step — the exact chain the DuckDB
     twin runs. Eager per stage (localCheckpoint) by design: k bounded
     (user, q) frames, never a per-user array."""
+    from datalake_public_spark.operators.iterutils import (
+        release_local_checkpoint,
+    )
+
     stage = (
         events.filter(F.col(type_col) == steps[0])
         .groupBy(user_col)
@@ -130,6 +134,7 @@ def _funnel_iterative(
     )
     counts = [stage.count()]
     for s in steps[1:]:
+        prev = stage
         stage = (
             events.filter(F.col(type_col) == s)
             .join(stage.withColumnRenamed("q", "__prev"), user_col)
@@ -139,6 +144,8 @@ def _funnel_iterative(
             .localCheckpoint()
         )
         counts.append(stage.count())
+        release_local_checkpoint(prev)  # superseded stage
+    release_local_checkpoint(stage)  # counts extracted — result is literal
     spark = events.sparkSession
     return spark.createDataFrame(
         [(i, steps[i], counts[i]) for i in range(len(steps))],

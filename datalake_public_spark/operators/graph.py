@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from datalake_public_spark.operators.iterutils import release_local_checkpoint
+
 
 def pagerank(
     edges: DataFrame,
@@ -90,9 +92,15 @@ def pagerank(
             .first()
             .d
         )
+        release_local_checkpoint(ranks)  # superseded — delta was last reader
         ranks = new_ranks
         if delta is not None and delta < tol:
+            release_local_checkpoint(nodes)
+            release_local_checkpoint(e)
             return ranks
+    release_local_checkpoint(nodes)
+    release_local_checkpoint(e)
+    release_local_checkpoint(ranks)
     raise RuntimeError(
         f"pagerank did not converge in {max_iter} rounds (last delta {delta})"
     )
@@ -134,9 +142,12 @@ def label_propagation(
         best = counts.groupBy("node").agg(
             F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m")
         )
+        prev = labels
         labels = best.select(
             "node", (-F.col("m.neg")).alias("label")
         ).localCheckpoint()
+        release_local_checkpoint(prev)  # superseded round, never read again
+    release_local_checkpoint(und)
     return labels
 
 
@@ -190,8 +201,12 @@ def hierarchy_paths(
             .localCheckpoint()
         )
         if nxt.isEmpty():
+            # per-level frontiers stay checkpointed — they ARE the
+            # result's union branches; only the edge list is private
+            release_local_checkpoint(kids)
             return out
         if depth > max_depth:
+            release_local_checkpoint(kids)
             raise RuntimeError(
                 f"hierarchy deeper than max_depth={max_depth} — cycle or "
                 "corrupted parent links"

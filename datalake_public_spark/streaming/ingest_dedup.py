@@ -302,6 +302,13 @@ def ingest_batch_neardedup(
         fresh.unpersist()
         bsigs.unpersist()
         release_caches(raw_pairs)
+        # components' returned label frame is checkpoint-backed; all its
+        # consumers (losers → fresh) have materialized by now
+        from datalake_public_spark.operators.iterutils import (
+            release_local_checkpoint,
+        )
+
+        release_local_checkpoint(comp)
 
 
 def ingest_neardedup_stream(
