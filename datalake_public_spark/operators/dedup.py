@@ -665,6 +665,87 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_block_cosine_pairs(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+    *,
+    threshold: float = 0.35,
+    round_digits: int = 6,
+    chunk: int = 1024,
+) -> DataFrame:
+    """Exact blocked cosine pairs via a BLAS kernel — the production
+    twin of the expression-HOF blocked baseline (the r3 exact_rerank
+    lesson, applied to pair generation: any O(pairs) interpreted HOF
+    belongs in a batch kernel). One applyInPandas group per block:
+    normalize the block matrix once, emit upper-triangle pairs from
+    tiled matmul panels (``chunk`` rows per panel bounds memory at
+    chunk×n×8 bytes regardless of block size), threshold inside the
+    kernel so only qualifying pairs leave Python.
+
+    Returns (block, id_a, id_b, cos) with id_a < id_b, cos rounded to
+    ``round_digits``. Zero-norm vectors drop (the expression path's
+    cosine is NULL there and the threshold filter drops NULL).
+
+    Exactness note: numpy sums products pairwise/BLAS-ordered while the
+    expression path folds sequentially, so the two can differ in the
+    last float ulps — identical pair SETS and |Δcos| ≤ 1e-9 are pinned
+    in tests, but a cosine sitting exactly on a round() boundary can
+    round differently. The DRIVER oracle therefore stays on the
+    expression path (bit-exact with DuckDB's sequential list_sum);
+    this kernel is the at-scale executor: 20k vectors / 10 blocks
+    profile in NOTES_r4."""
+    import pandas as pd
+
+    block_type = dict(
+        (f.name, f.dataType.simpleString()) for f in emb.schema.fields
+    )[block_col]
+    schema = f"{block_col} {block_type}, id_a long, id_b long, cos double"
+
+    def kern(pdf: pd.DataFrame):
+        ids_raw = pdf[id_col].to_numpy()
+        order = np.argsort(ids_raw, kind="stable")
+        ids = ids_raw[order].astype(np.int64)
+        X = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        norms = np.sqrt((X * X).sum(axis=1))
+        ok = norms > 0
+        ids, X, norms = ids[ok], X[ok], norms[ok]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {block_col: [], "id_a": [], "id_b": [], "cos": []}
+            ).astype({"id_a": "int64", "id_b": "int64", "cos": "float64"})
+        Xh = X / norms[:, None]
+        blk = pdf[block_col].iloc[0]
+        out_a, out_b, out_c = [], [], []
+        for lo in range(0, n - 1, chunk):
+            hi = min(lo + chunk, n)
+            panel = Xh[lo:hi] @ Xh.T  # (hi-lo) × n
+            for i in range(lo, hi):
+                row = np.round(panel[i - lo, i + 1 :], round_digits)
+                hits = np.nonzero(row >= threshold)[0]
+                if hits.size:
+                    out_a.extend([ids[i]] * hits.size)
+                    out_b.extend(ids[i + 1 + hits])
+                    out_c.extend(row[hits])
+        return pd.DataFrame(
+            {
+                block_col: [blk] * len(out_a),
+                "id_a": pd.Series(out_a, dtype="int64"),
+                "id_b": pd.Series(out_b, dtype="int64"),
+                "cos": pd.Series(out_c, dtype="float64"),
+            }
+        )
+
+    return (
+        widen_for_compute(emb)
+        .select(block_col, id_col, vec_col)
+        .groupBy(block_col)
+        .applyInPandas(kern, schema)
+    )
+
+
 def line_dedup(
     docs: DataFrame,
     text_col: str = "text",

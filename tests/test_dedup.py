@@ -451,3 +451,45 @@ def test_dedupe_corpus_propagates_caches(spark):
     assert out._graft_caches and all(c.is_cached for c in out._graft_caches)
     dedup.release_caches(out)
     assert not any(c.is_cached for c in getattr(out, "_graft_caches", ()))
+
+
+def test_embedding_block_kernel_matches_expression_path(spark):
+    """The BLAS-kernel blocked cosine pairs equal the expression-HOF
+    baseline: identical pair sets per block and |Δcos| ≤ 1e-9 (numpy
+    sums in a different order than the sequential fold — last-ulp
+    differences only)."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    a = emb.selectExpr("vec_id as id_a", "embedding as va", "label")
+    b = emb.selectExpr("vec_id as id_b", "embedding as vb", "label")
+    from datalake_public_spark.functions import vector as V
+
+    expr_pairs = {
+        (r.label, r.id_a, r.id_b): r.cos
+        for r in a.join(b, ["label"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(V.cosine("va", "vb"), 6))
+        .filter(F.col("cos") >= 0.35)
+        .collect()
+    }
+    kern_pairs = {
+        (r.label, r.id_a, r.id_b): r.cos
+        for r in dedup.embedding_block_cosine_pairs(emb).collect()
+    }
+    assert set(expr_pairs) == set(kern_pairs)
+    assert all(
+        abs(expr_pairs[k] - kern_pairs[k]) <= 1e-9 for k in expr_pairs
+    )
+    assert len(expr_pairs) > 0
+
+
+def test_embedding_block_kernel_tiling_invariant(spark):
+    """Panel size must not change results (the tiled matmul covers the
+    exact upper triangle for any chunk)."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    full = sorted(
+        map(tuple, dedup.embedding_block_cosine_pairs(emb, chunk=4096).collect())
+    )
+    tiny = sorted(
+        map(tuple, dedup.embedding_block_cosine_pairs(emb, chunk=3).collect())
+    )
+    assert full == tiny
