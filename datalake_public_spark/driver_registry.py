@@ -1561,8 +1561,14 @@ def dedup_minhash_selfverifying(spark: SparkSession, sf: str) -> DataFrame:
     reps = docs.join(
         groups.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
     )
-    lsh = dedup.near_dedup_pipeline(docs, threshold=0.5)
-    exact = dedup.ngram_jaccard_pairs(reps, threshold=0.5)
+    # both sides feed three consumers each (pair union + the two
+    # invariant aggregates) — persist or the quadratic baseline and the
+    # LSH chain recompute per branch (measured at the ×10 sweep; the
+    # file convention: materialize before multi-branch reuse)
+    lsh = dedup.near_dedup_pipeline(docs, threshold=0.5).persist()
+    lsh.count()
+    exact = dedup.ngram_jaccard_pairs(reps, threshold=0.5).persist()
+    exact.count()
     pair_rows = (
         exact.unionByName(lsh)
         .distinct()
@@ -1593,7 +1599,9 @@ def dedup_minhash_selfverifying(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("ok"),
         )
     )
-    return pair_rows.unionByName(inv)
+    from datalake_public_spark.operators.dedup import _adopt_caches
+
+    return _adopt_caches(pair_rows.unionByName(inv), lsh, exact)
 
 
 def _dedup_minhash_selfverifying_sql() -> str:
@@ -1630,14 +1638,19 @@ def dedup_ngram_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = _t(spark, sf, "documents")
     none_bool = F.lit(None).cast("boolean")
-    within = D.ngram_jaccard_pairs(docs, threshold=0.5)
+    # the quadratic within-baseline feeds four consumers (its own rows,
+    # the cross baseline, and via it the invariant aggregates); the
+    # fuzzy join feeds three — persist both (multi-branch convention)
+    within = D.ngram_jaccard_pairs(docs, threshold=0.5).persist()
+    within.count()
     w_rows = within.select(
         F.lit("within").alias("op"), "id_a", "id_b", "jaccard",
         none_bool.alias("ok"),
     )
     left = docs.filter(F.col("doc_id") % 2 == 0)
     right = docs.filter(F.col("doc_id") % 2 == 1)
-    fuzzy = D.fuzzy_join_minhash(left, right, threshold=0.5)
+    fuzzy = D.fuzzy_join_minhash(left, right, threshold=0.5).persist()
+    fuzzy.count()
     exact_cross = within.filter((F.col("id_a") + F.col("id_b")) % 2 == 1).select(
         F.when(F.col("id_a") % 2 == 0, F.col("id_a"))
         .otherwise(F.col("id_b"))
@@ -1677,7 +1690,9 @@ def dedup_ngram_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("ok"),
         )
     )
-    return w_rows.unionByName(c_rows).unionByName(inv)
+    return D._adopt_caches(
+        w_rows.unionByName(c_rows).unionByName(inv), within, fuzzy
+    )
 
 
 def _dedup_ngram_fuzzy_sql() -> str:
@@ -1723,15 +1738,18 @@ def dedup_components_corpus(spark: SparkSession, sf: str) -> DataFrame:
     )
     docs = _t(spark, sf, "documents")
     groups = D.exact_dedup(docs)
+    # reps feeds four consumers (both pair generators, the vertex set,
+    # the final survivor semi-join) — persist or every branch rescans
+    # the corpus and re-runs the exact-dedup shuffle
     reps = docs.join(
         groups.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
-    )
+    ).persist()
+    reps.count()
+    lsh_pairs = D.minhash_lsh_pairs(reps, threshold=0.5)
     pairs = (
         D.ngram_jaccard_pairs(reps, threshold=0.5)
         .select("id_a", "id_b")
-        .unionByName(
-            D.minhash_lsh_pairs(reps, threshold=0.5).select("id_a", "id_b")
-        )
+        .unionByName(lsh_pairs.select("id_a", "id_b"))
         .distinct()
     )
     labels = connected_components(
@@ -1748,7 +1766,7 @@ def dedup_components_corpus(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.lit(None).cast("long").alias("component"),
     )
-    return comp.unionByName(surv)
+    return D._adopt_caches(comp.unionByName(surv), reps, lsh_pairs)
 
 
 def _dedup_components_corpus_sql() -> str:
