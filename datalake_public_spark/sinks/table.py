@@ -719,6 +719,50 @@ class ManifestTable:
         b = set(self.snapshot(v_to).files)
         return {"added": sorted(b - a), "removed": sorted(a - b)}
 
+    def read_changes(
+        self, spark: SparkSession, v_from: int, v_to: int
+    ) -> DataFrame:
+        """Row-level change feed between two snapshots (the CDC read
+        surface Delta calls Change Data Feed), computed WITHOUT any
+        change log: ``file_diff`` bounds the work to the files ``v_to``
+        added/removed, then an exceptAll in each direction cancels the
+        rows that were merely REWRITTEN unchanged (copy-on-write merge/
+        delete rewrites whole files; compaction rewrites everything —
+        its feed is empty because every row cancels).
+
+        Returns the table columns plus ``_change_type``
+        ('insert' | 'delete'); an update appears as its delete+insert
+        pair (full-row update form, matching this table's MERGE).
+        Multiset semantics: k duplicate rows appearing k−j times after
+        the change yield j delete rows.
+
+        Cost is O(rows in CHANGED files) — never a full-table scan; the
+        exceptAll shuffles only those rows. Pure appends short-circuit
+        to a scan of the new files with no shuffle at all."""
+        from pyspark.sql import functions as F
+
+        diff = self.file_diff(v_from, v_to)
+        schema = self.snapshot(v_to).schema
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+
+        def rows(files: list[str]) -> DataFrame:
+            if not files:
+                return self.read(spark, v_to).limit(0)
+            return reader.parquet(*files)
+
+        added, removed = rows(diff["added"]), rows(diff["removed"])
+        if not diff["removed"]:  # pure append: no cancellation needed
+            return added.withColumn("_change_type", F.lit("insert"))
+        inserts = added.exceptAll(removed).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        deletes = removed.exceptAll(added).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        return inserts.unionByName(deletes)
+
     def maintain(
         self,
         spark: SparkSession,

@@ -698,3 +698,55 @@ def test_concurrent_bloom_index_build_conflicts_with_append(spark, table):
     # a clean rebuild against the new head succeeds
     snap = ManifestTable(table.root).index_blooms(spark, ["tag"])
     assert snap.operation == "index"
+
+
+def test_change_feed_append_delete_merge_compact(spark, table):
+    """read_changes: appends are pure inserts, deletes pure deletes,
+    merge updates appear as delete+insert pairs, and a compaction
+    (pure rewrite) yields an EMPTY feed. The feed always equals the
+    full-table multiset diff — pinned directly."""
+    table.overwrite(_df(spark, 0, 10, "base").repartition(2))  # v0
+    table.append(_df(spark, 10, 14, "more").coalesce(1))  # v1
+    feed = table.read_changes(spark, 0, 1)
+    assert {r._change_type for r in feed.collect()} == {"insert"}
+    assert {r.id for r in feed.collect()} == {10, 11, 12, 13}
+
+    table.delete_where(spark, "id >= 12")  # v2
+    feed = table.read_changes(spark, 1, 2).collect()
+    assert {(r.id, r._change_type) for r in feed} == {
+        (12, "delete"),
+        (13, "delete"),
+    }
+
+    src = spark.createDataFrame(
+        [(5, "updated", 555), (99, "fresh", 990)], "id long, tag string, v long"
+    )
+    table.merge(spark, src, ["id"])  # v3
+    feed = table.read_changes(spark, 2, 3).collect()
+    got = {(r.id, r.tag, r._change_type) for r in feed}
+    assert (5, "updated", "insert") in got
+    assert (5, "base", "delete") in got
+    assert (99, "fresh", "insert") in got
+    # rows that were only REWRITTEN (same file as id=5) cancel out
+    assert all(r.id in (5, 99) for r in feed)
+
+    # feed == full-table multiset diff, both directions
+    old, new = table.read(spark, 2), table.read(spark, 3)
+    want_ins = {tuple(r) for r in new.exceptAll(old).collect()}
+    want_del = {tuple(r) for r in old.exceptAll(new).collect()}
+    assert {tuple(r)[:-1] for r in feed if r._change_type == "insert"} == want_ins
+    assert {tuple(r)[:-1] for r in feed if r._change_type == "delete"} == want_del
+
+    table.compact(spark, target_file_mb=128)  # v4: pure rewrite
+    assert table.read_changes(spark, 3, 4).count() == 0
+
+
+def test_change_feed_pure_append_has_no_shuffle(spark, table):
+    """Appends short-circuit: the feed plan is a scan of the new files
+    only — no Exchange (the O(changed files) contract, trivially)."""
+    table.overwrite(_df(spark, 0, 1000, "a").coalesce(1))
+    table.append(_df(spark, 1000, 1100, "b").coalesce(1))
+    feed = table.read_changes(spark, 0, 1)
+    plan = feed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert feed.count() == 100
