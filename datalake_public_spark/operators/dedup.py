@@ -91,10 +91,33 @@ def ngram_jaccard_pairs(
     rarely collides); cost is Σ bucket² over shingle buckets. For 100 TB,
     cap pathological buckets (boilerplate shingles) or use minhash_lsh_pairs
     below — this operator is the exact baseline the LSH variant is
-    validated against."""
-    sh = widen_for_compute(docs).select(
-        F.col(id_col).alias("id"), T.shingles(text_col, n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    validated against.
+
+    The shingle frame persists (file convention: materialize before
+    multi-branch reuse): it feeds the size branch and BOTH self-join
+    sides, and the shingling expression is an interpreted HOF chain
+    with no codegen CSE — unpersisted, it recomputed ~4× per doc
+    (measured 48.7s → 12.5s at 5k docs, ×10 corpus). Callers holding
+    the result long-term release via ``release_caches``."""
+    sh = (
+        widen_for_compute(docs)
+        .select(F.col(id_col).alias("id"), T.tokens(text_col).alias("__toks"))
+        # the empty-shingles filter as a TOKEN-COUNT predicate at the
+        # token stage (shingles empty ⟺ tokens < n): filtering on
+        # size(shingles) above the projection looks identical, but
+        # filter PUSHDOWN substitutes the alias chain back into the
+        # predicate — the whole shingle expression, tokenization
+        # included, would re-evaluate per row inside the filter
+        # (measured: this plus the one-stage shingle capture made this
+        # frame 50.8s for 5k docs; the two fixes together: 1.8s)
+        .filter(F.size("__toks") >= n)
+        # two-stage: tokens bound under a name so the shingle lambda's
+        # per-element re-reads are row-value lookups, not re-tokenization
+        # (the interpreted-HOF O(tokens²) trap — see shingles_from_tokens)
+        .select("id", T.shingles_from_tokens("__toks", n).alias("shingles"))
+        .persist()
+    )
+    sh.count()  # materialize before the multi-branch reuse
     sizes = sh.select("id", F.size("shingles").alias("n_sh"))
     inv = sh.select("id", F.explode("shingles").alias("shingle"))
     a, b = inv.alias("a"), inv.alias("b")
@@ -107,7 +130,7 @@ def ngram_jaccard_pairs(
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     from datalake_public_spark.functions.arith import int_ratio_half_up
 
-    return (
+    return _adopt_caches(
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -119,7 +142,8 @@ def ngram_jaccard_pairs(
             ),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard"),
+        sh,
     )
 
 
@@ -146,15 +170,21 @@ def contamination_check(
     benchmark shingles BROADCAST; the corpus side is scan → shingle →
     explode → broadcast-hash-join (map-side, no shuffle of corpus data)
     → one aggregation on doc id. Corpus cost is linear in corpus size."""
+    # Arrow shingle kernel on BOTH sides (same universe as the Catalyst
+    # expression — pinned in tests): the corpus side is the 100 TB scan,
+    # and the expression form is quadratic-per-doc under interpreted HOF
+    # evaluation; worse, InferFiltersFromGenerate re-inlines the whole
+    # shingle expression into a pushed predicate below the explode, so
+    # even a two-stage projection re-tokenizes per element. The kernel's
+    # output attribute is opaque to the optimizer — shingled exactly
+    # once per doc (measured 61.6s → 5.6s for 50k docs).
+    kernel = _shingle_strings_kernel(n)
     bench_sh = (
-        benchmark.select(T.shingles(text_col, n).alias("shingles"))
-        .select(F.explode("shingles").alias("shingle"))
+        benchmark.select(F.explode(kernel(F.col(text_col))).alias("shingle"))
         .distinct()
     )
-    sh = (
-        widen_for_compute(corpus)
-        .select(F.col(id_col).alias("id"), T.shingles(text_col, n).alias("shingles"))
-        .filter(F.size("shingles") > 0)
+    sh = widen_for_compute(corpus).select(
+        F.col(id_col).alias("id"), kernel(F.col(text_col)).alias("shingles")
     )
     inv = sh.select("id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle"))
     from datalake_public_spark.functions.arith import int_ratio_half_up
@@ -172,6 +202,34 @@ def contamination_check(
 
 
 MERSENNE_P = 2_147_483_647  # 2^31 - 1, prime
+
+
+def _shingle_strings_kernel(shingle_n: int):
+    """Arrow kernel emitting the distinct n-token shingle STRINGS per doc
+    (sorted for determinism) — same token/shingle universe as
+    functions/text_funcs.shingles and _minhash_kernel. Exists because
+    the Catalyst formulation is quadratic-per-doc under interpreted HOF
+    evaluation AND the optimizer's InferFiltersFromGenerate re-inlines
+    the full expression into a pushed predicate below any explode of it
+    (see contamination_check) — a kernel output is an opaque attribute
+    the optimizer cannot substitute."""
+
+    @F.pandas_udf("array<string>")
+    def kernel(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            toks = [w for w in (t or "").split(" ") if w]
+            out.append(
+                sorted(
+                    {
+                        " ".join(toks[i : i + shingle_n])
+                        for i in range(len(toks) - shingle_n + 1)
+                    }
+                )
+            )
+        return pd.Series(out)
+
+    return kernel
 
 
 def _minhash_kernel(num_perm: int, seed: int, shingle_n: int):
