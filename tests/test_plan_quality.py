@@ -349,3 +349,53 @@ def test_line_dedup_shuffles_hashes_not_bodies(spark):
     # for completeness), so the cache reads must cover all branches
     assert plan.count("InMemoryTableScan") >= 2
     df.sparkSession.catalog.clearCache()
+
+
+def test_ngram_baseline_tokenizes_once(spark):
+    """The round-4 shingle-plan lesson, pinned: the optimized plan of
+    the exact n-gram baseline must contain exactly ONE tokenize
+    (split) — the one in the token projection. Regressions to watch:
+    (a) capturing the token EXPRESSION in the shingle lambda makes
+    interpreted HOF evaluation re-tokenize per element (O(tokens²)/doc);
+    (b) a size(shingles) filter above the projection pushes down with
+    the alias chain substituted back in, re-creating (a) inside the
+    predicate."""
+    from datalake_public_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        release_caches,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    df = ngram_jaccard_pairs(docs)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the smoking gun of (a): per-element re-tokenization — element_at
+    # applied to the tokenize expression instead of a bound attribute
+    assert "element_at(filter(split" not in plan
+    # the smoking gun of (b): the shingle construction substituted into
+    # a pushed-down predicate
+    for line in plan.splitlines():
+        if "Filter" in line or "DataFilters" in line:
+            assert "array_distinct" not in line, line[:200]
+    # shingle projections reference the bound token attribute (__toks)
+    shingle_lines = [l for l in plan.splitlines() if "array_distinct" in l]
+    assert shingle_lines and all("__toks#" in l for l in shingle_lines)
+    release_caches(df)
+
+
+def test_contamination_corpus_side_shingles_opaquely(spark):
+    """contamination_check must shingle via the Arrow kernel, never the
+    Catalyst expression: InferFiltersFromGenerate synthesizes a
+    size(col)>0 predicate below the explode and pushes it down FULLY
+    SUBSTITUTED — no projection structure survives, only an opaque
+    kernel attribute does."""
+    from datalake_public_spark.operators.dedup import contamination_check
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = (
+        contamination_check(docs, docs.limit(20))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "split(" not in plan  # tokenization lives in the kernel only
+    assert plan.count("kernel") >= 1 or "pythonUDF" in plan or "ArrowEvalPython" in plan
