@@ -953,13 +953,22 @@ def text_stats(spark: SparkSession, sf: str) -> DataFrame:
     from datalake_public_spark.operators import text
     from datalake_public_spark.sources.readers import widen_for_compute
 
+    from datalake_public_spark.functions import text_funcs as TF
+
     docs = _t(spark, sf, "documents")
-    return widen_for_compute(docs).select(
-        F.col("doc_id"),
-        *text.token_stat_cols(),
-        *text.repetition_cols()[1:],  # n_grams, dup_ngram_frac, top_token_frac
-        *text.pii_count_cols(),
-        F.md5(text.redacted_text_col()).alias("redacted_md5"),
+    return (
+        widen_for_compute(docs)
+        # tokens bound once (round-4 lesson: a captured tokenize
+        # expression re-evaluates per reference/element interpreted —
+        # the repetition n-gram build is quadratic per doc without this)
+        .select("doc_id", "text", TF.tokens("text").alias("__toks"))
+        .select(
+            F.col("doc_id"),
+            *text.token_stat_cols(tok_col="__toks"),
+            *text.repetition_cols(tok_col="__toks")[1:],  # n_grams, dup_frac, top_frac
+            *text.pii_count_cols(),
+            F.md5(text.redacted_text_col()).alias("redacted_md5"),
+        )
     )
 
 
@@ -1025,16 +1034,21 @@ def text_lang_quality(spark: SparkSession, sf: str) -> DataFrame:
     # multi-referenced aliases. widen_for_compute is load-bearing too:
     # a small parquet file arrives as ONE split, which serialized the
     # whole corpus onto one core (measured 32.6s → 2.2s at sf0.1).
-    _, _, dup_c, top_c = text.repetition_cols()
-    sig = widen_for_compute(docs).select(
-        F.col("doc_id"),
-        *text.language_cols(),
-        F.col("n_chars"),
-        *text.quality_cols(),
-        F.length("text").alias("_len"),
-        F.size(T.tokens("text")).alias("_n_ws"),
-        dup_c.alias("_dup"),
-        top_c.alias("_top"),
+    _, _, dup_c, top_c = text.repetition_cols(tok_col="__toks")
+    sig = (
+        widen_for_compute(docs)
+        # tokens bound once for the repetition signals (round-4 lesson)
+        .select("*", T.tokens("text").alias("__toks"))
+        .select(
+            F.col("doc_id"),
+            *text.language_cols(),
+            F.col("n_chars"),
+            *text.quality_cols(),
+            F.length("text").alias("_len"),
+            F.size(F.col("__toks")).alias("_n_ws"),
+            dup_c.alias("_dup"),
+            top_c.alias("_top"),
+        )
     )
     reasons = text.drop_reasons_from_signals(
         F.col("_len"),

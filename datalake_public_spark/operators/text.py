@@ -15,12 +15,19 @@ from datalake_public_spark.functions import text_funcs as T
 from datalake_public_spark.sources.readers import widen_for_compute
 
 
-def token_stat_cols(text_col: str = "text") -> list:
+def token_stat_cols(text_col: str = "text", *, tok_col: str | None = None) -> list:
     """Named Column factory for the token-statistics signals — row-local
     expressions composable into a SINGLE projection with the other signal
     families (one scan for all per-doc signals; see doc_signals /
-    quality_filter)."""
-    toks = T.tokens(text_col)
+    quality_filter).
+
+    ``tok_col`` names an ALREADY-BOUND whitespace-token array column;
+    hot paths must bind tokens in a prior projection and pass it —
+    interpreted HOF evaluation re-runs a captured tokenize expression
+    per reference (and per element inside lambdas), while a bound
+    attribute is a row-value read (the round-4 shingle-plan lesson,
+    see functions/text_funcs.shingles_from_tokens)."""
+    toks = F.col(tok_col) if tok_col else T.tokens(text_col)
     rtoks = T.regex_tokens(text_col)
     return [
         F.length(F.col(text_col)).alias("n_chars"),
@@ -33,7 +40,9 @@ def token_stat_cols(text_col: str = "text") -> list:
 
 def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace + BPE-ish token counts and byte/char lengths."""
-    return docs.select(F.col(id_col), *token_stat_cols(text_col))
+    return docs.select(
+        F.col(id_col), F.col(text_col), T.tokens(text_col).alias("__toks")
+    ).select(F.col(id_col), *token_stat_cols(text_col, tok_col="__toks"))
 
 
 def language_cols(text_col: str = "text") -> list:
@@ -101,17 +110,25 @@ def repetition_stats(
     operator is one codegen stage over the scan: no shuffle, no UDF;
     100 TB scores at scan speed. Docs with < n tokens emit 0 for both
     ratios (no n-grams, no repetition evidence)."""
-    return widen_for_compute(docs).select(
-        F.col(id_col), *repetition_cols(text_col, n=n)
+    return (
+        widen_for_compute(docs)
+        .select(F.col(id_col), F.col(text_col), T.tokens(text_col).alias("__toks"))
+        .select(F.col(id_col), *repetition_cols(text_col, n=n, tok_col="__toks"))
     )
 
 
-def repetition_cols(text_col: str = "text", *, n: int = 2) -> list:
+def repetition_cols(
+    text_col: str = "text", *, n: int = 2, tok_col: str | None = None
+) -> list:
     """Named Column factory for the repetition signals (see
-    token_stat_cols)."""
+    token_stat_cols). ``tok_col`` binds tokens from a prior projection —
+    REQUIRED on hot paths: the n-gram build reads the token array n
+    times per gram, and with a captured tokenize EXPRESSION interpreted
+    HOF evaluation re-tokenizes per element — O(tokens²) per document
+    (measured 31 ms/doc at 1000 tokens; bound: sub-ms)."""
     from datalake_public_spark.functions.arith import int_ratio_half_up
 
-    toks = T.tokens(text_col)
+    toks = F.col(tok_col) if tok_col else T.tokens(text_col)
     n_toks = F.size(toks)
     # all n-grams (NOT distinct — duplication is the signal here)
     idx = F.when(n_toks >= n, F.sequence(F.lit(1), n_toks - (n - 1))).otherwise(
@@ -162,12 +179,18 @@ def doc_signals(
     frame a pipeline materializes once and reuses for filtering, split
     stratification, and reporting; at 100 TB it reads the corpus exactly
     once and never shuffles."""
-    return widen_for_compute(docs).select(
-        F.col(id_col),
-        *token_stat_cols(text_col),
-        *repetition_cols(text_col)[1:],  # n_tokens also in quality_cols
-        *quality_cols(text_col),
-        *language_cols(text_col),
+    return (
+        widen_for_compute(docs)
+        # tokens bound once (round-4 lesson: captured tokenize
+        # expressions re-evaluate per reference/element interpreted)
+        .select(F.col(id_col), F.col(text_col), T.tokens(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            *token_stat_cols(text_col, tok_col="__toks"),
+            *repetition_cols(text_col, tok_col="__toks")[1:],  # n_tokens also in quality_cols
+            *quality_cols(text_col),
+            *language_cols(text_col),
+        )
     )
 
 
@@ -211,11 +234,45 @@ def quality_filter(
         max_top_token_frac=max_top_token_frac,
         min_quality=min_quality,
         langs=langs,
+        tok_col="__toks",
     )
-    wide = widen_for_compute(docs)
+    # tokens bound ONCE in their own stage: the repetition signal reads
+    # the token array per n-gram element, and a captured tokenize
+    # expression re-evaluates per read under interpreted HOFs —
+    # quadratic in document size (the round-4 shingle-plan lesson)
+    wide = widen_for_compute(docs).select(
+        "*", T.tokens(text_col).alias("__toks")
+    )
     if with_reasons:
         return wide.select(*docs.columns, reasons.alias("drop_reasons"))
-    return wide.filter(F.size(reasons) == 0)
+    # Project the rule tags ONCE, filter on the projected attribute, and
+    # pin that shape with a pushdown barrier: without it, the optimizer
+    # substitutes the whole signal expression set back into the pushed
+    # predicate — every rule re-evaluates its interpreted-HOF signals
+    # per row inside the scan filter, and the repetition n-gram build is
+    # quadratic in document size there (measured: 200 docs × 1000 tokens
+    # took 14.6s filtered vs sub-second projected; 5k × 2000-token docs
+    # never finished). monotonically_increasing_id is nondeterministic,
+    # which is exactly what blocks predicate pushdown through the
+    # projection (PushPredicateThroughNonJoin requires deterministic
+    # project lists) — and the FILTER must reference it (always-true
+    # conjunct) or column pruning deletes it, the projection turns
+    # deterministic again, and the pushdown returns. The reference must
+    # also be ENTANGLED inside the single comparison (a plain AND gets
+    # its deterministic conjunct split off and pushed alone, and
+    # arithmetic no-ops like `+ 0*barrier` constant-fold away): the
+    # predicate wraps the reasons column in a when() guarded by the
+    # rand-valued barrier — always true at runtime, opaque to every
+    # simplification rule. Still one scan, no shuffle — plan pinned in
+    # tests/test_plan_quality.py.
+    staged = wide.select(
+        *docs.columns,
+        reasons.alias("__reasons"),
+        F.rand().alias("__barrier"),
+    )
+    return staged.filter(
+        F.size(F.when(F.col("__barrier") < 2.0, F.col("__reasons"))) == 0
+    ).drop("__reasons", "__barrier")
 
 
 def drop_reasons_from_signals(
@@ -263,17 +320,19 @@ def drop_reasons_col(
     max_top_token_frac: float = 0.2,
     min_quality: float = 0.3,
     langs: tuple[str, ...] | None = None,
+    tok_col: str | None = None,
 ):
     """The drop-rule audit expression behind quality_filter: an array of
     violated-rule tags (empty = survivor), rule order fixed, NULL
     predicates counted as violations. Signals are built inline from
     ``text_col`` (each evaluated once — every rule uses a distinct
     signal); callers that already project the signals should use
-    drop_reasons_from_signals instead."""
-    _, _, dup_frac, top_frac = repetition_cols(text_col)
+    drop_reasons_from_signals instead. ``tok_col`` binds tokens from a
+    prior projection (see repetition_cols — required on hot paths)."""
+    _, _, dup_frac, top_frac = repetition_cols(text_col, tok_col=tok_col)
     return drop_reasons_from_signals(
         F.length(F.col(text_col)),
-        F.size(T.tokens(text_col)),
+        F.size(F.col(tok_col)) if tok_col else F.size(T.tokens(text_col)),
         dup_frac,
         top_frac,
         quality_cols(text_col)[3],

@@ -399,3 +399,28 @@ def test_contamination_corpus_side_shingles_opaquely(spark):
     )
     assert "split(" not in plan  # tokenization lives in the kernel only
     assert plan.count("kernel") >= 1 or "pythonUDF" in plan or "ArrowEvalPython" in plan
+
+
+def test_quality_filter_rules_not_substituted_into_scan_filter(spark):
+    """quality_filter's drop rules must evaluate on the PROJECTED reasons
+    attribute, not as a predicate pushed into the scan with every signal
+    expression substituted (the quadratic repetition n-gram build would
+    then run inside the filter — 200 docs × 1000 tokens measured 17s
+    pushed vs 2.7s projected; 5k × 2000-token docs never finished).
+    The nondeterministic barrier column keeps pushdown off; this pin
+    guards the three ways it was defeated during development (column
+    pruning deleting the barrier, conjunction splitting, constant
+    folding of arithmetic no-ops)."""
+    from datalake_public_spark.operators.text import quality_filter
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = (
+        quality_filter(docs)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # the reasons array is built in a Project, never inside a Filter
+    for line in plan.splitlines():
+        if line.strip().startswith("Filter") or "DataFilters" in line:
+            assert "array_distinct" not in line, line[:200]
+            assert "too_short_chars" not in line, line[:200]
+    # and the barrier survived the optimizer
+    assert "__barrier" in plan
