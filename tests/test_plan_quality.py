@@ -165,12 +165,18 @@ def test_near_dedup_pipeline_has_exact_prepass(spark):
     stay free of sort-merge/cartesian joins."""
     from datalake_public_spark.operators import dedup
 
+    # plan-shape assertions need a cache-free session: frames persisted
+    # by earlier tests (operator-internal persists) otherwise replace
+    # join subtrees with InMemoryTableScans and shift node counts
+    spark.catalog.clearCache()
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
-    p = _plan(spark, dedup.near_dedup_pipeline(docs))
+    out = dedup.near_dedup_pipeline(docs)
+    p = _plan(spark, out)
     assert "LeftSemi" in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
     assert p.count("Exchange") <= 22
+    dedup.release_caches(out)
 
 
 def test_window_suite_single_shuffle_two_sorts(spark):
