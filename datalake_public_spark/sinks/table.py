@@ -693,22 +693,115 @@ class ManifestTable:
 
     # -- maintenance --------------------------------------------------------
 
-    def compact(self, spark: SparkSession, target_file_mb: int = 128) -> Snapshot:
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_mb: int = 128,
+        *,
+        zorder_by: list[str] | None = None,
+    ) -> Snapshot:
         """Rewrite the current snapshot into ~target-sized files as a new
         version (the OPTIMIZE operation). Old versions still reference
-        the old files, so time travel is preserved until vacuum()."""
+        the old files, so time travel is preserved until vacuum().
+
+        ``zorder_by`` additionally CLUSTERS the rewrite on the Morton
+        key of the given numeric columns (Delta's OPTIMIZE ZORDER BY):
+        each output file then covers a compact Z-curve segment — a tight
+        min/max box in EVERY listed dimension — so the manifest stats
+        this commit records prune multi-dimension range predicates with
+        zero data I/O (``files_for``/``read_pruned``). A z-ordered
+        compaction rewrites even when the file count is already at
+        target (the clustering is the point); a plain one short-circuits."""
         parent = self.current_version()
         snap = self.snapshot(parent)
         total = sum(os.path.getsize(f) for f in snap.files)
         n_out = max(1, -(-total // (target_file_mb * 1024 * 1024)))
-        if n_out >= snap.n_files:
+        if zorder_by is None and n_out >= snap.n_files:
             return snap  # nothing to gain
-        df = self.read(spark, parent).repartition(int(n_out))
+        df = self.read(spark, parent)
+        if zorder_by is not None:
+            from pyspark.sql import functions as F
+
+            from datalake_public_spark.sinks.zorder import (
+                morton_key,
+                normalize_to_bits,
+            )
+
+            bits = min(16, 63 // len(zorder_by))
+            bounds = df.agg(
+                *[F.min(c).alias(f"lo_{c}") for c in zorder_by],
+                *[F.max(c).alias(f"hi_{c}") for c in zorder_by],
+            ).first()
+            if bounds[f"lo_{zorder_by[0]}"] is not None:
+                normed = [
+                    normalize_to_bits(
+                        c, bounds[f"lo_{c}"], bounds[f"hi_{c}"], bits
+                    )
+                    for c in zorder_by
+                ]
+                df = (
+                    df.withColumn("_zkey", morton_key(normed, bits))
+                    .repartitionByRange(int(n_out), "_zkey")
+                    .sortWithinPartitions("_zkey")
+                    .drop("_zkey")
+                )
+            op = "compact-zorder"
+        else:
+            df = df.repartition(int(n_out))
+            op = "compact"
         files = self._stage_files(df)
         return self._commit(
-            files, "compact", parent, schema=snap.schema,
+            files, op, parent, schema=snap.schema,
             stats=self._collect_stats(files),
         )
+
+    def restore(self, version: int) -> Snapshot:
+        """Roll the table BACK to an old snapshot's contents as a NEW
+        commit (Delta's RESTORE): the head advances, referencing exactly
+        the old version's files and stats — no data I/O, history intact
+        (the bad commits stay readable between the restored version and
+        the restore commit). Fails with CommitConflict under a racing
+        writer like every commit; vacuum treats the restored files as
+        live because the new head references them."""
+        snap = self.snapshot(version)  # raises if the version is gone
+        head = self.current_version()
+        return self._commit(
+            list(snap.files),
+            f"restore:v{version}",
+            head,
+            schema=snap.schema,
+            stats=snap.stats,
+        )
+
+    def clone_to(self, target_root: str) -> "ManifestTable":
+        """SHALLOW clone (Delta/Iceberg shallow CLONE): create a new
+        table whose v0 manifest references THIS table's current data
+        files — zero data copied, O(1 manifest write). The clone then
+        evolves independently (its appends/merges write under its own
+        root; source files are never mutated by either side — both
+        tables' immutability contracts already guarantee that).
+
+        Caveat, same as Delta's: the clone's snapshot depends on the
+        source's files staying alive — a source ``vacuum()`` that drops
+        files still referenced by a clone breaks the clone (vacuum only
+        consults the SOURCE's manifests). Clone for dev/test forks and
+        short-lived experiments; materialize (overwrite from a read)
+        for long-lived divergence."""
+        snap = self.snapshot()
+        clone = ManifestTable(target_root)
+        if clone.current_version() is not None:
+            raise FileExistsError(
+                f"target {target_root} already has commits — clone only "
+                "onto an empty root"
+            )
+        clone._commit(
+            list(snap.files),
+            f"clone:{self.root}@v{snap.version}",
+            None,
+            schema=snap.schema,
+            stats=snap.stats,
+        )
+        return clone
 
     def file_diff(self, v_from: int, v_to: int) -> dict:
         """Metadata-only diff between two snapshots: which data files
@@ -807,7 +900,13 @@ class ManifestTable:
         """Delete data files unreferenced by the newest ``retain_versions``
         manifests, and drop the older manifests. Returns deleted paths.
         Bounds storage after compaction/overwrites; time travel shrinks
-        to the retained window (exactly Delta's VACUUM contract)."""
+        to the retained window (exactly Delta's VACUUM contract).
+
+        Only files under THIS table's ``data/`` are ever deleted:
+        manifests of a shallow clone reference the SOURCE table's files,
+        and a clone's vacuum must never reach across table roots (the
+        same ownership boundary Delta's vacuum enforces by scanning only
+        the table directory)."""
         vs = self.versions()
         if len(vs) <= 0:
             return []
@@ -816,11 +915,16 @@ class ManifestTable:
         for v in keep_vs:
             referenced.update(self.snapshot(v).files)
         deleted: list[str] = []
+        own_prefix = self.data_dir + os.sep
         for v in vs:
             if v in keep_vs:
                 continue
             for f in self.snapshot(v).files:
-                if f not in referenced and os.path.exists(f):
+                if (
+                    f not in referenced
+                    and f.startswith(own_prefix)
+                    and os.path.exists(f)
+                ):
                     os.remove(f)
                     deleted.append(f)
             os.remove(self._manifest_path(v))

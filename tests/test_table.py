@@ -750,3 +750,96 @@ def test_change_feed_pure_append_has_no_shuffle(spark, table):
     plan = feed._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert feed.count() == 100
+
+
+def test_restore_rolls_back_as_new_commit(spark, table):
+    table.overwrite(_df(spark, 0, 10, "good"))  # v0
+    table.overwrite(_df(spark, 0, 3, "bad"))  # v1: destructive mistake
+    table.append(_df(spark, 100, 105, "worse"))  # v2
+    snap = table.restore(0)  # v3: back to the good contents
+    assert snap.version == 3 and snap.operation == "restore:v0"
+    got = sorted(r.id for r in table.read(spark).collect())
+    assert got == list(range(10))
+    # history intact: the bad versions remain readable
+    assert table.read(spark, 1).count() == 3
+    # stats carried by reference: pruning still works on the restored head
+    assert table.snapshot().stats
+    pruned = table.read_pruned(spark, {"id": (0, 2)}).collect()
+    assert sorted(r.id for r in pruned) == [0, 1, 2]
+
+
+def test_restore_conflicts_with_racing_writer(spark, table):
+    table.overwrite(_df(spark, 0, 5, "a"))
+    table.append(_df(spark, 5, 8, "b"))
+    racing = _RacingTable(
+        table.root,
+        lambda: ManifestTable(table.root).append(_df(spark, 8, 9, "c")),
+    )
+    with pytest.raises(CommitConflict):
+        racing.restore(0)
+    assert table.read(spark).count() == 9  # nothing rolled back
+
+
+def test_shallow_clone_is_zero_copy_and_independent(spark, table, tmp_path):
+    import glob
+
+    table.overwrite(_df(spark, 0, 20, "src").coalesce(1))
+    clone = table.clone_to(str(tmp_path / "clone"))
+    assert clone.read(spark).count() == 20
+    # zero data copied: the clone root has no data files of its own
+    assert glob.glob(f"{clone.root}/data/*/*.parquet") == []
+    # independent evolution: clone appends under its own root; the
+    # source never sees them
+    clone.append(_df(spark, 100, 103, "clone-only").coalesce(1))
+    assert clone.read(spark).count() == 23
+    assert table.read(spark).count() == 20
+    # cloning onto a non-empty root refuses
+    with pytest.raises(FileExistsError):
+        table.clone_to(str(tmp_path / "clone"))
+
+
+def test_clone_vacuum_never_deletes_source_files(spark, table, tmp_path):
+    table.overwrite(_df(spark, 0, 10, "src").coalesce(1))
+    clone = table.clone_to(str(tmp_path / "clone"))
+    clone.overwrite(_df(spark, 50, 55, "replaced").coalesce(1))
+    deleted = clone.vacuum(retain_versions=1)
+    # the clone's v0 referenced SOURCE files — ownership boundary: they
+    # must survive the clone's vacuum
+    assert deleted == []
+    assert table.read(spark).count() == 10
+    # and the clone's own staged files DO vacuum normally
+    clone.overwrite(_df(spark, 60, 70, "again").coalesce(1))
+    assert len(clone.vacuum(retain_versions=1)) > 0
+    assert clone.read(spark).count() == 10
+
+
+def test_compact_zorder_clusters_both_dimensions(spark, table):
+    from pyspark.sql import functions as F
+
+    # 2-d uniform grid, written in x-sorted order (y unclustered); big
+    # enough that the 1 MB target produces several output files
+    df = (
+        spark.range(524288)
+        .select(
+            (F.col("id") % 512).alias("x"),
+            (F.col("id") / 512).cast("long").alias("y"),
+            F.xxhash64("id").alias("v"),  # incompressible: forces >=4 files
+        )
+        .orderBy("x")
+        .coalesce(1)
+    )
+    table.overwrite(df)
+    snap = table.compact(spark, target_file_mb=1, zorder_by=["x", "y"])
+    assert snap.operation == "compact-zorder"
+    all_files = set(snap.files)
+    assert len(all_files) > 2
+    # manifest min/max boxes now prune BOTH dimensions — the x-sorted
+    # source layout would have pruned only x
+    x_slice = set(table.files_for({"x": (0, 63)}))
+    y_slice = set(table.files_for({"y": (0, 63)}))
+    assert len(x_slice) < len(all_files)
+    assert len(y_slice) < len(all_files)
+    # and pruned reads stay exact
+    want = table.read(spark).filter("y between 0 and 63").count()
+    got = table.read_pruned(spark, {"y": (0, 63)}).count()
+    assert got == want > 0
