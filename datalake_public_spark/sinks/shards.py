@@ -95,6 +95,11 @@ def write_training_shards(
         "id_col": id_col,
         "fmt": fmt,
         "columns": cols,
+        # full schema, not just names: JSON lines OMIT null fields, so a
+        # column that is null in every row of a shard would vanish from
+        # the reader's inferred schema — reading under the declared
+        # schema restores it as nulls (and pins types for both formats)
+        "schema": df.schema.jsonValue(),
         "shards": {
             str(r.shard): {"rows": r.rows, "content_sum": r.content_sum}
             for r in per_shard
@@ -113,9 +118,14 @@ def read_training_shards(
     per-shard row counts + content checksums against the manifest and
     raise on ANY drift (a truncated/corrupted/hand-edited shard must
     fail loudly before a training run, not during it)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     with open(os.path.join(path, "_manifest.json")) as f:
         manifest = json.load(f)
-    reader = spark.read
+    schema = StructType.fromJson(manifest["schema"]).add(
+        StructField("shard", IntegerType())  # partition column
+    )
+    reader = spark.read.schema(schema)
     df = (
         reader.parquet(path)
         if manifest["fmt"] == "parquet"

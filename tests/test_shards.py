@@ -90,3 +90,21 @@ def test_shard_jsonl_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.select(*docs.columns).collect())) == sorted(
         map(tuple, docs.collect())
     )
+
+
+def test_jsonl_roundtrips_all_null_column(spark, tmp_path):
+    """JSON lines omit null fields — without the manifest-declared
+    schema a column that is null in every row would silently vanish on
+    read-back (and its checksum would mismatch)."""
+    from pyspark.sql import functions as F
+
+    docs = (
+        _docs(spark)
+        .limit(100)
+        .select("doc_id", "text", F.lit(None).cast("string").alias("note"))
+    )
+    out = str(tmp_path / "jl")
+    write_training_shards(docs, out, n_shards=4, fmt="jsonl")
+    back = read_training_shards(spark, out)
+    assert back.columns == ["doc_id", "text", "note"]
+    assert back.filter("note is null").count() == 100
