@@ -18,14 +18,48 @@ unrecomputable and any later action on it fails.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
+
+# Incremented whenever the private-API release path fails to resolve —
+# tests assert this stays 0 across the iterative suites, so a Spark
+# upgrade that silently breaks the path trips CI instead of quietly
+# reinstating the executor-storage leak.
+release_failures = 0
+_warned = False
 
 
 def release_local_checkpoint(df: DataFrame) -> None:
     """Free the cached partitions behind an eagerly-localCheckpoint'd
-    frame (no-op on anything else). See module docstring for the
-    never-read-again contract."""
+    frame. See module docstring for the never-read-again contract.
+
+    Reaches through the JVM query execution (there is no public PySpark
+    API for "unpersist the RDD behind this checkpoint"), so the failure
+    mode to guard is API drift across Spark versions: a failure here is
+    counted and warned once per process rather than swallowed, because
+    a silent no-op reinstates the leak this module exists to fix."""
+    global release_failures, _warned
     try:
         df._jdf.queryExecution().logical().rdd().unpersist(False)
-    except Exception:
-        pass  # non-checkpointed frame or API drift — GC stays the fallback
+    except (AttributeError, TypeError) as exc:
+        _record_failure(exc)
+    except Exception as exc:  # Py4JError and friends (no hard py4j import)
+        if type(exc).__module__.startswith("py4j"):
+            _record_failure(exc)
+        else:
+            raise
+
+
+def _record_failure(exc: Exception) -> None:
+    global release_failures, _warned
+    release_failures += 1
+    if not _warned:
+        _warned = True
+        warnings.warn(
+            "release_local_checkpoint could not resolve the checkpoint "
+            f"RDD ({type(exc).__name__}: {exc}); superseded checkpoints "
+            "will only be freed by GC — check Spark private-API drift",
+            RuntimeWarning,
+            stacklevel=3,
+        )

@@ -74,10 +74,24 @@ def write_training_shards(
     # content checksum (sum of 32-bit per-row md5 prefixes — associative
     # so map-side combine applies, and an ANSI long sum has ~2e9 rows of
     # headroom per shard; the per-shard file ordering is already pinned
-    # by the sort above)
+    # by the sort above). Computed by READING THE WRITTEN FILES BACK,
+    # not by re-evaluating ``df``: a nondeterministic input plan
+    # (rand-derived columns, limit/sample, a source that changed between
+    # the two jobs) would otherwise produce a manifest describing
+    # different data than the shards on disk, and verify=True would then
+    # reject a correct export (ADVICE r4).
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    spark = df.sparkSession
+    schema = StructType.fromJson(df.schema.jsonValue()).add(
+        StructField("shard", IntegerType())
+    )
+    reader = spark.read.schema(schema)
+    written = (
+        reader.parquet(path) if fmt == "parquet" else reader.json(path)
+    )
     per_shard = (
-        df.withColumn("shard", shard_of(id_col, n_shards))
-        .withColumn(
+        written.withColumn(
             "row_h",
             F.conv(
                 F.substring(F.md5(F.to_json(F.struct(*cols))), 1, 8), 16, 10

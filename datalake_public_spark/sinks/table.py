@@ -732,7 +732,13 @@ class ManifestTable:
                 *[F.min(c).alias(f"lo_{c}") for c in zorder_by],
                 *[F.max(c).alias(f"hi_{c}") for c in zorder_by],
             ).first()
-            if bounds[f"lo_{zorder_by[0]}"] is not None:
+            # Per-column bounds check: an all-null column (lo/hi None)
+            # maps to a constant key term inside normalize_to_bits —
+            # same as a degenerate lo==hi range. Only when EVERY column
+            # lacks bounds is there nothing to cluster, and then the
+            # commit must be labeled plain 'compact' so readers never
+            # believe unclustered files are z-clustered.
+            if any(bounds[f"lo_{c}"] is not None for c in zorder_by):
                 normed = [
                     normalize_to_bits(
                         c, bounds[f"lo_{c}"], bounds[f"hi_{c}"], bits
@@ -745,7 +751,10 @@ class ManifestTable:
                     .sortWithinPartitions("_zkey")
                     .drop("_zkey")
                 )
-            op = "compact-zorder"
+                op = "compact-zorder"
+            else:
+                df = df.repartition(int(n_out))
+                op = "compact"
         else:
             df = df.repartition(int(n_out))
             op = "compact"

@@ -80,10 +80,12 @@ def normalize_to_bits(
 ) -> Column:
     """Min-max scale a numeric column into [0, 2**bits) as a long.
     Values at ``hi`` clamp to the top bucket; a degenerate lo==hi range
-    maps everything to 0."""
+    maps everything to 0, and so does an all-null column (lo/hi None) —
+    a null dimension contributes a constant to the Morton key, which is
+    the degenerate-range behavior, not an error."""
     c = F.col(col) if isinstance(col, str) else col
     top = (1 << bits) - 1
-    if hi <= lo:
+    if lo is None or hi is None or hi <= lo:
         return F.lit(0).cast("long")
     scaled = (c.cast("double") - F.lit(float(lo))) / F.lit(float(hi - lo))
     return F.least(
@@ -115,7 +117,10 @@ def write_zordered(
         *[F.min(c).alias(f"lo_{c}") for c in cols],
         *[F.max(c).alias(f"hi_{c}") for c in cols],
     ).first()
-    if bounds[f"lo_{cols[0]}"] is None:  # empty frame: nothing to cluster
+    # A column whose bounds are both null (empty frame OR all-null
+    # column) contributes a constant key term; only when NO column has
+    # usable bounds is there nothing to cluster on at all.
+    if all(bounds[f"lo_{c}"] is None for c in cols):
         df.write.mode("overwrite").parquet(path)
         return
     normed = [

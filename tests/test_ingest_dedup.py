@@ -231,3 +231,27 @@ def test_neardedup_batch_leaves_no_lingering_caches(spark, tmp_path):
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert after <= before
     assert corpus.read(spark).count() == 12
+    # The release path resolved on every call — a nonzero counter means
+    # private-API drift silently reinstated the leak (ADVICE r4).
+    from datalake_public_spark.operators import iterutils
+
+    assert iterutils.release_failures == 0
+
+
+def test_release_checkpoint_failure_is_counted_not_swallowed(spark):
+    """Calling release on a frame that is NOT a localCheckpoint (so the
+    JVM plan node has no rdd()) must increment the drift counter and
+    warn once — not silently no-op (ADVICE r4). The happy path in the
+    iterative suites keeps the counter at 0."""
+    import warnings
+
+    from datalake_public_spark.operators import iterutils
+
+    plain = spark.range(3).selectExpr("id", "id * 2 AS two")
+    before = iterutils.release_failures
+    with warnings.catch_warnings(record=True):
+        warnings.simplefilter("always")
+        iterutils.release_local_checkpoint(plain)
+    assert iterutils.release_failures == before + 1
+    # reset so later suites' zero-failure assertions see a clean slate
+    iterutils.release_failures = before

@@ -108,3 +108,19 @@ def test_jsonl_roundtrips_all_null_column(spark, tmp_path):
     back = read_training_shards(spark, out)
     assert back.columns == ["doc_id", "text", "note"]
     assert back.filter("note is null").count() == 100
+
+
+def test_manifest_describes_written_bytes_not_input_plan(spark, tmp_path):
+    """A nondeterministic input plan (rand-derived column) evaluates to
+    different values on every job; the manifest must be derived from the
+    files on disk, not a re-run of the plan — otherwise verify=True
+    rejects a perfectly good export (ADVICE r4)."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark).limit(200).select(
+        "doc_id", "text", (F.rand(seed=None) * 1000).alias("noise")
+    )
+    out = str(tmp_path / "nd")
+    write_training_shards(docs, out, n_shards=4)
+    back = read_training_shards(spark, out)  # verify=True must pass
+    assert back.count() == 200

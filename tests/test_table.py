@@ -843,3 +843,37 @@ def test_compact_zorder_clusters_both_dimensions(spark, table):
     want = table.read(spark).filter("y between 0 and 63").count()
     got = table.read_pruned(spark, {"y": (0, 63)}).count()
     assert got == want > 0
+
+
+def test_compact_zorder_all_null_column_clusters_on_the_rest(spark, table):
+    """An all-null z-order column contributes a constant key term (the
+    degenerate-range behavior) instead of crashing normalize_to_bits
+    with None bounds (ADVICE r4) — clustering on the usable columns
+    still happens, and the commit is honestly labeled compact-zorder."""
+    df = spark.range(262144).select(
+        (F.col("id") % 256).alias("x"),
+        F.lit(None).cast("long").alias("y"),
+        F.xxhash64("id").alias("v"),
+    )
+    table.overwrite(df.coalesce(1))
+    snap = table.compact(spark, target_file_mb=1, zorder_by=["x", "y"])
+    assert snap.operation == "compact-zorder"
+    assert len(snap.files) > 1
+    # x still prunes (the usable dimension got clustered)
+    assert len(table.files_for({"x": (0, 31)})) < len(snap.files)
+    assert table.read(spark).count() == 262144
+
+
+def test_compact_zorder_no_usable_bounds_falls_back_to_plain(spark, table):
+    """When EVERY z-order column is all-null there is nothing to cluster
+    — the rewrite must commit as plain 'compact', not lie to readers
+    that the files are z-clustered (ADVICE r4)."""
+    df = spark.range(65536).select(
+        F.lit(None).cast("long").alias("x"),
+        F.lit(None).cast("long").alias("y"),
+        F.xxhash64("id").alias("v"),
+    )
+    table.overwrite(df.coalesce(1))
+    snap = table.compact(spark, target_file_mb=1, zorder_by=["x", "y"])
+    assert snap.operation == "compact"
+    assert table.read(spark).count() == 65536
