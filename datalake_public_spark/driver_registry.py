@@ -1160,11 +1160,26 @@ def similarity_ann(spark: SparkSession, sf: str) -> DataFrame:
     across SFs). The ANN paths shuffle candidate IDs (never vectors) and
     re-rank exactly; the int8 row checks the quantization storage lever
     (4-8× less vector IO) preserves ranking; see operators/similarity.py
-    for plan notes."""
+    for plan notes.
+
+    Round 5 adds op='ivf_prebuilt' (VERDICT r4 item 1 — the last
+    similarity operator with no driver row): build_ivf_index
+    materializes the centroid + assignment ManifestTables, then
+    ivf_topk_prebuilt probes them. Identical parameters (seed,
+    train_size, n_cells) make the prebuilt path's centroids — and
+    therefore its results — deterministically EQUAL to the inline
+    ivf_topk run above, so the row's recall_ok boolean additionally
+    carries an exact (query_id, match_id, rk) set-equality check
+    between the two paths (the prebuilt ≡ inline invariant the pytest
+    twin pins at tests/test_similarity.py)."""
+    import tempfile
+
     from datalake_public_spark.operators.similarity import (
         brute_force_topk,
+        build_ivf_index,
         dequantize_col,
         ivf_topk,
+        ivf_topk_prebuilt,
         lsh_topk,
         quantize_embeddings,
     )
@@ -1178,11 +1193,35 @@ def similarity_ann(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id", dequantize_col("qvec", "scale").alias("embedding")
     )
     quant = brute_force_topk(deq.filter(F.col("vec_id") < 8), deq, k=10)
+    index_root = tempfile.mkdtemp(prefix="ivf_driver_idx_")
+    build_ivf_index(emb, index_root, n_cells=16)
+    pre = ivf_topk_prebuilt(queries, emb, index_root, k=10, n_probe=4)
+    keys = ["query_id", "match_id", "rk"]
+    a, b = ivf.select(*keys), pre.select(*keys)
+    n_diff = a.exceptAll(b).unionByName(b.exceptAll(a)).agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    pre_row = (
+        _ann_invariants(pre, exact, "ivf_prebuilt", 30)
+        .crossJoin(n_diff)  # 1×1 aggregate pair — bounded
+        .select(
+            "op",
+            "n_queries",
+            (F.col("recall_ok") & (F.col("nd") == 0)).alias("recall_ok"),
+            "depth_ok",
+        )
+    )
     return (
         _ann_invariants(lsh, exact, "lsh", 20)
         .unionByName(_ann_invariants(ivf, exact, "ivf", 30))
         .unionByName(_ann_invariants(quant, exact, "int8", 80))
+        .unionByName(pre_row)
     )
+
+
+# discriminators flow through _ann_invariants' op parameter — declared
+# for the generated registry table (tools/gen_registry_table.py)
+similarity_ann.op_tags = ("lsh", "ivf", "int8", "ivf_prebuilt")
 
 
 SIMILARITY_ANN_SQL = """
@@ -1194,6 +1233,8 @@ FROM (
     SELECT 'ivf', count(*) FROM embeddings WHERE vec_id < 8
     UNION ALL
     SELECT 'int8', count(*) FROM embeddings WHERE vec_id < 8
+    UNION ALL
+    SELECT 'ivf_prebuilt', count(*) FROM embeddings WHERE vec_id < 8
 ) t
 """
 
@@ -2013,12 +2054,32 @@ def tpch_breadth(spark: SparkSession, sf: str) -> DataFrame:
               columns in integer cents);
       * q22 — scalar-subquery balance filter + anti join on recent
               orders, per-segment rollup.
+    Round 5 adds the remaining library-only TPC-H tranche (VERDICT r4
+    item 1 — zero slot cost; oracles already lockstep-tested in
+    tests/test_tpch_extra.py):
+      * q10 — returned-revenue top-20 per customer (fact filter →
+              orderkey shuffle → broadcast dims → TakeOrdered);
+      * q14 — promo revenue share per ship month (folded from its
+              former standalone slot to free one for lake_suite;
+              promo_pct rides as micro-units in n so all four output
+              columns stay oracled);
+      * q15 — top supplier vs its own scalar max (ties surface);
+      * q16 — distinct-supplier variety, NOT-IN decorrelated to an
+              anti join;
+      * q17 — small-quantity revenue vs per-part average joined back;
+      * q20 — heavy shippers via an aggregate-derived semi-join key set.
     Each underlying query function runs unchanged (plan shapes pinned
     in tests/test_tpch_extra.py)."""
     from datalake_public_spark.driver_queries import (
         q4_late_orders,
+        q10_returned_revenue,
         q13_order_distribution,
+        q14_promo_revenue,
+        q15_top_supplier,
+        q16_supplier_variety,
+        q17_small_quantity_revenue,
         q18_big_orders,
+        q20_heavy_shippers,
         q22_idle_customers,
     )
 
@@ -2056,14 +2117,75 @@ def tpch_breadth(spark: SparkSession, sf: str) -> DataFrame:
         F.col("acctbal_cents").cast("long").alias("cents"),
         none_long.alias("cents2"),
     )
-    return q4.unionByName(q13).unionByName(q18).unionByName(q22)
+    q10 = q10_returned_revenue(spark, sf).select(
+        F.lit("q10").alias("op"),
+        F.concat_ws(
+            "|", F.col("c_custkey").cast("string"), F.col("c_name"),
+            F.col("n_name"),
+        ).alias("k"),
+        F.col("n_items").cast("long").alias("n"),
+        F.col("lost_cents").cast("long").alias("cents"),
+        none_long.alias("cents2"),
+    )
+    q14 = q14_promo_revenue(spark, sf).select(
+        F.lit("q14").alias("op"),
+        F.date_format("ship_month", "yyyy-MM-dd").alias("k"),
+        # promo_pct (already rounded to 6dp) in exact micro-units
+        F.round(F.col("promo_pct") * 1000000).cast("long").alias("n"),
+        F.col("promo_cents").cast("long").alias("cents"),
+        F.col("total_cents").cast("long").alias("cents2"),
+    )
+    q15 = q15_top_supplier(spark, sf).select(
+        F.lit("q15").alias("op"),
+        F.concat_ws(
+            "|", F.col("s_suppkey").cast("string"), F.col("s_name")
+        ).alias("k"),
+        none_long.alias("n"),
+        F.col("total_cents").cast("long").alias("cents"),
+        none_long.alias("cents2"),
+    )
+    q16 = q16_supplier_variety(spark, sf).select(
+        F.lit("q16").alias("op"),
+        F.concat_ws(
+            "|", F.col("p_brand"), F.col("size_band").cast("string")
+        ).alias("k"),
+        F.col("n_suppliers").cast("long").alias("n"),
+        none_long.alias("cents"),
+        none_long.alias("cents2"),
+    )
+    q17 = q17_small_quantity_revenue(spark, sf).select(
+        F.lit("q17").alias("op"),
+        F.lit("all").alias("k"),
+        F.col("n_lines").cast("long").alias("n"),
+        F.col("revenue_cents").cast("long").alias("cents"),
+        none_long.alias("cents2"),
+    )
+    q20 = q20_heavy_shippers(spark, sf).select(
+        F.lit("q20").alias("op"),
+        F.concat_ws(
+            "|", F.col("s_suppkey").cast("string"), F.col("s_name")
+        ).alias("k"),
+        none_long.alias("n"),
+        F.round(F.col("acctbal") * 100).cast("long").alias("cents"),
+        none_long.alias("cents2"),
+    )
+    out = q4
+    for part in (q13, q18, q22, q10, q14, q15, q16, q17, q20):
+        out = out.unionByName(part)
+    return out
 
 
 def _tpch_breadth_sql() -> str:
     from datalake_public_spark.driver_queries import (
         Q4_SQL,
+        Q10_SQL,
         Q13_SQL,
+        Q14_SQL,
+        Q15_SQL,
+        Q16_SQL,
+        Q17_SQL,
         Q18_SQL,
+        Q20_SQL,
         Q22_SQL,
     )
 
@@ -2086,6 +2208,32 @@ UNION ALL
 SELECT 'q22', c_mktsegment, CAST(n_customers AS BIGINT),
        CAST(acctbal_cents AS BIGINT), NULL
 FROM ({Q22_SQL}) q22
+UNION ALL
+SELECT 'q10',
+       CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' || n_name,
+       CAST(n_items AS BIGINT), CAST(lost_cents AS BIGINT), NULL
+FROM ({Q10_SQL}) q10
+UNION ALL
+SELECT 'q14', strftime(ship_month, '%Y-%m-%d'),
+       CAST(round(promo_pct * 1000000) AS BIGINT),
+       CAST(promo_cents AS BIGINT), CAST(total_cents AS BIGINT)
+FROM ({Q14_SQL}) q14
+UNION ALL
+SELECT 'q15', CAST(s_suppkey AS VARCHAR) || '|' || s_name,
+       NULL, CAST(total_cents AS BIGINT), NULL
+FROM ({Q15_SQL}) q15
+UNION ALL
+SELECT 'q16', p_brand || '|' || CAST(size_band AS VARCHAR),
+       CAST(n_suppliers AS BIGINT), NULL, NULL
+FROM ({Q16_SQL}) q16
+UNION ALL
+SELECT 'q17', 'all', CAST(n_lines AS BIGINT),
+       CAST(revenue_cents AS BIGINT), NULL
+FROM ({Q17_SQL}) q17
+UNION ALL
+SELECT 'q20', CAST(s_suppkey AS VARCHAR) || '|' || s_name,
+       NULL, CAST(round(acctbal * 100) AS BIGINT), NULL
+FROM ({Q20_SQL}) q20
 """
 
 
@@ -2143,19 +2291,43 @@ def event_graph_suite(spark: SparkSession, sf: str) -> DataFrame:
                          lacks) over chains derived from nation keys
                          (parent = key-5), pinned against DuckDB's real
                          recursive CTE.
+    Round 5 (VERDICT r4 item 1 — zero slot cost):
+      * op='labelprop' — label_propagation over disjoint cliques built
+                         from nation-key groups of 5 (only groups with
+                         ≥3 members: 2-cliques are bipartite and LPA
+                         oscillates on them by design). On a clique the
+                         deterministic min-tie-break converges to the
+                         clique's min node within 2 rounds, so the
+                         expected label is SQL-computable per node —
+                         exact values, not just invariants (crafted-graph
+                         values also pinned in tests/test_graph.py);
+      * op='anomaly'   — robust_anomalies (median/MAD gate) per
+                         event_type over events: anomaly counts as n,
+                         the group median/MAD as v/v2 (the bit-exact
+                         Arrow-UDAF ↔ DuckDB median()/mad() contract
+                         already proven by udaf_robust_stats).
+    The v/v2 double columns are NULL for every other op.
     """
     from pyspark.sql import Window
 
+    from datalake_public_spark.operators.anomaly import robust_anomalies
     from datalake_public_spark.operators.funnel import cohort_retention, funnel
-    from datalake_public_spark.operators.graph import hierarchy_paths, pagerank
+    from datalake_public_spark.operators.graph import (
+        hierarchy_paths,
+        label_propagation,
+        pagerank,
+    )
 
     none_bool = F.lit(None).cast("boolean")
+    none_dbl = F.lit(None).cast("double")
     ev = _t(spark, sf, "events")
     fu = funnel(ev, list(_FUNNEL_STEPS)).select(
         F.lit("funnel").alias("op"),
         F.concat_ws(":", F.col("step").cast("string"), "step_name").alias("k"),
         F.col("n_users").cast("long").alias("n"),
         none_bool.alias("ok"),
+        none_dbl.alias("v"),
+        none_dbl.alias("v2"),
     )
     co = cohort_retention(ev).select(
         F.lit("cohort").alias("op"),
@@ -2166,6 +2338,8 @@ def event_graph_suite(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("k"),
         F.col("n_users").cast("long").alias("n"),
         none_bool.alias("ok"),
+        none_dbl.alias("v"),
+        none_dbl.alias("v2"),
     )
     # directed ring over nation keys: sort, link successors, wrap the
     # last back to the first (25-row dim — the single-partition window
@@ -2195,6 +2369,8 @@ def event_graph_suite(spark: SparkSession, sf: str) -> DataFrame:
                 (F.col("max_dev") < 1e-6)
                 & (F.abs(F.col("total") - F.col("n_nodes")) < 1e-6)
             ).alias("ok"),
+            none_dbl.alias("v"),
+            none_dbl.alias("v2"),
         )
     )
     chains = nation.filter(F.col("n_nationkey") >= 5).select(
@@ -2206,26 +2382,98 @@ def event_graph_suite(spark: SparkSession, sf: str) -> DataFrame:
         F.col("path").alias("k"),
         F.col("depth").cast("long").alias("n"),
         none_bool.alias("ok"),
+        none_dbl.alias("v"),
+        none_dbl.alias("v2"),
     )
-    return fu.unionByName(co).unionByName(pr).unionByName(hi)
+    # disjoint 5-cliques over nation keys (div-5 groups, only groups of
+    # ≥3 members); the bounded 25-row dim makes the self-join trivial,
+    # the OPERATOR under test is the iterative frontier-join LPA
+    grp = nation.select(
+        F.col("n_nationkey").alias("key"),
+        F.floor(F.col("n_nationkey") / 5).cast("long").alias("grp"),
+    )
+    big = grp.groupBy("grp").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") >= 3
+    )
+    grp = grp.join(F.broadcast(big.select("grp")), "grp")
+    cliq = (
+        grp.alias("a")
+        .join(
+            grp.alias("b"),
+            (F.col("a.grp") == F.col("b.grp"))
+            & (F.col("a.key") < F.col("b.key")),
+        )
+        .select(F.col("a.key").alias("src"), F.col("b.key").alias("dst"))
+    )
+    lp = label_propagation(cliq, max_iter=4).select(
+        F.lit("labelprop").alias("op"),
+        F.col("node").cast("string").alias("k"),
+        F.col("label").cast("long").alias("n"),
+        none_bool.alias("ok"),
+        none_dbl.alias("v"),
+        none_dbl.alias("v2"),
+    )
+    an = (
+        robust_anomalies(ev, "value", ["event_type"], k=3.5)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("is_anomaly").cast("long")).alias("n_anom"),
+            F.first("grp_median").alias("m"),
+            F.first("grp_mad").alias("d"),
+        )
+        .select(
+            F.lit("anomaly").alias("op"),
+            F.col("event_type").alias("k"),
+            F.col("n_anom").cast("long").alias("n"),
+            none_bool.alias("ok"),
+            F.col("m").alias("v"),
+            F.col("d").alias("v2"),
+        )
+    )
+    out = fu
+    for part in (co, pr, hi, lp, an):
+        out = out.unionByName(part)
+    return out
 
 
 def _event_graph_sql() -> str:
     return f"""
 SELECT 'funnel' AS op, CAST(step AS VARCHAR) || ':' || step_name AS k,
-       CAST(n_users AS BIGINT) AS n, CAST(NULL AS BOOLEAN) AS ok
+       CAST(n_users AS BIGINT) AS n, CAST(NULL AS BOOLEAN) AS ok,
+       CAST(NULL AS DOUBLE) AS v, CAST(NULL AS DOUBLE) AS v2
 FROM ({_FUNNEL_SQL}) f
 UNION ALL
 SELECT 'cohort',
        strftime(cohort_start, '%Y-%m-%d') || ':'
          || CAST(period_offset AS VARCHAR),
-       CAST(n_users AS BIGINT), NULL
+       CAST(n_users AS BIGINT), NULL, NULL, NULL
 FROM ({_COHORT_SQL}) c
 UNION ALL
 SELECT 'pagerank', 'uniform_cycle',
-       (SELECT count(*) FROM nation), TRUE
+       (SELECT count(*) FROM nation), TRUE, NULL, NULL
 UNION ALL
-SELECT 'hierarchy', path, CAST(depth AS BIGINT), NULL
+SELECT 'labelprop', CAST(key AS VARCHAR), CAST(mn AS BIGINT), NULL,
+       NULL, NULL
+FROM (
+  SELECT n_nationkey AS key,
+         min(n_nationkey) OVER (PARTITION BY n_nationkey // 5) AS mn,
+         count(*) OVER (PARTITION BY n_nationkey // 5) AS c
+  FROM nation
+) lp WHERE c >= 3
+UNION ALL
+SELECT 'anomaly', e.event_type,
+       CAST(sum(CASE WHEN (CASE WHEN s.d > 0
+                 THEN abs(e.value - s.m) / (s.d * 1.4826) > 3.5
+                 ELSE abs(e.value - s.m) > 0 END)
+            THEN 1 ELSE 0 END) AS BIGINT),
+       NULL, any_value(s.m), any_value(s.d)
+FROM events e JOIN (
+  SELECT event_type, median(value) AS m, mad(value) AS d
+  FROM events GROUP BY 1
+) s USING (event_type)
+GROUP BY e.event_type
+UNION ALL
+SELECT 'hierarchy', path, CAST(depth AS BIGINT), NULL, NULL, NULL
 FROM (
   WITH RECURSIVE e AS (
     SELECT n_nationkey - 5 AS parent, n_nationkey AS child
@@ -2247,6 +2495,187 @@ FROM (
 
 
 # --------------------------------------------------------------------------
+# Round-5 registration (VERDICT r4 item 2): the lake-management layer's
+# first driver row. ManifestTable's append/merge/change-feed/restore/
+# clone/time-travel and the training-shard export — the code the r4
+# adviser found real bugs in — face the DuckDB oracle through a
+# deterministic lifecycle whose every state is a pure function of the
+# orders table.
+# --------------------------------------------------------------------------
+
+# 31-bit order-insensitive content checksum both engines compute exactly:
+# sum over rows of (key*1000003 + cents) mod (2^31-1). All terms are
+# non-negative so Spark's pmod and SQL's % agree; per-term < 2^31 keeps
+# the int64 sum exact to ~4e9 rows.
+_LAKE_CHK_M = 2147483647
+
+
+def _lake_chk() -> F.Column:
+    return F.sum(
+        F.pmod(
+            F.col("key") * F.lit(1000003) + F.col("cents"),
+            F.lit(_LAKE_CHK_M),
+        )
+    )
+
+
+def lake_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """ManifestTable lifecycle as one tagged union of (count, checksum)
+    rows, every state DuckDB-recomputable from ``orders`` alone:
+
+      v0  append_batch(keys ≡ 0 mod 3)          — op='timetravel' reads
+                                                  THIS version at the end
+      v1  append_batch(keys ≡ 1 mod 3)          — op='append'
+      v2  merge: double cents where key ≡ 0 mod 6 (matched update),
+          insert keys ≡ 2 mod 3                 — op='merge';
+          op='changefeed' rows are read_changes(v1→v2) counts+checksums
+          per _change_type (an update is its delete+insert pair; a
+          zero-cents 'update' writes an identical row, which the feed's
+          exceptAll cancellation correctly omits — the oracle mirrors
+          the cents ≠ 0 condition)
+      v3  restore(v1)                           — op='restore' (equals
+                                                  the append state)
+      clone_to(fresh root) at v3                — op='clone' (reads
+                                                  through the clone)
+      write_training_shards(read(v2)) → read_training_shards(verify=True)
+                                                — op='shards' (the
+          manifest-integrity gate runs INSIDE the driver row: checksum
+          drift would raise and fail the entry)
+      op='history' — the version count (pure metadata).
+
+    The mutations run eagerly at plan-build; every emitted row reads a
+    version-pinned snapshot, so laziness is safe. Scale notes live with
+    the operators (sinks/table.py, sinks/shards.py); this entry's corpus
+    is orders at the driver SF."""
+    import tempfile
+
+    from datalake_public_spark.sinks.shards import (
+        read_training_shards,
+        write_training_shards,
+    )
+    from datalake_public_spark.sinks.table import ManifestTable
+
+    base = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("long").alias("key"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="lake_suite_")
+    t = ManifestTable(f"{root}/t")
+    t.append_batch(base.filter(F.col("key") % 3 == 0), "b0")  # v0
+    t.append_batch(base.filter(F.col("key") % 3 == 1), "b1")  # v1
+    upd = base.filter(F.col("key") % 6 == 0).select(
+        "key", (F.col("cents") * 2).alias("cents")
+    )
+    ins = base.filter(F.col("key") % 3 == 2)
+    t.merge(spark, upd.unionByName(ins), ["key"])  # v2
+    cf = t.read_changes(spark, 1, 2)
+    t.restore(1)  # v3
+    clone = t.clone_to(f"{root}/clone")
+    shard_path = f"{root}/shards"
+    write_training_shards(t.read(spark, 2), shard_path, n_shards=8, id_col="key")
+    shards_back = read_training_shards(spark, shard_path, verify=True)
+
+    none_long = F.lit(None).cast("long")
+
+    def row(op: str, k: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            _lake_chk().cast("long").alias("chk"),
+        ).select(F.lit(op).alias("op"), F.lit(k).alias("k"), "n", "chk")
+
+    cf_rows = (
+        cf.groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            _lake_chk().cast("long").alias("chk"),
+        )
+        .select(
+            F.lit("changefeed").alias("op"),
+            F.col("_change_type").alias("k"),
+            "n",
+            "chk",
+        )
+    )
+    hist = spark.range(1).select(
+        F.lit("history").alias("op"),
+        F.lit("versions").alias("k"),
+        F.lit(len(t.versions())).cast("long").alias("n"),
+        none_long.alias("chk"),
+    )
+    out = row("append", "rows", t.read(spark, 1))
+    for part in (
+        row("merge", "rows", t.read(spark, 2)),
+        cf_rows,
+        row("restore", "rows", t.read(spark, 3)),
+        row("clone", "rows", clone.read(spark)),
+        row("timetravel", "rows", t.read(spark, 0)),
+        row("shards", "rows", shards_back),
+        hist,
+    ):
+        out = out.unionByName(part)
+    return out
+
+
+# discriminators emitted via the row() factory — declared for the
+# generated registry table (tools/gen_registry_table.py)
+lake_suite.op_tags = (
+    "append", "merge", "changefeed", "restore", "clone", "timetravel",
+    "shards", "history",
+)
+
+
+LAKE_SUITE_SQL = f"""
+WITH base AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS key,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+appended AS (SELECT * FROM base WHERE key % 3 IN (0, 1)),
+merged AS (
+  SELECT key, CASE WHEN key % 6 = 0 THEN cents * 2 ELSE cents END AS cents
+  FROM base
+),
+chk_appended AS (
+  SELECT count(*) AS n,
+         CAST(sum((key * 1000003 + cents) % {_LAKE_CHK_M}) AS BIGINT) AS chk
+  FROM appended
+)
+SELECT 'append' AS op, 'rows' AS k, CAST(n AS BIGINT) AS n, chk
+FROM chk_appended
+UNION ALL
+SELECT 'merge', 'rows', count(*),
+       CAST(sum((key * 1000003 + cents) % {_LAKE_CHK_M}) AS BIGINT)
+FROM merged
+UNION ALL
+SELECT 'changefeed', 'insert', count(*),
+       CAST(sum((key * 1000003 + cents) % {_LAKE_CHK_M}) AS BIGINT)
+FROM (
+  SELECT key, cents FROM base WHERE key % 3 = 2
+  UNION ALL
+  SELECT key, cents * 2 FROM base WHERE key % 6 = 0 AND cents <> 0
+) i
+UNION ALL
+SELECT 'changefeed', 'delete', count(*),
+       CAST(sum((key * 1000003 + cents) % {_LAKE_CHK_M}) AS BIGINT)
+FROM base WHERE key % 6 = 0 AND cents <> 0
+UNION ALL
+SELECT 'restore', 'rows', CAST(n AS BIGINT), chk FROM chk_appended
+UNION ALL
+SELECT 'clone', 'rows', CAST(n AS BIGINT), chk FROM chk_appended
+UNION ALL
+SELECT 'timetravel', 'rows', count(*),
+       CAST(sum((key * 1000003 + cents) % {_LAKE_CHK_M}) AS BIGINT)
+FROM base WHERE key % 3 = 0
+UNION ALL
+SELECT 'shards', 'rows', count(*),
+       CAST(sum((key * 1000003 + cents) % {_LAKE_CHK_M}) AS BIGINT)
+FROM merged
+UNION ALL
+SELECT 'history', 'versions', 4, CAST(NULL AS BIGINT)
+"""
+
+
+# --------------------------------------------------------------------------
 # FINAL registry — exactly 50 entries, most-load-bearing first
 # --------------------------------------------------------------------------
 
@@ -2262,7 +2691,9 @@ def _build_final() -> dict[str, QuerySpec]:
         "q5_regional_revenue": keep(REGISTRY, "q5_regional_revenue"),
         "q6_revenue_forecast": keep(REGISTRY, "q6_revenue_forecast"),
         "q7_nation_volume": keep(REGISTRY, "q7_nation_volume"),
-        "q14_promo_revenue": keep(REGISTRY, "q14_promo_revenue"),
+        # q14_promo_revenue rides inside tpch_breadth as op='q14' rows
+        # (round-5 slot merge — all four oracle columns preserved; the
+        # freed slot registers lake_suite below)
         "tpch_breadth": QuerySpec(tpch_breadth, _tpch_breadth_sql()),
         # --- reference parity (SURVEY §2) ---
         # r1_join_enrich rides inside r3_union_by_name as op='r1' rows
@@ -2291,6 +2722,7 @@ def _build_final() -> dict[str, QuerySpec]:
         "approx_sketches": QuerySpec(approx_sketches, APPROX_SKETCHES_SQL),
         # --- lake management ---
         "scd2_suite": QuerySpec(scd2_suite, _scd2_suite_sql()),
+        "lake_suite": QuerySpec(lake_suite, LAKE_SUITE_SQL),
         # --- event analytics + graph ---
         "event_graph_suite": QuerySpec(event_graph_suite, _event_graph_sql()),
         # --- training-data pipeline: sampling / assembly ---

@@ -27,6 +27,7 @@ MERGED = [
     "tpch_breadth",  # round 4: Q4/Q13/Q18/Q22 conformed union
     "event_graph_suite",  # round 4: funnel + cohort + pagerank + hierarchy
     "dedup_minhash_lsh",  # round 4: self-verifying reshape (invariant row)
+    "lake_suite",  # round 5: ManifestTable lifecycle vs pure-SQL construction
     "dedup_ngram_jaccard",  # round 4: cross-table fuzzy join folded in
     "p_row_normalize",
     "p_window_weight",
@@ -107,3 +108,19 @@ def test_no_registry_query_emits_array_or_map_columns(spark):
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 offenders.append((name, f.name, f.dataType.simpleString()))
     assert not offenders, offenders
+
+
+def test_generated_registry_table_is_current():
+    """COVERAGE.md's registry map is GENERATED from FINAL_REGISTRY
+    (tools/gen_registry_table.py) — this trips when an entry is added,
+    renamed, or grows op tags without regenerating the doc."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "tools/gen_registry_table.py", "--check"],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode == 0, r.stderr

