@@ -297,6 +297,57 @@ WHERE round({V.cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.35
 """
 
 
+def dedup_embedding_cosine_blocked(sub_blocks: int):
+    """The scale-sweep twin of dedup_embedding_cosine (VERDICT r4 item
+    3): the deliberate quadratic expression-fold oracle was 40% of the
+    ×10 sweep (1,130s of 2,815s) and alone makes ×100 infeasible
+    (~31h), so the sweep bounds BOTH engines with a deterministic
+    secondary block key — pairs are scored only within
+    (label, vec_id % sub_blocks) sub-blocks, covering exactly 1/B of
+    the within-label pairs (id-hash-uniform, documented in the sweep
+    artifact). The UNBOUNDED entry still runs at every driver-gate SF
+    (0.001/0.01/0.1); the BLAS production twin keeps its full-corpus
+    1e-9 cross-pin in tests/test_dedup.py."""
+
+    def q(spark, sf):
+        emb = _t(spark, sf, "embeddings").withColumn(
+            "sub", F.pmod(F.col("vec_id"), F.lit(sub_blocks))
+        )
+        a = emb.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("va"),
+            "label",
+            "sub",
+        )
+        b = emb.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("vb"),
+            "label",
+            "sub",
+        )
+        return (
+            a.join(b, ["label", "sub"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", F.round(V.cosine("va", "vb"), 6))
+            .filter(F.col("cos") >= 0.35)
+            .select("label", "id_a", "id_b", "cos")
+        )
+
+    return q
+
+
+def dedup_embedding_blocked_sql(sub_blocks: int) -> str:
+    return f"""
+SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+       round({V.cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label
+ AND a.vec_id % {sub_blocks} = b.vec_id % {sub_blocks}
+ AND a.vec_id < b.vec_id
+WHERE round({V.cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.35
+"""
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------

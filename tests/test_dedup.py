@@ -493,3 +493,126 @@ def test_embedding_block_kernel_tiling_invariant(spark):
         map(tuple, dedup.embedding_block_cosine_pairs(emb, chunk=3).collect())
     )
     assert full == tiny
+
+
+def test_blocked_cosine_sweep_twin_matches_sql_and_is_subset(spark):
+    """The scale-sweep's bounded cosine twin (VERDICT r4 item 3) must
+    (a) agree exactly with its DuckDB SQL twin and (b) emit a strict
+    subset of the unbounded driver entry's pairs with identical scores
+    — both engines see the identical vec_id%B restriction."""
+    import duckdb
+
+    from datalake_public_spark.driver_queries_llm import (
+        dedup_embedding_blocked_sql,
+        dedup_embedding_cosine,
+        dedup_embedding_cosine_blocked,
+    )
+
+    sf = SF_SMOKE
+    got = {
+        (r.label, r.id_a, r.id_b): r.cos
+        for r in dedup_embedding_cosine_blocked(4)(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    want = {
+        (r[0], r[1], r[2]): r[3]
+        for r in con.execute(dedup_embedding_blocked_sql(4)).fetchall()
+    }
+    assert got == want and len(got) > 0
+    full = {
+        (r.label, r.id_a, r.id_b): r.cos
+        for r in dedup_embedding_cosine(spark, sf).collect()
+    }
+    assert set(got) <= set(full)
+    assert all(full[k] == v for k, v in got.items())
+
+
+def test_lsh_banding_survives_boilerplate_skew_at_50k_docs(spark):
+    """VERDICT r4 item 7 — the skew pathology proof: 90% of a 50k-doc
+    corpus shares an identical 20-token boilerplate header, so band
+    buckets whose signature minima all come from header shingles go
+    degenerate (measured max bucket ≈ 12.7k ≫ the 200 cap). The
+    hot-bucket cap must keep the pair expansion bounded while recall on
+    the planted near-dup pairs survives: pair mates also share bands
+    keyed off their UNIQUE content, which land in size-2 buckets the cap
+    never touches. Profile: ~6s wall for the full pipeline at 50k docs
+    on local[32] (NOTES_r5)."""
+    from datalake_public_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    N = 50_000
+    header = " ".join(f"h{i}" for i in range(20))
+    docs = spark.range(N).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.when(F.col("id") % 10 != 9, F.lit(header)).otherwise(F.lit("")),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(
+                        F.lit(f"u{k}_"),
+                        F.when(
+                            F.col("id") < 200,
+                            (F.col("id") / 2).cast("long"),
+                        )
+                        .otherwise(F.col("id"))
+                        .cast("string"),
+                    )
+                    for k in range(20)
+                ],
+            ),
+            F.concat(F.lit("tail"), (F.col("id") % 2).cast("string")),
+        ).alias("text"),
+    ).persist()
+    docs.count()
+    try:
+        # the pathological bucket must actually exist (else the corpus
+        # does not exercise the guard): recompute band-bucket sizes from
+        # the signatures and assert a bucket far beyond the cap
+        sigs = minhash_signatures(docs)
+        bands, num_perm = 16, 64
+        r = num_perm // bands
+        banded = sigs.select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.xxhash64(F.slice("sig", b * r + 1, r)).alias("key"),
+                    ),
+                )
+            ).alias("bk"),
+        ).select("bk.band", "bk.key")
+        mx = (
+            banded.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n"))
+            .first()[0]
+        )
+        assert mx > 200 * 10, f"skew corpus failed to go degenerate: {mx}"
+
+        got = {
+            (p.id_a, p.id_b)
+            for p in minhash_lsh_pairs(
+                docs, threshold=0.5, max_bucket=200
+            ).collect()
+        }
+        # planted near-dups where BOTH mates carry the header (a
+        # header/no-header pair's true jaccard is legitimately < 0.5:
+        # 2j+1 ≡ 9 mod 10 ⟺ j ≡ 4 mod 5 — those 20 pairs are excluded
+        # by the THRESHOLD, not by banding)
+        planted = {
+            (2 * j, 2 * j + 1) for j in range(100) if j % 5 != 4
+        }
+        assert planted <= got, f"missed {sorted(planted - got)[:5]}"
+        assert got == planted, f"false pairs: {sorted(got - planted)[:5]}"
+    finally:
+        docs.unpersist()

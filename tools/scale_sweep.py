@@ -108,12 +108,36 @@ def main() -> None:
         with open(out_path, "w") as f:
             json.dump(summary, f, indent=1)
 
+    # Sweep-time bounded twins (VERDICT r4 item 3): entries whose
+    # DELIBERATE quadratic oracles dominate sweep wall time run a
+    # deterministically sub-blocked variant at scale — BOTH engines see
+    # the identical restriction, the unbounded entry still runs at every
+    # driver-gate SF. Coverage bound recorded per result row.
+    from datalake_public_spark.driver_queries_llm import (
+        dedup_embedding_blocked_sql,
+        dedup_embedding_cosine_blocked,
+    )
+
+    SUB_BLOCKS = int(os.environ.get("SWEEP_COSINE_SUB_BLOCKS", "16"))
+    bounded = {
+        "dedup_embedding_cosine": (
+            dedup_embedding_cosine_blocked(SUB_BLOCKS),
+            dedup_embedding_blocked_sql(SUB_BLOCKS),
+            f"vec_id%{SUB_BLOCKS} sub-blocks — 1/{SUB_BLOCKS} "
+            "within-label pair coverage (both engines)",
+        ),
+    }
+
     for name, spec in FINAL_REGISTRY.items():
         print(f"-> {name}", flush=True)
         t0 = time.time()
+        spark_fn, oracle_sql = spec.spark, spec.oracle
+        note = None
+        if name in bounded:
+            spark_fn, oracle_sql, note = bounded[name]
         try:
-            s_tbl = spec.spark(spark, sf_dir).toArrow()
-            o_tbl = con.execute(spec.oracle).fetch_arrow_table()
+            s_tbl = spark_fn(spark, sf_dir).toArrow()
+            o_tbl = con.execute(oracle_sql).fetch_arrow_table()
             s = s_tbl.to_pandas()
             o = o_tbl.to_pandas()
             assert sorted(s.columns) == sorted(o.columns), (
@@ -149,6 +173,8 @@ def main() -> None:
                 "s": round(time.time() - t0, 1),
                 "err": str(e)[:400],
             }
+        if note is not None:
+            results[name]["bounded"] = note
         print(name, results[name]["verdict"], results[name]["s"], flush=True)
         flush()
 
