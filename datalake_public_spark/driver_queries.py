@@ -1262,3 +1262,431 @@ JOIN (
 ) a ON li.l_partkey = a.l_partkey
 WHERE li.l_quantity < a.avg_qty * 0.2
 """
+
+
+# --------------------------------------------------------------------------
+# Round 5: the remaining TPC-H shapes (Q2/Q8/Q9/Q11/Q12/Q19/Q21) — with
+# these every one of the 22 TPC-H query shapes is driver-checked via
+# tpch_breadth. partsupp / l_shipmode / l_commitdate / l_receiptdate /
+# p_mfgr / p_container do not exist in this testdata, so (like Q16/Q20
+# before) the shapes substitute the nearest available association:
+# lineitem's (partkey, suppkey) pairs stand in for partsupp, ship delay
+# vs o_orderdate stands in for the commit/receipt lateness predicates.
+# --------------------------------------------------------------------------
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape: for each small part, the EUROPE supplier(s)
+    offering the minimum unit cost — the correlated MIN subquery
+    decorrelated to a per-part aggregate joined back (ties all surface,
+    as in the spec). Unit cost = min line unit price in cents over the
+    (part, supplier) pair's lineitem history.
+
+    Scale: the pair rollup and the per-part min share one lineitem
+    shuffle grain (partkey); the min joins back on partkey (AQE
+    co-locates); supplier⋈nation⋈region is a broadcast dim chain; the
+    top-100 is TakeOrdered, no full sort."""
+    li = _t(spark, sf, "lineitem")
+    unit_cents = F.round(
+        F.col("l_extendedprice") * 100 / F.col("l_quantity")
+    ).cast("long")
+    pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(unit_cents).alias("cost_cents")
+    )
+    part_min = pair.groupBy("l_partkey").agg(
+        F.min("cost_cents").alias("min_cents")
+    )
+    part = _t(spark, sf, "part").filter(F.col("p_size") <= 10)
+    sup = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    eu_sup = (
+        sup.join(
+            F.broadcast(nation), sup.s_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    return (
+        pair.join(part_min, "l_partkey")
+        .filter(F.col("cost_cents") == F.col("min_cents"))
+        .join(F.broadcast(part), pair.l_partkey == part.p_partkey)
+        .join(F.broadcast(eu_sup), pair.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.round(F.col("s_acctbal") * 100).cast("long").alias(
+                "acctbal_cents"
+            ),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "cost_cents",
+        )
+        .orderBy(
+            F.desc("acctbal_cents"), F.asc("n_name"), F.asc("s_name"),
+            F.asc("p_partkey"),
+        )
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH pair AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(round(l_extendedprice * 100 / l_quantity) AS BIGINT))
+           AS cost_cents
+  FROM lineitem GROUP BY 1, 2
+),
+pm AS (SELECT l_partkey, min(cost_cents) AS min_cents FROM pair GROUP BY 1)
+SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+       s_name, n_name, p_partkey, cost_cents
+FROM pair
+JOIN pm USING (l_partkey)
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE cost_cents = min_cents AND p_size <= 10 AND r_name = 'EUROPE'
+ORDER BY acctbal_cents DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 100
+"""
+
+
+def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3's share of AMERICA-market revenue per
+    order year — the two-level conditional-aggregate-over-a-star join
+    (numerator = revenue supplied by one nation, denominator = all
+    revenue sold into one region's customers).
+
+    Scale: lineitem⋈orders shuffles on the shared orderkey; customer→
+    nation→region and supplier→nation are broadcast dim chains; the
+    share is a ratio of exact bigint cents (the q14 determinism
+    pattern), grouped on ~6 year keys so partial agg collapses the
+    shuffle."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    sup = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("s_nation")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n2), sup.s_nationkey == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("s_nation") == "NATION_3", cents).otherwise(
+                    F.lit(0)
+                )
+            ).alias("nation_cents"),
+            F.sum(cents).alias("total_cents"),
+        )
+        .withColumn(
+            "share_pct",
+            F.round(
+                F.lit(100.0) * F.col("nation_cents") / F.col("total_cents"),
+                6,
+            ),
+        )
+    )
+
+
+Q8_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS nation_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       round(100.0 * sum(CASE WHEN sn.n_name = 'NATION_3'
+                THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                ELSE 0 END)
+             / sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)), 6)
+         AS share_pct
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = 'AMERICA'
+GROUP BY 1
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per (supplier nation, order year) for
+    parts whose name contains 'e' — revenue minus a deterministic cost
+    term (60% of retail price per unit stands in for ps_supplycost).
+
+    Scale: part broadcasts with the name filter applied pre-broadcast;
+    lineitem⋈orders shuffles once on orderkey; profit is exact bigint
+    cents per line (unit cost in cents × integral quantity), so the
+    rollup is engine-order-independent."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    sup = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    part = _t(spark, sf, "part").filter(F.col("p_name").contains("e"))
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    cost_cents = F.round(F.col("p_retailprice") * 60).cast("long") * F.round(
+        F.col("l_quantity")
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(rev_cents - cost_cents).alias("profit_cents"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                - CAST(round(p_retailprice * 60) AS BIGINT)
+                  * CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+         AS profit_cents
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%e%'
+GROUP BY 1, 2
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value through EUROPE
+    suppliers exceeds 1.2× the per-part average for that region — the
+    HAVING-vs-scalar-subquery shape, decorrelated to a 1-row
+    (total, n_parts) aggregate broadcast back and compared in exact
+    integer arithmetic (value×n×10 > total×12, no float threshold).
+    Spec's single-nation + absolute-fraction predicate is
+    SF-degenerate on this uniform testdata (a fixed fraction of a
+    uniform distribution selects everything or nothing as N grows, and
+    sf0.001's 10-supplier table lacks some nations entirely); the
+    region filter + relative threshold keep a stable non-empty
+    selection at every SF while preserving the query shape.
+
+    Scale: one filtered rollup on partkey; the grand total is a 1-row
+    aggregate broadcast back; the region filter reaches the scan via
+    the broadcast supplier semi-join."""
+    li = _t(spark, sf, "lineitem")
+    sup = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    eu_sup = (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    val = (
+        li.join(F.broadcast(eu_sup), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).alias("value_cents"))
+    )
+    total = val.agg(
+        F.sum("value_cents").alias("grand_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        val.join(F.broadcast(total))
+        .filter(
+            F.col("value_cents") * F.col("n_parts") * 10
+            > F.col("grand_cents") * 12
+        )
+        .select("l_partkey", "value_cents")
+    )
+
+
+Q11_SQL = """
+WITH val AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY 1
+)
+SELECT l_partkey, value_cents
+FROM val, (SELECT sum(value_cents) AS g, count(*) AS c FROM val) t
+WHERE value_cents * c * 10 > g * 12
+"""
+
+
+def q12_late_shipment_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape: per ship year, how many LATE-shipped lines
+    belonged to critical-priority orders vs the rest — the two-way
+    CASE-conditional count over a fact⋈fact join (l_shipmode and the
+    commit/receipt dates don't exist here; late = shipped more than 60
+    days after the order date).
+
+    Scale: the lateness predicate is row-local after the one orderkey
+    shuffle; group keys are ~7 years, so partial aggregation collapses
+    the second exchange to nothing."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy(F.year("l_shipdate").alias("ship_year")).agg(
+        F.sum(high.cast("long")).alias("high_line_count"),
+        F.sum((~high).cast("long")).alias("low_line_count"),
+    )
+
+
+Q12_SQL = """
+SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three DISJUNCTIVE
+    (brand, size range, quantity range) clause groups — the
+    OR-of-conjunctions predicate that exercises CNF conversion and
+    join-predicate pushdown.
+
+    Scale: the whole disjunction references only part + lineitem
+    columns, so it evaluates row-local after the broadcast part join;
+    nothing shuffles but the final 1-row aggregate."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    q = F.col("l_quantity")
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & q.between(20, 30)
+        )
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(clause)
+        .agg(
+            F.sum(cents).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q19_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier order — the EXISTS (another supplier on the order)
+    + NOT EXISTS (another LATE supplier) pair, decorrelated to one
+    per-order aggregate: an order qualifies a supplier iff that
+    supplier shipped late, the order used >1 distinct supplier, and
+    exactly 1 distinct supplier shipped late. Late = shipped more than
+    90 days after the order date (no receipt/commit dates here).
+
+    Scale: ONE (orderkey, suppkey) rollup replaces both correlated
+    subqueries (the naive form rescans lineitem twice per order); the
+    order-level rollup rides the same orderkey grain; the top-100 is
+    TakeOrdered."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    sup = _t(spark, sf, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 90 DAYS"
+    )
+    per_pair = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late.cast("int")).alias("was_late"))
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("was_late").alias("n_late_supp"),
+    )
+    return (
+        per_pair.filter(F.col("was_late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+WITH per_pair AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+             THEN 1 ELSE 0 END) AS was_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+per_order AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(was_late) AS n_late_supp
+  FROM per_pair GROUP BY 1
+)
+SELECT s_suppkey, s_name, count(*) AS numwait
+FROM per_pair
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE was_late = 1 AND n_supp > 1 AND n_late_supp = 1
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_suppkey ASC
+LIMIT 100
+"""

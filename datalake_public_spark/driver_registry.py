@@ -2068,18 +2068,37 @@ def tpch_breadth(spark: SparkSession, sf: str) -> DataFrame:
               anti join;
       * q17 — small-quantity revenue vs per-part average joined back;
       * q20 — heavy shippers via an aggregate-derived semi-join key set.
+    Round 5 also adds the last seven shapes, completing ALL 22 TPC-H
+    query shapes as driver-checked rows (partsupp / shipmode / commit+
+    receipt dates absent from this testdata — substitutions documented
+    per query in driver_queries.py):
+      * q2  — min-cost supplier per part, correlated MIN decorrelated;
+      * q8  — national market share, two-level conditional agg;
+      * q9  — product profit by (nation, year), deterministic cost term;
+      * q11 — important stock vs scalar-subquery threshold;
+      * q12 — late-shipment priority class counts;
+      * q19 — three-clause disjunctive predicate revenue;
+      * q21 — sole-late-shipper on multi-supplier orders (EXISTS +
+              NOT EXISTS decorrelated to one per-order rollup).
     Each underlying query function runs unchanged (plan shapes pinned
     in tests/test_tpch_extra.py)."""
     from datalake_public_spark.driver_queries import (
+        q2_min_cost_supplier,
         q4_late_orders,
+        q8_market_share,
+        q9_product_profit,
         q10_returned_revenue,
+        q11_important_stock,
+        q12_late_shipment_priority,
         q13_order_distribution,
         q14_promo_revenue,
         q15_top_supplier,
         q16_supplier_variety,
         q17_small_quantity_revenue,
         q18_big_orders,
+        q19_disjunctive_revenue,
         q20_heavy_shippers,
+        q21_waiting_suppliers,
         q22_idle_customers,
     )
 
@@ -2169,23 +2188,90 @@ def tpch_breadth(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("acctbal") * 100).cast("long").alias("cents"),
         none_long.alias("cents2"),
     )
+    q2 = q2_min_cost_supplier(spark, sf).select(
+        F.lit("q2").alias("op"),
+        F.concat_ws(
+            "|", F.col("p_partkey").cast("string"), F.col("s_name"),
+            F.col("n_name"),
+        ).alias("k"),
+        none_long.alias("n"),
+        F.col("acctbal_cents").alias("cents"),
+        F.col("cost_cents").alias("cents2"),
+    )
+    q8 = q8_market_share(spark, sf).select(
+        F.lit("q8").alias("op"),
+        F.col("o_year").cast("string").alias("k"),
+        # share_pct (rounded to 6dp) in exact micro-units — q14 pattern
+        F.round(F.col("share_pct") * 1000000).cast("long").alias("n"),
+        F.col("nation_cents").alias("cents"),
+        F.col("total_cents").alias("cents2"),
+    )
+    q9 = q9_product_profit(spark, sf).select(
+        F.lit("q9").alias("op"),
+        F.concat_ws(
+            "|", F.col("nation"), F.col("o_year").cast("string")
+        ).alias("k"),
+        none_long.alias("n"),
+        F.col("profit_cents").alias("cents"),
+        none_long.alias("cents2"),
+    )
+    q11 = q11_important_stock(spark, sf).select(
+        F.lit("q11").alias("op"),
+        F.col("l_partkey").cast("string").alias("k"),
+        none_long.alias("n"),
+        F.col("value_cents").alias("cents"),
+        none_long.alias("cents2"),
+    )
+    q12 = q12_late_shipment_priority(spark, sf).select(
+        F.lit("q12").alias("op"),
+        F.col("ship_year").cast("string").alias("k"),
+        F.col("high_line_count").cast("long").alias("n"),
+        F.col("low_line_count").cast("long").alias("cents"),
+        none_long.alias("cents2"),
+    )
+    q19 = q19_disjunctive_revenue(spark, sf).select(
+        F.lit("q19").alias("op"),
+        F.lit("all").alias("k"),
+        F.col("n_lines").cast("long").alias("n"),
+        F.col("revenue_cents").alias("cents"),
+        none_long.alias("cents2"),
+    )
+    q21 = q21_waiting_suppliers(spark, sf).select(
+        F.lit("q21").alias("op"),
+        F.concat_ws(
+            "|", F.col("s_suppkey").cast("string"), F.col("s_name")
+        ).alias("k"),
+        F.col("numwait").cast("long").alias("n"),
+        none_long.alias("cents"),
+        none_long.alias("cents2"),
+    )
     out = q4
-    for part in (q13, q18, q22, q10, q14, q15, q16, q17, q20):
+    for part in (
+        q13, q18, q22, q10, q14, q15, q16, q17, q20,
+        q2, q8, q9, q11, q12, q19, q21,
+    ):
         out = out.unionByName(part)
     return out
 
 
 def _tpch_breadth_sql() -> str:
     from datalake_public_spark.driver_queries import (
+        Q2_SQL,
         Q4_SQL,
+        Q8_SQL,
+        Q9_SQL,
         Q10_SQL,
+        Q11_SQL,
+        Q12_SQL,
         Q13_SQL,
         Q14_SQL,
         Q15_SQL,
         Q16_SQL,
         Q17_SQL,
         Q18_SQL,
+        Q19_SQL,
         Q20_SQL,
+        Q21_SQL,
         Q22_SQL,
     )
 
@@ -2234,6 +2320,37 @@ UNION ALL
 SELECT 'q20', CAST(s_suppkey AS VARCHAR) || '|' || s_name,
        NULL, CAST(round(acctbal * 100) AS BIGINT), NULL
 FROM ({Q20_SQL}) q20
+UNION ALL
+SELECT 'q2',
+       CAST(p_partkey AS VARCHAR) || '|' || s_name || '|' || n_name,
+       NULL, CAST(acctbal_cents AS BIGINT), CAST(cost_cents AS BIGINT)
+FROM ({Q2_SQL}) q2
+UNION ALL
+SELECT 'q8', CAST(o_year AS VARCHAR),
+       CAST(round(share_pct * 1000000) AS BIGINT),
+       CAST(nation_cents AS BIGINT), CAST(total_cents AS BIGINT)
+FROM ({Q8_SQL}) q8
+UNION ALL
+SELECT 'q9', nation || '|' || CAST(o_year AS VARCHAR),
+       NULL, CAST(profit_cents AS BIGINT), NULL
+FROM ({Q9_SQL}) q9
+UNION ALL
+SELECT 'q11', CAST(l_partkey AS VARCHAR),
+       NULL, CAST(value_cents AS BIGINT), NULL
+FROM ({Q11_SQL}) q11
+UNION ALL
+SELECT 'q12', CAST(ship_year AS VARCHAR),
+       CAST(high_line_count AS BIGINT), CAST(low_line_count AS BIGINT),
+       NULL
+FROM ({Q12_SQL}) q12
+UNION ALL
+SELECT 'q19', 'all', CAST(n_lines AS BIGINT),
+       CAST(revenue_cents AS BIGINT), NULL
+FROM ({Q19_SQL}) q19
+UNION ALL
+SELECT 'q21', CAST(s_suppkey AS VARCHAR) || '|' || s_name,
+       CAST(numwait AS BIGINT), NULL, NULL
+FROM ({Q21_SQL}) q21
 """
 
 

@@ -7,30 +7,51 @@ from __future__ import annotations
 import pytest
 
 from datalake_public_spark.driver_queries import (
+    Q2_SQL,
     Q4_SQL,
+    Q8_SQL,
+    Q9_SQL,
     Q10_SQL,
+    Q11_SQL,
+    Q12_SQL,
     Q13_SQL,
     Q15_SQL,
     Q16_SQL,
     Q17_SQL,
     Q18_SQL,
+    Q19_SQL,
     Q20_SQL,
+    Q21_SQL,
     Q22_SQL,
+    q2_min_cost_supplier,
     q4_late_orders,
+    q8_market_share,
+    q9_product_profit,
     q10_returned_revenue,
+    q11_important_stock,
+    q12_late_shipment_priority,
     q13_order_distribution,
     q15_top_supplier,
     q16_supplier_variety,
     q17_small_quantity_revenue,
     q18_big_orders,
+    q19_disjunctive_revenue,
     q20_heavy_shippers,
+    q21_waiting_suppliers,
     q22_idle_customers,
 )
 from tests.conftest import SF_SMOKE
 from tests.oracle_harness import compare, duck_connection
 
 CASES = {
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q4_late_orders": (q4_late_orders, Q4_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
+    "q9_product_profit": (q9_product_profit, Q9_SQL),
+    "q11_important_stock": (q11_important_stock, Q11_SQL),
+    "q12_late_shipment_priority": (q12_late_shipment_priority, Q12_SQL),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
+    "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
     "q10_returned_revenue": (q10_returned_revenue, Q10_SQL),
     "q13_order_distribution": (q13_order_distribution, Q13_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
