@@ -1640,8 +1640,12 @@ def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale: ONE (orderkey, suppkey) rollup replaces both correlated
     subqueries (the naive form rescans lineitem twice per order); the
-    order-level rollup rides the same orderkey grain; the top-100 is
-    TakeOrdered."""
+    order-level counts come from a WINDOW over that rollup — not a
+    second aggregate joined back, which would evaluate the rollup (and
+    scan lineitem) once per consumer. Total: one lineitem scan, the
+    pair-rollup shuffle, one orderkey window shuffle, TakeOrdered."""
+    from pyspark.sql import Window
+
     li = _t(spark, sf, "lineitem")
     orders = _t(spark, sf, "orders")
     sup = _t(spark, sf, "supplier")
@@ -1653,14 +1657,16 @@ def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late.cast("int")).alias("was_late"))
     )
-    per_order = per_pair.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum("was_late").alias("n_late_supp"),
-    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_pair.withColumn(
+        "n_supp", F.count(F.lit(1)).over(w)
+    ).withColumn("n_late_supp", F.sum("was_late").over(w))
     return (
-        per_pair.filter(F.col("was_late") == 1)
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        flagged.filter(
+            (F.col("was_late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+        )
         .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

@@ -1853,9 +1853,16 @@ def dedup_components_corpus(spark: SparkSession, sf: str) -> DataFrame:
     ).persist()
     reps.count()
     lsh_pairs = D.minhash_lsh_pairs(reps, threshold=0.5)
-    exact_pairs = D.ngram_jaccard_pairs(reps, threshold=0.5).select(
-        "id_a", "id_b"
+    # exact_pairs feeds TWO consumers (the union and the collision-guard
+    # semi-join below) — persist or the quadratic baseline recomputes
+    # per branch (measured +160s at the ×10 sweep; the multi-branch
+    # convention)
+    exact_pairs = (
+        D.ngram_jaccard_pairs(reps, threshold=0.5)
+        .select("id_a", "id_b")
+        .persist()
     )
+    exact_pairs.count()
     # LSH edges are admitted only when the exact baseline agrees on the
     # id pair (left-semi): the LSH verify scores crc32-HASHED shingles,
     # so a collision could otherwise push a just-below-threshold pair
@@ -1884,7 +1891,9 @@ def dedup_components_corpus(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.lit(None).cast("long").alias("component"),
     )
-    return D._adopt_caches(comp.unionByName(surv), reps, lsh_pairs)
+    return D._adopt_caches(
+        comp.unionByName(surv), reps, lsh_pairs, exact_pairs
+    )
 
 
 def _dedup_components_corpus_sql() -> str:

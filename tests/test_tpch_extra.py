@@ -88,3 +88,64 @@ def test_q22_anti_join_and_broadcast_scalar(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert "LeftAnti" in plan and "CartesianProduct" not in plan
+
+
+def _plan(spark, df):
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+
+
+def test_q2_broadcasts_dims_no_cartesian(spark):
+    plan = _plan(spark, q2_min_cost_supplier(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrdered" in plan  # top-100 is heap-based, no full sort
+
+
+def test_q8_single_fact_shuffle_dims_broadcast(spark):
+    plan = _plan(spark, q8_market_share(spark, SF_SMOKE))
+    # lineitem⋈orders is the only shuffled join; the four dim joins
+    # (customer, both nations, region, supplier) all broadcast
+    assert plan.count("SortMergeJoin") <= 1
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_part_filter_before_broadcast(spark):
+    plan = _plan(spark, q9_product_profit(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    # the p_name filter must reach the part scan, not evaluate post-join
+    assert "PushedFilters" in plan or "Filter" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_single_rollup_with_broadcast_total(spark):
+    plan = _plan(spark, q11_important_stock(spark, SF_SMOKE))
+    # the grand total joins back as a broadcast of ONE row, never a
+    # shuffled join against the per-part rollup
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_disjunction_stays_rowlocal(spark):
+    plan = _plan(spark, q19_disjunctive_revenue(spark, SF_SMOKE))
+    # one broadcast join + row-local predicate: no shuffle before the
+    # final single-row aggregate
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_one_pair_rollup_no_correlated_rescans(spark):
+    plan = _plan(spark, q21_waiting_suppliers(spark, SF_SMOKE))
+    # the EXISTS/NOT-EXISTS pair is ONE (orderkey, suppkey) rollup with
+    # the order-level counts as a WINDOW over it — lineitem is scanned
+    # exactly once, not once per correlated subquery (the join-back
+    # formulation re-evaluated the whole rollup per consumer)
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrdered" in plan
