@@ -41,6 +41,58 @@ from datalake_public_spark.driver_queries_streaming import (
 )
 
 # --------------------------------------------------------------------------
+# Temp-root + eager-entry plumbing (r5 ADVICE): entries that write files
+# at plan-build time (lake_suite, similarity_ann's prebuilt index) must
+# keep those files alive for the LIFETIME of the returned lazy plan, so
+# cleanup is deferred to process exit rather than leaked forever, and the
+# built plan is memoized per (session, sf) so repeated registry
+# materializations (sweeps, tests) neither re-run the lifecycle nor mint
+# new roots.
+# --------------------------------------------------------------------------
+
+_TMP_ROOTS: list[str] = []
+
+
+def _registry_tmp_root(prefix: str) -> str:
+    """mkdtemp whose removal is deferred to interpreter exit. The
+    returned DataFrames read these files lazily, so immediate rmtree
+    would break the plan; atexit bounds the leak to one process."""
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _TMP_ROOTS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _TMP_ROOTS]
+        )
+    root = tempfile.mkdtemp(prefix=prefix)
+    _TMP_ROOTS.append(root)
+    return root
+
+
+# value = (spark, df): holding the session ref keeps id(spark) from being
+# reused by a successor session while a cached plan still points at it
+_EAGER_PLAN_MEMO: dict = {}
+
+
+def _memoize_eager_entry(fn):
+    """Cache the built plan per (entry, session, sf) for entries whose
+    plan construction performs eager side-effect writes."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf: str) -> DataFrame:
+        key = (fn.__name__, id(spark), sf)
+        hit = _EAGER_PLAN_MEMO.get(key)
+        if hit is not None and hit[0] is spark:
+            return hit[1]
+        df = fn(spark, sf)
+        _EAGER_PLAN_MEMO[key] = (spark, df)
+        return df
+
+    return wrapped
+
+# --------------------------------------------------------------------------
 # Merged reference-parity row ops (P3/P4/P5/P7/P8/P11/P12 in one plan,
 # P6/P9/P10 in another) — one select over events exercises every scalar
 # operator; conform() at the end is the P12 name-based schema enforcement.
@@ -1152,6 +1204,7 @@ def _ann_invariants(approx: DataFrame, exact: DataFrame, op: str, floor_x100: in
     )
 
 
+@_memoize_eager_entry
 def similarity_ann(spark: SparkSession, sf: str) -> DataFrame:
     """Random-hyperplane LSH top-k, IVF top-k, and int8-quantized
     brute-force top-k over the embeddings table, each self-verified
@@ -1172,8 +1225,6 @@ def similarity_ann(spark: SparkSession, sf: str) -> DataFrame:
     carries an exact (query_id, match_id, rk) set-equality check
     between the two paths (the prebuilt ≡ inline invariant the pytest
     twin pins at tests/test_similarity.py)."""
-    import tempfile
-
     from datalake_public_spark.operators.similarity import (
         brute_force_topk,
         build_ivf_index,
@@ -1193,7 +1244,7 @@ def similarity_ann(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id", dequantize_col("qvec", "scale").alias("embedding")
     )
     quant = brute_force_topk(deq.filter(F.col("vec_id") < 8), deq, k=10)
-    index_root = tempfile.mkdtemp(prefix="ivf_driver_idx_")
+    index_root = _registry_tmp_root("ivf_driver_idx_")
     build_ivf_index(emb, index_root, n_cells=16)
     pre = ivf_topk_prebuilt(queries, emb, index_root, k=10, n_probe=4)
     keys = ["query_id", "match_id", "rk"]
@@ -2070,8 +2121,9 @@ def tpch_breadth(spark: SparkSession, sf: str) -> DataFrame:
               orderkey shuffle → broadcast dims → TakeOrdered);
       * q14 — promo revenue share per ship month (folded from its
               former standalone slot to free one for lake_suite;
-              promo_pct rides as micro-units in n so all four output
-              columns stay oracled);
+              promo_cents/total_cents are oracled exact longs — the
+              double-ratio promo_pct is derived, not oracled, to
+              avoid 1-ulp rounding-boundary flips across engines);
       * q15 — top supplier vs its own scalar max (ties surface);
       * q16 — distinct-supplier variety, NOT-IN decorrelated to an
               anti join;
@@ -2158,8 +2210,11 @@ def tpch_breadth(spark: SparkSession, sf: str) -> DataFrame:
     q14 = q14_promo_revenue(spark, sf).select(
         F.lit("q14").alias("op"),
         F.date_format("ship_month", "yyyy-MM-dd").alias("k"),
-        # promo_pct (already rounded to 6dp) in exact micro-units
-        F.round(F.col("promo_pct") * 1000000).cast("long").alias("n"),
+        # promo_pct is a rounded double ratio — a 1-ulp engine
+        # difference at a rounding boundary would flip the micro-unit
+        # long, so it is NOT oracled; promo_cents/total_cents are
+        # exact longs and fully determine it (r5 ADVICE, q8 finding).
+        none_long.alias("n"),
         F.col("promo_cents").cast("long").alias("cents"),
         F.col("total_cents").cast("long").alias("cents2"),
     )
@@ -2210,8 +2265,13 @@ def tpch_breadth(spark: SparkSession, sf: str) -> DataFrame:
     q8 = q8_market_share(spark, sf).select(
         F.lit("q8").alias("op"),
         F.col("o_year").cast("string").alias("k"),
-        # share_pct (rounded to 6dp) in exact micro-units — q14 pattern
-        F.round(F.col("share_pct") * 1000000).cast("long").alias("n"),
+        # share_pct is a rounded double ratio; DuckDB's 100.0 literal
+        # is DECIMAL so its arithmetic path differs from Spark's pure
+        # double chain — a 1-ulp difference at a rounding boundary
+        # would flip the micro-unit long (r5 ADVICE). The exact longs
+        # nation_cents/total_cents stay strictly compared and fully
+        # determine the share, so share_pct is not oracled.
+        none_long.alias("n"),
         F.col("nation_cents").alias("cents"),
         F.col("total_cents").alias("cents2"),
     )
@@ -2310,7 +2370,7 @@ SELECT 'q10',
 FROM ({Q10_SQL}) q10
 UNION ALL
 SELECT 'q14', strftime(ship_month, '%Y-%m-%d'),
-       CAST(round(promo_pct * 1000000) AS BIGINT),
+       NULL,
        CAST(promo_cents AS BIGINT), CAST(total_cents AS BIGINT)
 FROM ({Q14_SQL}) q14
 UNION ALL
@@ -2336,7 +2396,7 @@ SELECT 'q2',
 FROM ({Q2_SQL}) q2
 UNION ALL
 SELECT 'q8', CAST(o_year AS VARCHAR),
-       CAST(round(share_pct * 1000000) AS BIGINT),
+       NULL,
        CAST(nation_cents AS BIGINT), CAST(total_cents AS BIGINT)
 FROM ({Q8_SQL}) q8
 UNION ALL
@@ -2645,6 +2705,7 @@ def _lake_chk() -> F.Column:
     )
 
 
+@_memoize_eager_entry
 def lake_suite(spark: SparkSession, sf: str) -> DataFrame:
     """ManifestTable lifecycle as one tagged union of (count, checksum)
     rows, every state DuckDB-recomputable from ``orders`` alone:
@@ -2673,8 +2734,6 @@ def lake_suite(spark: SparkSession, sf: str) -> DataFrame:
     version-pinned snapshot, so laziness is safe. Scale notes live with
     the operators (sinks/table.py, sinks/shards.py); this entry's corpus
     is orders at the driver SF."""
-    import tempfile
-
     from datalake_public_spark.sinks.shards import (
         read_training_shards,
         write_training_shards,
@@ -2685,7 +2744,7 @@ def lake_suite(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_orderkey").cast("long").alias("key"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    root = tempfile.mkdtemp(prefix="lake_suite_")
+    root = _registry_tmp_root("lake_suite_")
     t = ManifestTable(f"{root}/t")
     t.append_batch(base.filter(F.col("key") % 3 == 0), "b0")  # v0
     t.append_batch(base.filter(F.col("key") % 3 == 1), "b1")  # v1

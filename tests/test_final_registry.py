@@ -114,12 +114,15 @@ def test_generated_registry_table_is_current():
     """COVERAGE.md's registry map is GENERATED from FINAL_REGISTRY
     (tools/gen_registry_table.py) — this trips when an entry is added,
     renamed, or grows op tags without regenerating the doc."""
+    import os
     import subprocess
     import sys
 
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run(
-        [sys.executable, "tools/gen_registry_table.py", "--check"],
-        cwd="/root/repo",
+        [sys.executable, os.path.join("tools", "gen_registry_table.py"),
+         "--check"],
+        cwd=repo_root,
         capture_output=True,
         text=True,
     )

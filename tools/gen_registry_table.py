@@ -67,7 +67,12 @@ def render() -> str:
 
 
 def main() -> int:
-    path = "COVERAGE.md"
+    # resolve relative to the repo root (this file's parent's parent),
+    # not the cwd, so the tool and its drift test work from any checkout
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "COVERAGE.md",
+    )
     with open(path) as f:
         doc = f.read()
     table = render()
