@@ -324,6 +324,48 @@ class ManifestTable:
             stats=self._carry_stats(parent, new),
         )
 
+    def append_retrying(
+        self,
+        df: DataFrame,
+        *,
+        merge_schema: bool = False,
+        max_retries: int = 5,
+        _staged: list[str] | None = None,
+    ) -> Snapshot:
+        """Append under OPTIMISTIC CONCURRENCY: stage the data files
+        once, then retry the (cheap, metadata-only) manifest commit
+        against the advancing head until it lands or ``max_retries``
+        conflicts are exhausted. This is the writer a multi-job
+        deployment uses — two jobs appending simultaneously both
+        succeed, serialized by the manifest's atomic create
+        (``_commit``'s O_EXCL link), with only the loser's manifest
+        write repeated, never its data write.
+
+        ``_staged``: pre-staged data files (internal/testing hook — lets
+        a deterministic test interleave another writer's commit between
+        this writer's stage and commit, the exact race the retry loop
+        exists for)."""
+        files = _staged if _staged is not None else self._stage_files(df)
+        stats = self._collect_stats(files)
+        last: CommitConflict | None = None
+        for _ in range(max_retries + 1):
+            parent = self.current_version()
+            schema = self._write_schema(parent, df, merge_schema)
+            base = self.snapshot(parent).files if parent is not None else ()
+            merged_stats = dict(self._carry_stats(parent, []))
+            merged_stats.update(stats)
+            try:
+                return self._commit(
+                    list(base) + list(files), "append", parent,
+                    schema=schema, stats=merged_stats,
+                )
+            except CommitConflict as e:  # head advanced — re-base, retry
+                last = e
+                continue
+        raise CommitConflict(
+            f"append lost {max_retries + 1} consecutive commit races"
+        ) from last
+
     def _tag_marker(self, batch_tag: str) -> str:
         if os.sep in batch_tag or batch_tag in ("", ".", ".."):
             raise ValueError(f"batch_tag {batch_tag!r} is not a valid tag name")

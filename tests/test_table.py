@@ -657,6 +657,42 @@ def test_concurrent_merges_disjoint_keys_conflict_then_succeed(spark, table):
     assert table.read(spark).count() == 20  # no duplicate or lost rows
 
 
+def test_append_retrying_survives_interleaved_commits(spark, table):
+    """append_retrying: a writer that stages, loses the commit race to
+    an interleaved append, and must transparently re-base onto the new
+    head — both writers' rows land exactly once, data staged once."""
+    table.overwrite(_df(spark, 0, 10, "base").repartition(2))
+    other = ManifestTable(table.root)
+    fired = lambda: other.append(_df(spark, 100, 105, "writerB"))  # noqa: E731
+    racing = _RacingTable(table.root, fired)
+    snap = racing.append_retrying(_df(spark, 200, 203, "writerA"))
+    assert snap.operation == "append"
+    got = table.read(spark)
+    assert got.count() == 10 + 5 + 3  # no lost update, no duplicates
+    assert got.filter("id >= 200").count() == 3
+    assert got.filter("id >= 100 and id < 200").count() == 5
+    # the retry re-used the staged files: exactly one data file set for
+    # writer A appears in the final manifest beyond base + writer B's
+    assert len(ManifestTable(table.root).versions()) == 3  # v0,B,A
+
+
+def test_append_retrying_exhausts_and_raises(spark, table):
+    """When every retry loses (a pathologically hot table), the writer
+    surfaces CommitConflict instead of looping forever."""
+    table.overwrite(_df(spark, 0, 5, "base"))
+    other = ManifestTable(table.root)
+
+    class _AlwaysLosing(ManifestTable):
+        def _commit(self, *a, **k):
+            other.append(_df(spark, 900, 902, "hot"))  # head advances
+            return super()._commit(*a, **k)
+
+    with pytest.raises(CommitConflict, match="consecutive commit races"):
+        _AlwaysLosing(table.root).append_retrying(
+            _df(spark, 200, 203, "writerA"), max_retries=2
+        )
+
+
 def test_concurrent_merges_overlapping_keys_conflict_then_last_wins(
     spark, table
 ):
