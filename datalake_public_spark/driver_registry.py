@@ -20,6 +20,8 @@ window ever shrinks the core parity surface keeps its signal.
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1391,21 +1393,66 @@ def streaming_windows(spark: SparkSession, sf: str) -> DataFrame:
     aggregations, each computed by the streaming engine and conformed to
     (op, window_start, k, n_events, sum_value). The three streams START
     CONCURRENTLY (run_available_now_many) — their micro-batch work
-    overlaps on the scheduler instead of draining serially."""
+    overlaps on the scheduler instead of draining serially.
+
+    Round-6 late-data ops (VERDICT r5 item 5 — every prior streaming row
+    drained a corpus where nothing was late, so the watermark's DROP
+    side had no driver evidence). A committed two-file fixture
+    (fixtures/streaming_late, tools/gen_streaming_late_fixture.py) is
+    staged with ordered mtimes and consumed as THREE micro-batches
+    (maxFilesPerTrigger=1): batch 0 is the data, batch 1's fresh rows
+    advance the watermark so every batch-0 window is evicted/emitted,
+    and batch 2 carries rows for those ALREADY-EVICTED windows — the
+    engine MUST drop them (append-mode aggregation only drops rows
+    whose group was evicted in a PRIOR batch; a late row into live
+    state merges, which is why two batches cannot prove a drop).
+    In APPEND mode:
+      op='late_window'  — the emitted (closed) windows, one per hour,
+                          whose counts contain batch-0 rows ONLY;
+      op='late_dropped' — rows the engine dropped, MEASURED from the
+                          run: total input − emitted − still-open
+                          (the oracle recomputes the same number from
+                          the two-batch watermark contract — a
+                          non-dropping engine fails the compare);
+      op='late_open'    — rows in never-emitted (still-open) windows.
+    """
     from datalake_public_spark.streaming.runner import run_available_now_many
-    from datalake_public_spark.streaming.sources import events_stream
+    from datalake_public_spark.streaming.sources import (
+        events_stream,
+        read_json_stream,
+    )
     from datalake_public_spark.streaming.windows import (
         session_window_agg,
         sliding_window_agg,
         tumbling_window_agg,
     )
 
-    t_raw, s_raw, g_raw = run_available_now_many(
+    late_dir = _stage_late_fixture()
+    late_ev = read_json_stream(
+        spark,
+        late_dir,
+        _late_schema(),
+        max_files_per_trigger=1,
+        multiline=False,
+    ).select(F.timestamp_seconds("ts_epoch").alias("ts"), "value")
+    late_agg = (
+        late_ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+    t_raw, s_raw, g_raw, late_emitted = run_available_now_many(
         [
             tumbling_window_agg(events_stream(spark, sf)),
             sliding_window_agg(events_stream(spark, sf)),
             session_window_agg(events_stream(spark, sf)),
-        ]
+            late_agg,
+        ],
+        output_modes=["complete", "complete", "complete", "append"],
     )
     t = t_raw.select(
         F.lit("tumbling").alias("op"),
@@ -1428,10 +1475,132 @@ def streaming_windows(spark: SparkSession, sf: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
-    return t.unionByName(s).unionByName(g)
 
+    lw = late_emitted.select(
+        F.lit("late_window").alias("op"),
+        "window_start",
+        F.lit("all").alias("k"),
+        "n_events",
+        "sum_value",
+    )
+    # accounting over the SAME staged bytes: every input row is either
+    # in an emitted window, in a still-open window, or was dropped late
+    batch = spark.read.schema(_late_schema()).json(late_dir)
+    wend = (F.expr("ts_epoch DIV 3600") + 1) * 3600  # window end, epoch s
+    fwm = batch.agg((F.max("ts_epoch") - 7200).alias("fw"))
+    counts = (
+        batch.crossJoin(F.broadcast(fwm))  # 37-row fixture × 1 agg row
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum((wend > F.col("fw")).cast("long")).alias("n_open"),
+        )
+    )
+    esum = late_emitted.agg(
+        F.coalesce(F.sum("n_events"), F.lit(0)).alias("n_emitted")
+    )
+    nts, nd = F.lit(None).cast("timestamp"), F.lit(None).cast("double")
+    acct = counts.crossJoin(esum)  # 1×1 aggregate pair — bounded
+    dropped = acct.select(
+        F.lit("late_dropped").alias("op"),
+        nts.alias("window_start"),
+        F.lit("late").alias("k"),
+        (F.col("total") - F.col("n_emitted") - F.col("n_open")).alias(
+            "n_events"
+        ),
+        nd.alias("sum_value"),
+    )
+    open_row = acct.select(
+        F.lit("late_open").alias("op"),
+        nts.alias("window_start"),
+        F.lit("open").alias("k"),
+        F.col("n_open").alias("n_events"),
+        nd.alias("sum_value"),
+    )
+    out = t
+    for part in (s, g, lw, dropped, open_row):
+        out = out.unionByName(part)
+    return out
+
+
+def _late_schema():
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("ts_epoch", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+
+
+_LATE_FIXTURES = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), "fixtures", "streaming_late"
+)
+
+
+def _stage_late_fixture() -> str:
+    """Copy the committed late-arrival fixture to a fixed temp dir with
+    ORDERED mtimes (batch_0 strictly older) so the file streaming source
+    consumes batch_0 before batch_1 — the interleaving the late-drop
+    proof depends on. Fixed path + overwrite: idempotent, no growth."""
+    import shutil
+    import tempfile
+
+    dest = _os.path.join(tempfile.gettempdir(), "dlps_streaming_late")
+    _os.makedirs(dest, exist_ok=True)
+    for i, name in enumerate(
+        ("batch_0.json", "batch_1.json", "batch_2.json")
+    ):
+        dst = _os.path.join(dest, name)
+        shutil.copyfile(_os.path.join(_LATE_FIXTURES, name), dst)
+        _os.utime(dst, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
+    return dest
+
+
+# The late-op twin replays the three-micro-batch watermark contract in
+# pure SQL over the COMMITTED fixture bytes: the watermark in effect
+# when batch 2 arrives is max(b0 ∪ b1) − delay and has already evicted
+# every batch-2 window, so a batch-2 row is dropped iff its window end
+# <= that watermark; the final watermark closes (emits) every window
+# whose end <= global max − delay. The fixture keeps every row >20 min
+# from any watermark value, so <=/< edge conventions cannot flip a set.
+_LATE_COLSPEC = (
+    "{event_id: 'BIGINT', user_id: 'BIGINT', event_type: 'VARCHAR', "
+    "ts_epoch: 'BIGINT', value: 'DOUBLE'}"
+)
 
 STREAMING_WINDOWS_SQL = f"""
+WITH b01 AS (
+  SELECT * FROM read_json(
+    ['{_LATE_FIXTURES}/batch_0.json', '{_LATE_FIXTURES}/batch_1.json'],
+    format='newline_delimited', columns={_LATE_COLSPEC})
+), b2 AS (
+  SELECT * FROM read_json('{_LATE_FIXTURES}/batch_2.json',
+    format='newline_delimited', columns={_LATE_COLSPEC})
+),
+wm2 AS (SELECT max(ts_epoch) - 7200 AS w FROM b01),
+fwm AS (
+  SELECT max(ts_epoch) - 7200 AS w
+  FROM (SELECT ts_epoch FROM b01 UNION ALL SELECT ts_epoch FROM b2)
+),
+valid2 AS (
+  SELECT b2.* FROM b2, wm2 WHERE (ts_epoch // 3600 + 1) * 3600 > wm2.w
+),
+allv AS (SELECT * FROM b01 UNION ALL SELECT * FROM valid2),
+win AS (
+  SELECT (ts_epoch // 3600) * 3600 AS ws,
+         count(*) AS n_events, round(sum(value), 2) AS sum_value
+  FROM allv GROUP BY 1
+)
 SELECT 'tumbling' AS op, window_start, event_type AS k, n_events, sum_value
 FROM ({STREAM_TUMBLING_SQL}) t
 UNION ALL
@@ -1440,6 +1609,20 @@ FROM ({STREAM_SLIDING_SQL}) s
 UNION ALL
 SELECT 'session', sess_start, CAST(user_id AS VARCHAR), n_events, sum_value
 FROM ({STREAM_SESSION_SQL}) g
+UNION ALL
+SELECT 'late_window', to_timestamp(ws), 'all',
+       CAST(n_events AS BIGINT), sum_value
+FROM win, fwm WHERE ws + 3600 <= fwm.w
+UNION ALL
+SELECT 'late_dropped', NULL, 'late',
+       (SELECT CAST(count(*) AS BIGINT) FROM b2, wm2
+        WHERE (ts_epoch // 3600 + 1) * 3600 <= wm2.w),
+       NULL
+UNION ALL
+SELECT 'late_open', NULL, 'open',
+       (SELECT CAST(count(*) AS BIGINT) FROM allv, fwm
+        WHERE (ts_epoch // 3600 + 1) * 3600 > fwm.w),
+       NULL
 """
 
 
@@ -2938,8 +3121,6 @@ lake_suite.op_tags = (
 # ignore_errors turns malformed lines into all-NULL rows, so good/bad
 # fall out of count(lastUpdatedOther) vs count(*).
 # --------------------------------------------------------------------------
-
-import os as _os
 
 _GBFS_FIXTURES = _os.path.join(
     _os.path.dirname(_os.path.abspath(__file__)), "fixtures", "gbfs"

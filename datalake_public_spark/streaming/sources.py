@@ -109,13 +109,16 @@ def read_json_stream(
     schema: StructType,
     *,
     max_files_per_trigger: int | None = None,
+    multiline: bool = True,
 ) -> DataFrame:
     """Streaming JSON source with a declared schema (FAILFAST like the
-    batch reader). One raw snapshot file = one or more rows per batch."""
+    batch reader). One raw snapshot file = one or more rows per batch.
+    ``multiline=False`` reads JSON-lines files (one record per line) —
+    the shape the late-arrival fixtures use."""
     reader = (
         spark.readStream.schema(schema)
         .option("mode", "FAILFAST")
-        .option("multiLine", "true")
+        .option("multiLine", "true" if multiline else "false")
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
