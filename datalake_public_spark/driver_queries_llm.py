@@ -193,17 +193,42 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.5)
 
 
-DEDUP_NGRAM_SQL = f"""
-WITH sh AS (
-  SELECT doc_id AS id, {T.shingles_sql('toks')} AS shingles
-  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+def ngram_pairs_sql(
+    source: str = "SELECT doc_id, text FROM documents",
+    band: int | None = None,
+) -> str:
+    """The exact n-gram-Jaccard pair oracle, parametrized (round 6):
+
+    * ``source`` — the (doc_id, text) relation to pair over, so the
+      reps-restricted twin computes pairs OVER THE REP SUBSET directly
+      instead of pairing the full corpus and filtering after (Jaccard is
+      pair-local, so the two are equivalent — and the old post-filter
+      form made DuckDB pay the full-corpus quadratic join, ~115 s at
+      ×10, for a 5k-row answer);
+    * shingles are evaluated once per DISTINCT text and joined back by
+      text — on a replicated corpus (the scale regime) the per-doc
+      lambda-chain cost drops by the replication factor, on a unique
+      corpus it is a no-op;
+    * ``band`` — optional pair restriction to ``id DIV band`` bands
+      (both engines identically restricted; the sweep-time boundedness
+      template, see tools/scale_sweep.py)."""
+    bd = f" AND a.id // {band} = b.id // {band}" if band else ""
+    return f"""
+WITH sh0 AS (
+  SELECT text, {T.shingles_sql('toks')} AS shingles
+  FROM (SELECT text, {_TOKS} AS toks
+        FROM (SELECT DISTINCT text FROM ({source}) s0))
   WHERE len({T.shingles_sql('toks')}) > 0
+),
+sh AS (
+  SELECT src.doc_id AS id, sh0.shingles
+  FROM ({source}) src JOIN sh0 USING (text)
 ),
 inv AS (SELECT id, unnest(shingles) AS shingle FROM sh),
 sizes AS (SELECT id, len(shingles) AS n_sh FROM sh),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
-  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id{bd}
   GROUP BY a.id, b.id
 )
 SELECT id_a, id_b,
@@ -214,15 +239,20 @@ JOIN sizes sb ON sb.id = id_b
 WHERE {int_ratio_half_up_sql('n_common', 'sa.n_sh + sb.n_sh - n_common', 6)} >= 0.5
 """
 
+
+DEDUP_NGRAM_SQL = ngram_pairs_sql()
+
 # The baseline restricted to exact-dup-group representatives (min doc_id
 # per distinct text) — the contract near_dedup_pipeline's output meets.
-# Jaccard is pair-local, so filtering the pair list to rep ids is
-# equivalent to recomputing it on the rep subset.
-DEDUP_NGRAM_REPS_SQL = f"""
-WITH reps AS (SELECT min(doc_id) AS id FROM documents GROUP BY text)
-SELECT id_a, id_b, jaccard FROM ({DEDUP_NGRAM_SQL}) p
-WHERE id_a IN (SELECT id FROM reps) AND id_b IN (SELECT id FROM reps)
-"""
+# Jaccard is pair-local, so computing pairs over the rep subset is
+# equivalent to pairing the full corpus and filtering (round 6 moved the
+# restriction INSIDE the pair computation — see ngram_pairs_sql).
+_REPS_SOURCE = (
+    "SELECT d.doc_id, d.text FROM documents d "
+    "JOIN (SELECT min(doc_id) AS id FROM documents GROUP BY text) r "
+    "ON d.doc_id = r.id"
+)
+DEDUP_NGRAM_REPS_SQL = ngram_pairs_sql(_REPS_SOURCE)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
@@ -255,18 +285,41 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash_clusters(_t(spark, sf, "documents"), max_hamming=3)
 
 
-DEDUP_SIMHASH_SQL = f"""
-WITH fp AS (
-  SELECT doc_id AS id, {T.simhash32_sql('text')} AS simhash FROM documents
+def simhash_pairs_sql(band: int | None = None) -> str:
+    """SimHash pair oracle, parametrized (round 6). Two cost fixes over
+    the original single OR-join form, measured at ×10 (50k docs):
+    simhash is ~1.5 ms/doc as a DuckDB lambda chain, so it is evaluated
+    once per DISTINCT text and joined back (91 s → ~9 s on a replicated
+    corpus); the half-key OR disjunction forced a non-hash join (33 s),
+    so candidates come from a UNION of two hash-joinable equalities
+    (6.8 s) — UNION dedupes pairs matched by both halves, identical
+    semantics. ``band``: optional ``id DIV band`` pair restriction
+    (both engines; sweep boundedness template)."""
+    bd = f" AND a.id // {band} = b.id // {band}" if band else ""
+    return f"""
+WITH fp0 AS (
+  SELECT text, {T.simhash32_sql('text')} AS simhash
+  FROM (SELECT DISTINCT text FROM documents)
+),
+fp AS (
+  SELECT d.doc_id AS id, f.simhash FROM documents d JOIN fp0 f USING (text)
+),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.simhash AS sa, b.simhash AS sb
+  FROM fp a JOIN fp b
+    ON a.simhash % 65536 = b.simhash % 65536 AND a.id < b.id{bd}
+  UNION
+  SELECT a.id, b.id, a.simhash, b.simhash
+  FROM fp a JOIN fp b
+    ON (a.simhash & 4294901760) = (b.simhash & 4294901760)
+   AND a.id < b.id{bd}
 )
-SELECT a.id AS id_a, b.id AS id_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-FROM fp a JOIN fp b
-  ON a.id < b.id
- AND (a.simhash % 65536 = b.simhash % 65536
-      OR (a.simhash & 4294901760) = (b.simhash & 4294901760))
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 """
+
+
+DEDUP_SIMHASH_SQL = simhash_pairs_sql()
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:

@@ -2172,8 +2172,15 @@ def dedup_components_corpus(spark: SparkSession, sf: str) -> DataFrame:
 
 def _dedup_components_corpus_sql() -> str:
     from datalake_public_spark.driver_queries_adv import _components_sql
-    from datalake_public_spark.driver_queries_llm import DEDUP_NGRAM_SQL
+    from datalake_public_spark.driver_queries_llm import (
+        _REPS_SOURCE,
+        ngram_pairs_sql,
+    )
 
+    # reps-FIRST pair computation (round 6): pairing the rep subset
+    # directly is equivalent to pairing the full corpus and filtering
+    # (Jaccard is pair-local) and removes the full-corpus quadratic the
+    # oracle used to pay for a reps-sized answer
     return f"""
 SELECT 'component' AS op, doc_id, component FROM ({_components_sql()}) c
 UNION ALL
@@ -2181,10 +2188,7 @@ SELECT 'survivor', doc_id, CAST(NULL AS BIGINT)
 FROM (
   WITH RECURSIVE
   reps AS (SELECT min(doc_id) AS id FROM documents GROUP BY text),
-  rep_pairs AS (
-    SELECT id_a, id_b FROM ({DEDUP_NGRAM_SQL}) p
-    WHERE id_a IN (SELECT id FROM reps) AND id_b IN (SELECT id FROM reps)
-  ),
+  rep_pairs AS (SELECT id_a, id_b FROM ({ngram_pairs_sql(_REPS_SOURCE)}) rp),
   und AS (
     SELECT id_a AS src, id_b AS dst FROM rep_pairs
     UNION

@@ -82,6 +82,7 @@ def ngram_jaccard_pairs(
     *,
     n: int = 3,
     threshold: float = 0.5,
+    band: int | None = None,
 ) -> DataFrame:
     """Exact token-n-gram Jaccard near-dup pairs via an inverted shingle
     index: explode distinct shingles → self-equi-join on shingle →
@@ -120,9 +121,18 @@ def ngram_jaccard_pairs(
     sh.count()  # materialize before the multi-branch reuse
     sizes = sh.select("id", F.size("shingles").alias("n_sh"))
     inv = sh.select("id", F.explode("shingles").alias("shingle"))
+    # ``band``: restrict pairs to id DIV band bands — the inverted-index
+    # join key gains the band, so both the pair OUTPUT and the join COST
+    # shrink (the sweep-time boundedness template; None = full pairs)
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col("a.id") < F.col("b.id")
+    )
+    if band is not None:
+        inv = inv.withColumn("bd", F.expr(f"id DIV {int(band)}"))
+        cond = cond & (F.col("a.bd") == F.col("b.bd"))
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, cond)
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -652,6 +662,7 @@ def simhash_clusters(
     id_col: str = "doc_id",
     *,
     max_hamming: int = 3,
+    band: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: 32-bit simhash, candidate generation by
     16-bit half-key blocking (a pair within Hamming ≤ 3 of 32 bits must
@@ -681,14 +692,18 @@ def simhash_clusters(
             )
         ).alias("pk"),
     ).select("id", "simhash", "pk.part", "pk.key")
+    cond = (
+        (F.col("a.part") == F.col("b.part"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.id") < F.col("b.id"))
+    )
+    # band: id DIV band pair restriction (sweep boundedness template)
+    if band is not None:
+        halves = halves.withColumn("bd", F.expr(f"id DIV {int(band)}"))
+        cond = cond & (F.col("a.bd") == F.col("b.bd"))
     a, b = halves.alias("a"), halves.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.part") == F.col("b.part"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        a.join(b, cond)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),

@@ -69,23 +69,42 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     statistics, so the whole computation is engine-portable with no
     float-rounding hazard. The blend 0.5·uniq + 0.5·(1 − min(|mean−5|/10,
     1)) is computed as one rational: (10·du + 10·n − min(|cs − 5n|,
-    10n)) / (20n)."""
-    return docs.select(F.col(id_col), F.col("n_chars"), *quality_cols(text_col))
+    10n)) / (20n).
+
+    widen_for_compute: the compute (tokenize + array_distinct) is
+    CPU-bound per row, and small-file scans arrive as 1-2 splits that
+    serialize it — at 100 TB the widen is a no-op (round-6 perf fix:
+    the ×100 headline ran this on 2 of 32 cores)."""
+    return widen_for_compute(docs).select(
+        F.col(id_col),
+        F.col("n_chars"),
+        F.col(text_col),
+        T.tokens(text_col).alias("__toks"),
+    ).select(
+        F.col(id_col),
+        F.col("n_chars"),
+        *quality_cols(text_col, tok_col="__toks"),
+    )
 
 
-def quality_cols(text_col: str = "text") -> list:
+def quality_cols(text_col: str = "text", *, tok_col: str | None = None) -> list:
     """Named Column factory for the quality-score signals (see
-    token_stat_cols)."""
+    token_stat_cols). ``tok_col`` binds tokens from a prior projection —
+    REQUIRED on hot paths (round-6 perf fix: this was the one signal
+    family without the binding; the captured tokenize expression —
+    itself an interpreted filter-HOF over split — re-evaluated once per
+    REFERENCE, so n/du/cs re-tokenized the doc three times per row)."""
     from datalake_public_spark.functions.arith import int_ratio_half_up
 
-    toks = T.tokens(text_col)
+    toks = F.col(tok_col) if tok_col else T.tokens(text_col)
     n = F.size(toks).cast("long")
     du = F.size(F.array_distinct(toks)).cast("long")
-    cs = F.aggregate(
-        F.transform(toks, lambda t: F.length(t).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    # sum of token lengths == length of the zero-sep concatenation — one
+    # codegen builtin replaces the former transform+aggregate lambda
+    # chain (interpreted HOFs, which also re-evaluated the captured
+    # token expression per ELEMENT when tokens were unbound: O(tokens²)
+    # per doc). Identical values: no nulls in a split() array.
+    cs = F.length(F.concat_ws("", toks)).cast("long")
     p_quality = (
         F.lit(10) * du + F.lit(10) * n - F.least(F.abs(cs - F.lit(5) * n), F.lit(10) * n)
     )
@@ -188,7 +207,7 @@ def doc_signals(
             F.col(id_col),
             *token_stat_cols(text_col, tok_col="__toks"),
             *repetition_cols(text_col, tok_col="__toks")[1:],  # n_tokens also in quality_cols
-            *quality_cols(text_col),
+            *quality_cols(text_col, tok_col="__toks"),
             *language_cols(text_col),
         )
     )
@@ -335,7 +354,7 @@ def drop_reasons_col(
         F.size(F.col(tok_col)) if tok_col else F.size(T.tokens(text_col)),
         dup_frac,
         top_frac,
-        quality_cols(text_col)[3],
+        quality_cols(text_col, tok_col=tok_col)[3],
         T.language_id(text_col),
         min_chars=min_chars,
         min_tokens=min_tokens,

@@ -616,3 +616,55 @@ def test_lsh_banding_survives_boilerplate_skew_at_50k_docs(spark):
         assert got == planted, f"false pairs: {sorted(got - planted)[:5]}"
     finally:
         docs.unpersist()
+
+
+def test_banded_pair_restriction_equals_full_intersect_band(spark):
+    """The sweep-time boundedness template (tools/scale_sweep.py): a
+    banded pair run must equal the UNBOUNDED run restricted to
+    same-band pairs — identical jaccard/hamming values on the covered
+    pairs, nothing extra. Band 64 puts sf0.001's 500 doc ids in 8 bands
+    so the restriction is non-trivial."""
+    from datalake_public_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        simhash_clusters,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    band = 64
+    for fn, val_col in (
+        (lambda **kw: ngram_jaccard_pairs(docs, threshold=0.5, **kw), "jaccard"),
+        (lambda **kw: simhash_clusters(docs, max_hamming=3, **kw), "hamming"),
+    ):
+        full = {
+            (r.id_a, r.id_b): r[val_col] for r in fn().collect()
+        }
+        banded = {
+            (r.id_a, r.id_b): r[val_col] for r in fn(band=band).collect()
+        }
+        want = {
+            k: v for k, v in full.items() if k[0] // band == k[1] // band
+        }
+        assert banded == want
+        assert 0 < len(banded) < len(full), (len(banded), len(full))
+
+
+def test_banded_sweep_twins_match_their_sql(spark):
+    """Each banded sweep twin and its DuckDB twin see the IDENTICAL
+    restriction — cross-engine value equality at a non-trivial band."""
+    from datalake_public_spark import driver_queries_scale as S
+    from tests.oracle_harness import compare, duck_connection
+
+    con = duck_connection(SF_SMOKE)
+    band = 64
+    compare(
+        S.dedup_simhash_banded(band)(spark, SF_SMOKE),
+        con, S.dedup_simhash_banded_sql(band), "banded_simhash",
+    )
+    compare(
+        S.dedup_ngram_fuzzy_banded(band)(spark, SF_SMOKE),
+        con, S.dedup_ngram_fuzzy_banded_sql(band), "banded_ngram",
+    )
+    compare(
+        S.dedup_components_banded(band)(spark, SF_SMOKE),
+        con, S.dedup_components_banded_sql(band), "banded_components",
+    )

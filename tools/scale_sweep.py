@@ -108,23 +108,57 @@ def main() -> None:
         with open(out_path, "w") as f:
             json.dump(summary, f, indent=1)
 
-    # Sweep-time bounded twins (VERDICT r4 item 3): entries whose
-    # DELIBERATE quadratic oracles dominate sweep wall time run a
-    # deterministically sub-blocked variant at scale — BOTH engines see
-    # the identical restriction, the unbounded entry still runs at every
-    # driver-gate SF. Coverage bound recorded per result row.
+    # Sweep-time bounded twins (VERDICT r4 item 3 / r5 item 1): entries
+    # whose DELIBERATE quadratic oracles dominate sweep wall time run a
+    # deterministically restricted variant at scale — BOTH engines see
+    # the identical restriction, the unbounded entries still run at
+    # every driver-gate SF. Coverage bound recorded per result row.
     from datalake_public_spark.driver_queries_llm import (
         dedup_embedding_blocked_sql,
         dedup_embedding_cosine_blocked,
     )
+    from datalake_public_spark.driver_queries_scale import (
+        dedup_components_banded,
+        dedup_components_banded_sql,
+        dedup_ngram_fuzzy_banded,
+        dedup_ngram_fuzzy_banded_sql,
+        dedup_simhash_banded,
+        dedup_simhash_banded_sql,
+    )
 
     SUB_BLOCKS = int(os.environ.get("SWEEP_COSINE_SUB_BLOCKS", "16"))
+    # one band == one replica of tools/scale_replicate.py's key space:
+    # banded pair work/output scale LINEARLY in corpus size; cross-band
+    # pairs are the exact-copy cliques, owned by the unbounded (linear)
+    # dedup_exact entry at every rung
+    BAND = int(os.environ.get("SWEEP_ID_BAND", "10000000"))
+    band_note = (
+        f"pairs scored within id DIV {BAND} bands (one replication key "
+        "band each) — both engines identically restricted; cross-band "
+        "pairs are the exact-copy cliques owned by dedup_exact"
+    )
     bounded = {
         "dedup_embedding_cosine": (
             dedup_embedding_cosine_blocked(SUB_BLOCKS),
             dedup_embedding_blocked_sql(SUB_BLOCKS),
             f"vec_id%{SUB_BLOCKS} sub-blocks — 1/{SUB_BLOCKS} "
             "within-label pair coverage (both engines)",
+        ),
+        "dedup_simhash": (
+            dedup_simhash_banded(BAND),
+            dedup_simhash_banded_sql(BAND),
+            band_note,
+        ),
+        "dedup_ngram_jaccard": (
+            dedup_ngram_fuzzy_banded(BAND),
+            dedup_ngram_fuzzy_banded_sql(BAND),
+            band_note,
+        ),
+        "dedup_components": (
+            dedup_components_banded(BAND),
+            dedup_components_banded_sql(BAND),
+            band_note + "; survivor branch UNRESTRICTED (reps are "
+            "replication-invariant)",
         ),
     }
 
