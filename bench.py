@@ -130,12 +130,19 @@ def main() -> None:
             return extra[name](spark, sf_dir)
         return registry[name].spark(spark, sf_dir)
 
-    best: dict[str, float] = {}
+    samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
     for _rep in range(reps):
         for name in HEADLINE:
-            t = run_noop(build(name))
-            best[name] = min(best.get(name, float("inf")), t)
-    timings = {n: round(t, 3) for n, t in best.items()}
+            samples[name].append(run_noop(build(name)))
+    timings = {n: round(min(ts), 3) for n, ts in samples.items()}
+    # band columns (round-6, VERDICT r5 item 8): the r5 band study
+    # measured 11-38% per-query spread on idle runs of this box, so a
+    # bare min invites point-vs-point noise verdicts — report the
+    # observed [min, max] per query alongside, `queries` stays the min
+    # for round-over-round comparability
+    bands = {
+        n: [round(min(ts), 3), round(max(ts), 3)] for n, ts in samples.items()
+    }
 
     # bucketed fact-layout twins (materialization untimed; see docstring)
     import shutil
@@ -177,6 +184,7 @@ def main() -> None:
                 "queries": core,
                 "sf": sf,
                 "reps": reps,
+                "bands": {n: bands[n] for n in core},
                 "bucketed": {n: round(t, 3) for n, t in bucketed_best.items()},
                 "extensions": {
                     n: t for n, t in timings.items() if n in EXTENSIONS
