@@ -48,6 +48,11 @@ def get_spark(config: EngineConfig | None = None) -> SparkSession:
         # Keep the UI off in tests/bench; driver memory generous for local mode.
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
+        # The correctness harness collect-compares FULL results against
+        # DuckDB; at the ×100 rung a wide 16M-row entry serializes past
+        # the 1g default (observed: r3_union_by_name, 1.5 GiB). Local
+        # mode only — production writes to sinks and never collects.
+        .config("spark.driver.maxResultSize", "6g")
     )
     for k, v in cfg.extra_conf.items():
         builder = builder.config(k, v)

@@ -13,6 +13,12 @@ differed by ≤ $0.01, rel 2e-11) — a plan artifact, not a logic bug. The
 JSON separates `strict` / `float_tolerant` / `fail` so nothing hides.
 
 Usage: python tools/scale_sweep.py [sf_dir] [out_json]
+       python tools/scale_sweep.py [sf_dir] [out_json] --only a,b,c
+
+``--only``: re-run just the named entries and MERGE their rows into an
+existing out_json (summary counts recomputed) — for re-running entries
+after a harness-limit fix (e.g. driver.maxResultSize) without paying
+the full sweep again.
 """
 
 from __future__ import annotations
@@ -79,6 +85,9 @@ def tolerant_equal(s_rows: list[tuple], o_rows: list[tuple]) -> bool:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_sf1.0"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/SCALE_r4.json"
+    only: set[str] | None = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
 
     from datalake_public_spark import EngineConfig, get_spark
     from datalake_public_spark.driver_registry import FINAL_REGISTRY
@@ -92,6 +101,11 @@ def main() -> None:
     con = duck_connection(sf_dir)
 
     results: dict[str, dict] = {}
+    prior_wall = 0.0
+    if only is not None and os.path.exists(out_path):
+        prior = json.load(open(out_path))
+        results = prior.get("results", {})
+        prior_wall = prior.get("wall_s", 0.0)
     t_start = time.time()
 
     def flush() -> None:
@@ -102,7 +116,7 @@ def main() -> None:
             "strict": verdicts.count("strict"),
             "float_tolerant": verdicts.count("float_tolerant"),
             "fail": verdicts.count("fail"),
-            "wall_s": round(time.time() - t_start, 1),
+            "wall_s": round(prior_wall + time.time() - t_start, 1),
             "results": results,
         }
         with open(out_path, "w") as f:
@@ -163,6 +177,8 @@ def main() -> None:
     }
 
     for name, spec in FINAL_REGISTRY.items():
+        if only is not None and name not in only:
+            continue
         print(f"-> {name}", flush=True)
         t0 = time.time()
         spark_fn, oracle_sql = spec.spark, spec.oracle
