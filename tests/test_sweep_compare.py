@@ -1,0 +1,146 @@
+"""Pin tools/scale_sweep.vector_equal to the per-row fast_rows contract.
+
+The ×100 sweep's wall time was dominated by the pure-Python per-row
+comparator, not the engines (sessionize: 9.5M rows ≈ 830 s mostly
+compare).  vector_equal is the Arrow-native strict path; these tests
+prove it agrees with fast_rows on every decision it makes, declines
+(None) exactly where the per-row canonicalization is required, and
+honors the harness's tz / NaN / null contracts.
+"""
+
+from __future__ import annotations
+
+import datetime
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+_spec = importlib.util.spec_from_file_location(
+    "scale_sweep", os.path.join(REPO, "tools", "scale_sweep.py")
+)
+scale_sweep = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(scale_sweep)
+
+vector_equal = scale_sweep.vector_equal
+fast_rows = scale_sweep.fast_rows
+
+
+def _base_table() -> pa.Table:
+    return pa.table(
+        {
+            "i": pa.array([3, 1, 2, None, 2], type=pa.int64()),
+            "f": pa.array([1.5, float("nan"), -0.0, 2.25, None]),
+            "s": pa.array(["b", None, "a", "a", "z"]),
+            "t": pa.array(
+                [
+                    datetime.datetime(2024, 1, 1, 12, 0, 0),
+                    datetime.datetime(2024, 1, 2),
+                    None,
+                    datetime.datetime(2024, 1, 1, 12, 0, 0),
+                    datetime.datetime(2023, 12, 31, 23, 59, 59),
+                ],
+                type=pa.timestamp("us"),
+            ),
+        }
+    )
+
+
+def _permuted(tbl: pa.Table, order: list[int]) -> pa.Table:
+    return tbl.take(pa.array(order))
+
+
+def test_permutation_is_strict_equal():
+    a = _base_table()
+    b = _permuted(a, [4, 2, 0, 3, 1])
+    assert vector_equal(a, b) is True
+    assert fast_rows(a.to_pandas()) == fast_rows(b.to_pandas())
+
+
+def test_changed_cell_detected_by_both_paths():
+    a = _base_table()
+    pdf = a.to_pandas()
+    pdf.loc[2, "s"] = "MUTATED"
+    b = pa.Table.from_pandas(pdf, schema=a.schema, preserve_index=False)
+    assert vector_equal(a, b) is False
+    assert fast_rows(a.to_pandas()) != fast_rows(b.to_pandas())
+
+
+def test_nan_vs_number_is_unequal_but_nan_vs_nan_is_equal():
+    a = pa.table({"f": pa.array([1.0, float("nan")])})
+    same = pa.table({"f": pa.array([float("nan"), 1.0])})
+    diff = pa.table({"f": pa.array([1.0, 2.0])})
+    assert vector_equal(a, same) is True
+    assert vector_equal(a, diff) is False
+    assert fast_rows(a.to_pandas()) == fast_rows(same.to_pandas())
+    assert fast_rows(a.to_pandas()) != fast_rows(diff.to_pandas())
+
+
+def test_null_vs_value_is_unequal():
+    a = pa.table({"i": pa.array([1, None], type=pa.int64())})
+    b = pa.table({"i": pa.array([1, 2], type=pa.int64())})
+    assert vector_equal(a, b) is False
+
+
+def test_tz_aware_vs_naive_same_wall_clock_is_equal():
+    # Spark's Arrow export annotates tz=UTC; DuckDB's is naive. Session
+    # tz is pinned UTC, so equal wall clocks must compare equal — the
+    # _norm_cell contract.
+    naive = pa.table(
+        {"t": pa.array([datetime.datetime(2024, 5, 1, 8, 30)], type=pa.timestamp("us"))}
+    )
+    aware = pa.table(
+        {
+            "t": pa.array(
+                [datetime.datetime(2024, 5, 1, 8, 30)],
+                type=pa.timestamp("us", tz="UTC"),
+            )
+        }
+    )
+    assert vector_equal(aware, naive) is True
+    assert fast_rows(aware.to_pandas()) == fast_rows(naive.to_pandas())
+
+
+def test_nested_and_decimal_columns_decline_to_fast_rows():
+    nested = pa.table({"a": pa.array([[1, 2], [3]], type=pa.list_(pa.int64()))})
+    assert vector_equal(nested, nested) is None
+    dec = pa.table({"d": pa.array([1, 2], type=pa.decimal128(10, 2))})
+    assert vector_equal(dec, dec) is None
+
+
+def test_row_count_mismatch_is_false():
+    a = _base_table()
+    assert vector_equal(a, a.slice(0, 3)) is False
+
+
+def test_large_permuted_table_roundtrip():
+    rng = np.random.default_rng(7)
+    n = 50_000
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 1_000, n),
+            "v": rng.standard_normal(n).round(6),
+            "s": pd.Series(rng.integers(0, 26, n)).map(lambda i: chr(97 + i) * 3),
+        }
+    )
+    a = pa.Table.from_pandas(pdf, preserve_index=False)
+    b = pa.Table.from_pandas(
+        pdf.sample(frac=1.0, random_state=11).reset_index(drop=True),
+        preserve_index=False,
+    )
+    assert vector_equal(a, b) is True
+    pdf2 = pdf.copy()
+    pdf2.loc[n - 1, "v"] += 1e-7  # below round-trip display noise, still strict
+    c = pa.Table.from_pandas(pdf2, preserve_index=False)
+    assert vector_equal(a, c) is False
+
+
+if __name__ == "__main__":
+    sys.exit(pytest.main([__file__, "-q"]))

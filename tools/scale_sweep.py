@@ -32,6 +32,56 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def vector_equal(s_tbl, o_tbl):
+    """Arrow-native strict multiset compare for primitive-typed tables.
+
+    The per-row ``fast_rows`` path is ~50 µs/row of pure Python; at the
+    ×100 rung the COMPARE dominated the sweep (sessionize: 9.5M rows,
+    ~830 s of which the engines were a small fraction). This path casts
+    both tables to the harness's canonical Arrow schema, sorts by every
+    column (Arrow's sort is deterministic for nulls and NaNs, and both
+    sides run the same Arrow build), and compares column-wise — equal
+    multisets sort to identical sequences, so elementwise equality of
+    the sorted tables IS order-insensitive exact equality.
+
+    Returns True / False, or None when a column type needs the per-row
+    canonicalization (nested lists/structs, decimals) — callers fall
+    back to ``fast_rows``. A False here also falls back, so the
+    float-tolerant retry and diff reporting are unchanged.
+    """
+    import pyarrow as pa
+
+    from tests.oracle_harness import _canon_type
+
+    if s_tbl.num_rows != o_tbl.num_rows:
+        return False
+    cols = sorted(s_tbl.column_names)
+
+    def canon(t):
+        fields = []
+        for c in cols:
+            ct = _canon_type(t.schema.field(c).type)
+            if pa.types.is_nested(ct) or pa.types.is_decimal(ct):
+                return None
+            fields.append(pa.field(c, ct))
+        # tz-aware → naive cast keeps the stored UTC wall clock, the
+        # same contract as _norm_cell (session tz is pinned UTC).
+        return t.select(cols).cast(pa.schema(fields))
+
+    s, o = canon(s_tbl), canon(o_tbl)
+    if s is None or o is None:
+        return None
+    keys = [(c, "ascending") for c in cols]
+    s = s.sort_by(keys).combine_chunks()
+    o = o.sort_by(keys).combine_chunks()
+    for c in cols:
+        # Series.equals: positional, dtype-sensitive, NaN==NaN — the
+        # strict contract (dtypes already matched via assert_types_match).
+        if not s.column(c).to_pandas().equals(o.column(c).to_pandas()):
+            return False
+    return True
+
+
 def fast_rows(df) -> list[tuple]:
     """normalize() from the oracle harness, but via itertuples (the
     iterrows path is ~50× slower and dominated the first ×10 sweep
@@ -196,6 +246,17 @@ def main() -> None:
             assert_types_match(s_tbl, o_tbl, name)
             assert len(s) == len(o), f"row count {len(s)} vs {len(o)}"
             assert len(s) > 0, "empty result"
+            if vector_equal(s_tbl, o_tbl) is True:
+                results[name] = {
+                    "verdict": "strict",
+                    "rows": len(s),
+                    "s": round(time.time() - t0, 1),
+                }
+                if note is not None:
+                    results[name]["bounded"] = note
+                print(name, "strict", results[name]["s"], flush=True)
+                flush()
+                continue
             ns, no = fast_rows(s), fast_rows(o)
             if ns == no:
                 results[name] = {
