@@ -9,7 +9,10 @@ Reproduces the orchestration semantics of ``dags/dag_bike.py`` (SURVEY §2.6):
   O3 fan-in barrier: enrichment needs all three feeds, serving requires the
      quality gate to pass (``dag_bike.py:171-175``).
 
-Retry/cron policy (O4) is a scheduler concern and intentionally absent.
+Retry/cron policy (O4) and layered config injection (O5) live in
+``plans/orchestrate.py`` — deterministic, orchestrator-free primitives
+(``run_due_ticks(schedule, last_run, now, task)`` drives one tick of
+this pipeline under the reference's exact retry/catchup contract).
 """
 
 from __future__ import annotations
