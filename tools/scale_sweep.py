@@ -19,6 +19,12 @@ Usage: python tools/scale_sweep.py [sf_dir] [out_json]
 existing out_json (summary counts recomputed) — for re-running entries
 after a harness-limit fix (e.g. driver.maxResultSize) without paying
 the full sweep again.
+
+Each result row carries a phase split — ``spark_s`` (plan build +
+toArrow collect), ``oracle_s`` (DuckDB execute + fetch), ``compare_s``
+(Arrow/pandas canonicalize + multiset equality) — so a super-linear
+total decomposes into engine vs evidence-harness cost instead of being
+read as an engine scale problem.
 """
 
 from __future__ import annotations
@@ -237,7 +243,13 @@ def main() -> None:
             spark_fn, oracle_sql, note = bounded[name]
         try:
             s_tbl = spark_fn(spark, sf_dir).toArrow()
+            t_spark = time.time()
             o_tbl = con.execute(oracle_sql).fetch_arrow_table()
+            t_oracle = time.time()
+            phases = {
+                "spark_s": round(t_spark - t0, 1),
+                "oracle_s": round(t_oracle - t_spark, 1),
+            }
             s = s_tbl.to_pandas()
             o = o_tbl.to_pandas()
             assert sorted(s.columns) == sorted(o.columns), (
@@ -247,10 +259,12 @@ def main() -> None:
             assert len(s) == len(o), f"row count {len(s)} vs {len(o)}"
             assert len(s) > 0, "empty result"
             if vector_equal(s_tbl, o_tbl) is True:
+                phases["compare_s"] = round(time.time() - t_oracle, 1)
                 results[name] = {
                     "verdict": "strict",
                     "rows": len(s),
                     "s": round(time.time() - t0, 1),
+                    **phases,
                 }
                 if note is not None:
                     results[name]["bounded"] = note
@@ -258,17 +272,21 @@ def main() -> None:
                 flush()
                 continue
             ns, no = fast_rows(s), fast_rows(o)
+            phases["compare_s"] = round(time.time() - t_oracle, 1)
             if ns == no:
                 results[name] = {
                     "verdict": "strict",
                     "rows": len(s),
                     "s": round(time.time() - t0, 1),
+                    **phases,
                 }
             elif tolerant_equal(ns, no):
+                phases["compare_s"] = round(time.time() - t_oracle, 1)
                 results[name] = {
                     "verdict": "float_tolerant",
                     "rows": len(s),
                     "s": round(time.time() - t0, 1),
+                    **phases,
                 }
             else:
                 diffs = [(a, b) for a, b in zip(ns, no) if a != b][:3]
@@ -276,6 +294,7 @@ def main() -> None:
                     "verdict": "fail",
                     "rows": len(s),
                     "s": round(time.time() - t0, 1),
+                    **phases,
                     "err": f"values differ; first diffs: {diffs!r}"[:400],
                 }
         except Exception as e:
