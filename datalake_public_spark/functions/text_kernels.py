@@ -144,11 +144,25 @@ def _simhash_np(texts: list[str]) -> np.ndarray:
     tok_lens = ends - starts + 1
     doc_of = doc_at[starts]
     th = _hash_segments(flat, starts, tok_lens, M_SIMHASH)
-    bits = (((th[:, None] >> np.arange(32)) & 1) * 2 - 1).astype(np.int64)  # ±1
-    votes = np.zeros((n, 32), dtype=np.int64)
-    np.add.at(votes, doc_of, bits)
+    # Per-bit ±1 majority without the tokens×32 int64 ±1 matrix (whose
+    # construction + scatter was memory-bandwidth bound: ~2.3 GB of
+    # traffic per 20k-doc batch, 85% of kernel time). M_SIMHASH = 2^32,
+    # so each token hash IS its 32 bits: view as 4 little-endian bytes,
+    # unpackbits to a tokens×32 uint8 (one C pass, 32 MB/1M tokens), and
+    # segment-sum the ones per doc with reduceat — token rows arrive
+    # doc-ordered by construction. votes = 2*ones - n_tokens.
+    bits8 = np.unpackbits(
+        th.astype(np.uint32).view(np.uint8).reshape(-1, 4),
+        axis=1,
+        bitorder="little",
+    )
+    seg = np.flatnonzero(np.concatenate(([True], doc_of[1:] != doc_of[:-1])))
+    ones = np.add.reduceat(bits8, seg, axis=0, dtype=np.int64)
+    n_tok = np.diff(np.append(seg, len(doc_of)))
+    votes = 2 * ones - n_tok[:, None]
     weights = np.int64(1) << np.arange(32, dtype=np.int64)
-    return ((votes > 0) * weights).sum(axis=1).astype(np.int64)
+    out[doc_of[seg]] = ((votes > 0) * weights).sum(axis=1)
+    return out
 
 
 def _fingerprint256_fn(texts: pd.Series) -> pd.Series:
