@@ -29,6 +29,7 @@ read as an engine scale problem.
 
 from __future__ import annotations
 
+import gc
 import json
 import math
 import os
@@ -307,6 +308,30 @@ def main() -> None:
             results[name]["bounded"] = note
         print(name, results[name]["verdict"], results[name]["s"], flush=True)
         flush()
+        # Release the per-entry gigabytes before the next entry. At the
+        # ×100 rung a collected result reaches ~10M rows on BOTH sides
+        # (Arrow + pandas + sorted copies); without an explicit drop the
+        # process RSS ratchets across the 50 entries and later entries
+        # pay for it in page-cache pressure and allocator churn — the
+        # recorded full-sweep run had sessionize at 829.6s mid-sweep vs
+        # 46.5s isolated with identical phase behavior. The DuckDB
+        # connection is recycled per entry (views are ~free to rebuild;
+        # its buffer pool is not), and malloc_trim returns freed pandas
+        # pages to the OS (glibc arenas otherwise keep them).
+        s_tbl = o_tbl = s = o = ns = no = None  # noqa: F841
+        con.close()
+        con = duck_connection(sf_dir)
+        gc.collect()
+        try:
+            import ctypes
+
+            ctypes.CDLL("libc.so.6").malloc_trim(0)
+        except Exception:
+            pass
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     flush()
     print(
