@@ -748,12 +748,18 @@ def approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
     Bound rationale: rsd=0.02 → ±10% (5σ) on distinct counts;
     accuracy=10000 → rank error < 1 row for any group under 10k rows
     (and ≤ n/10000 beyond), so each approx percentile must land between
-    the exact ORDER STATISTICS ±0.05-rank around its target. The bounds
-    are order stats (max-accuracy percentile_approx = exact data
-    points), NOT interpolating percentile(): an interpolated lower bound
-    exceeds the lower data point on small/even groups, which would make
-    the TRUE-literal oracle falsifiable for a rare event_type (review
-    finding r3)."""
+    ORDER STATISTICS at ±0.05-rank around its target. The bound side
+    uses percentile_approx at accuracy=100000 — actual data points with
+    rank error ≤ n/100000, three orders of magnitude tighter than the
+    0.05·n slack the invariant grants, so the TRUE-literal oracle stays
+    mathematically guaranteed (worst case: p50's rank ≥ 0.4999·n vs the
+    0.40-bound's rank ≤ 0.4001·n). NOT interpolating percentile(): an
+    interpolated lower bound exceeds the lower data point on small/even
+    groups, which would make TRUE falsifiable for a rare event_type
+    (review finding r3). And NOT accuracy=INT_MAX (exact order stats):
+    that degenerates the sketch into buffering EVERY group value in one
+    aggregation state — 151 s and O(n) driver-side merge at the ×100
+    rung, an OOM at real scale, for slack the invariant never uses."""
     ev = _events(spark, sf)
     agg = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -761,7 +767,7 @@ def approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
         F.countDistinct("user_id").alias("exact_users"),
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("pcts"),
         F.percentile_approx(
-            "value", [0.40, 0.60, 0.90, 0.94, 1.0], 2147483647
+            "value", [0.40, 0.60, 0.90, 0.94, 1.0], 100000
         ).alias("exact_q"),
     )
     p = lambda i: F.element_at("pcts", i)  # noqa: E731

@@ -16,6 +16,8 @@ Scale notes (100 TB target):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
 from datalake_public_spark.config import EngineConfig
@@ -45,9 +47,17 @@ def get_spark(config: EngineConfig | None = None) -> SparkSession:
         # test SFs the thresholds aren't met, so pinned static plans
         # are unchanged (verified).
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        # Keep the UI off in tests/bench; driver memory generous for local mode.
+        # Keep the UI off in tests/bench; driver memory generous for local
+        # mode, where this ONE heap is the whole "cluster" — 32 executor
+        # threads' shuffle/state/collect share it. 8g OOM'd the ×100
+        # stream-stream join (its two watermark-bounded state stores are
+        # heap-backed); on a real cluster each executor brings its own
+        # heap, so this knob is a local-harness artifact, not engine
+        # sizing. Env-tunable for scale runs.
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "8g")
+        .config(
+            "spark.driver.memory", os.environ.get("DLPS_DRIVER_MEMORY", "16g")
+        )
         # The correctness harness collect-compares FULL results against
         # DuckDB; at the ×100 rung a wide 16M-row entry serializes past
         # the 1g default (observed: r3_union_by_name, 1.5 GiB). Local
