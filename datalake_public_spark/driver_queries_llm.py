@@ -88,11 +88,21 @@ def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return text.fingerprint(_t(spark, sf, "documents"))
 
 
+# Hashes evaluated once per DISTINCT text and joined back (the same
+# oracle-cost fix as the simhash/shingle SQL below): DuckDB's per-doc
+# list_reduce lambda chain is ~1 ms/doc, and a replicated scale corpus
+# re-paid it per COPY — 503 s of the entry's 527 s at the ×100 rung.
+# LEFT JOIN so a NULL text keeps its row with NULL hashes, exactly the
+# kernel's NULL propagation.
 FINGERPRINT_SQL = f"""
-SELECT doc_id,
-       {T.rolling_hash_sql("substr(text, 1, 256)")} AS fingerprint,
-       {T.simhash32_sql("text")} AS simhash
-FROM documents
+WITH d AS (
+  SELECT text,
+         {T.rolling_hash_sql("substr(text, 1, 256)")} AS fingerprint,
+         {T.simhash32_sql("text")} AS simhash
+  FROM (SELECT DISTINCT text FROM documents)
+)
+SELECT doc_id, d.fingerprint, d.simhash
+FROM documents LEFT JOIN d USING (text)
 """
 
 

@@ -761,15 +761,25 @@ def approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
     aggregation state — 151 s and O(n) driver-side merge at the ×100
     rung, an OOM at real scale, for slack the invariant never uses."""
     ev = _events(spark, sf)
-    agg = ev.groupBy("event_type").agg(
+    # The exact-distinct agg runs SEPARATELY and joins back on the tiny
+    # group key: combining countDistinct with sketch aggregates in one
+    # groupBy makes Catalyst's distinct-rewrite key the FIRST partial
+    # aggregate by (event_type, user_id) — every sketch buffer is then
+    # built once per distinct user, not once per event_type (measured at
+    # the ×100 rung: 111 s combined vs 4 s split; and the per-user
+    # percentile buffers are the same hidden memory bomb at 100 TB).
+    sketches = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("pcts"),
         F.percentile_approx(
             "value", [0.40, 0.60, 0.90, 0.94, 1.0], 100000
         ).alias("exact_q"),
     )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    agg = sketches.join(F.broadcast(exact), "event_type")
     p = lambda i: F.element_at("pcts", i)  # noqa: E731
     q = lambda i: F.element_at("exact_q", i)  # noqa: E731
     return agg.select(
