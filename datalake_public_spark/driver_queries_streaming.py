@@ -102,9 +102,13 @@ def streaming_stateful_sessions(spark: SparkSession, sf: str) -> DataFrame:
     sessions only, emitted when the event-time watermark passes
     ``sess_end + gap``. Scale: per-user state is one fixed-width tuple;
     the Arrow-batched UDF sees each user's micro-batch slice, never
-    the whole history."""
+    the whole history. The result is one row per SESSION — data-sized,
+    not summary-sized — so it drains through the distributed parquet
+    spill, not the driver-local memory sink."""
     return run_available_now(
-        stateful_sessionize(events_stream(spark, sf)), output_mode="append"
+        stateful_sessionize(events_stream(spark, sf)),
+        output_mode="append",
+        sink="parquet",
     )
 
 

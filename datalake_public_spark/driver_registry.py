@@ -1461,6 +1461,9 @@ def streaming_windows(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
     )
 
+    # the session-window result is one row per (user, session) — data-
+    # sized, so that stream spills to parquet instead of the driver-local
+    # memory sink; the hour/half-hour window aggregates stay summary-sized
     t_raw, s_raw, g_raw, late_emitted = run_available_now_many(
         [
             tumbling_window_agg(events_stream(spark, sf)),
@@ -1469,6 +1472,7 @@ def streaming_windows(spark: SparkSession, sf: str) -> DataFrame:
             late_agg,
         ],
         output_modes=["complete", "complete", "complete", "append"],
+        sinks=["memory", "memory", "parquet", "memory"],
     )
     t = t_raw.select(
         F.lit("tumbling").alias("op"),
