@@ -222,7 +222,9 @@ def ngram_pairs_sql(
     * ``band`` — optional pair restriction to ``id DIV band`` bands
       (both engines identically restricted; the sweep-time boundedness
       template, see tools/scale_sweep.py)."""
-    bd = f" AND a.id // {band} = b.id // {band}" if band else ""
+    if band is not None and band < 1:
+        raise ValueError(f"band must be >= 1, got {band}")
+    bd = f" AND a.id // {band} = b.id // {band}" if band is not None else ""
     return f"""
 WITH sh0 AS (
   SELECT text, {T.shingles_sql('toks')} AS shingles
@@ -305,7 +307,9 @@ def simhash_pairs_sql(band: int | None = None) -> str:
     (6.8 s) — UNION dedupes pairs matched by both halves, identical
     semantics. ``band``: optional ``id DIV band`` pair restriction
     (both engines; sweep boundedness template)."""
-    bd = f" AND a.id // {band} = b.id // {band}" if band else ""
+    if band is not None and band < 1:
+        raise ValueError(f"band must be >= 1, got {band}")
+    bd = f" AND a.id // {band} = b.id // {band}" if band is not None else ""
     return f"""
 WITH fp0 AS (
   SELECT text, {T.simhash32_sql('text')} AS simhash

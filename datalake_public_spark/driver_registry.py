@@ -1567,22 +1567,29 @@ _LATE_FIXTURES = _os.path.join(
 )
 
 
-def _stage_late_fixture() -> str:
-    """Copy the committed late-arrival fixture to a fixed temp dir with
-    ORDERED mtimes (batch_0 strictly older) so the file streaming source
-    consumes batch_0 before batch_1 — the interleaving the late-drop
-    proof depends on. Fixed path + overwrite: idempotent, no growth."""
-    import shutil
-    import tempfile
+_LATE_STAGE_MEMO: list[str] = []
 
-    dest = _os.path.join(tempfile.gettempdir(), "dlps_streaming_late")
-    _os.makedirs(dest, exist_ok=True)
+
+def _stage_late_fixture() -> str:
+    """Copy the committed late-arrival fixture to a per-process temp dir
+    with ORDERED mtimes (batch_0 strictly older) so the file streaming
+    source consumes batch_0 before batch_1 — the interleaving the
+    late-drop proof depends on. mkdtemp (ADVICE r6): a fixed world-shared
+    path raced concurrent processes and was symlink-attackable; the
+    per-process root is memoized (idempotent within a process) and
+    removed by the _registry_tmp_root atexit hook."""
+    import shutil
+
+    if _LATE_STAGE_MEMO:
+        return _LATE_STAGE_MEMO[0]
+    dest = _registry_tmp_root("dlps_streaming_late_")
     for i, name in enumerate(
         ("batch_0.json", "batch_1.json", "batch_2.json")
     ):
         dst = _os.path.join(dest, name)
         shutil.copyfile(_os.path.join(_LATE_FIXTURES, name), dst)
         _os.utime(dst, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
+    _LATE_STAGE_MEMO.append(dest)
     return dest
 
 
@@ -1630,7 +1637,7 @@ UNION ALL
 SELECT 'session', sess_start, CAST(user_id AS VARCHAR), n_events, sum_value
 FROM ({STREAM_SESSION_SQL}) g
 UNION ALL
-SELECT 'late_window', to_timestamp(ws), 'all',
+SELECT 'late_window', CAST(to_timestamp(ws) AS TIMESTAMP), 'all',
        CAST(n_events AS BIGINT), sum_value
 FROM win, fwm WHERE ws + 3600 <= fwm.w
 UNION ALL
@@ -3237,7 +3244,12 @@ def ingest_suite(spark: SparkSession, sf: str) -> DataFrame:
     lime = feed("lime_free_bike_status").select(
         F.lit("lime").alias("op"),
         F.col("bike_id").alias("k"),
-        F.concat_ws("|", "vehicle_type_id", "vehicle_type").alias("s"),
+        # F.concat (NULL-propagating) to mirror the oracle twin's `||`
+        # exactly — concat_ws skips NULLs, so a regenerated fixture with
+        # a null vehicle_type would diverge cross-engine (ADVICE r6)
+        F.concat(
+            F.col("vehicle_type_id"), F.lit("|"), F.col("vehicle_type")
+        ).alias("s"),
         F.col("last_updated_timestamp").alias("ts"),
         F.col("current_range_meters").cast("long").alias("n"),
         (
@@ -3313,7 +3325,7 @@ def _ingest_suite_sql() -> str:
     p = _GBFS_FIXTURES
     return f"""
 SELECT 'ss' AS op, s.station_id AS k, s.stationCode AS s,
-       to_timestamp(j.lastUpdatedOther) AS ts,
+       CAST(to_timestamp(j.lastUpdatedOther) AS TIMESTAMP) AS ts,
        CAST(s.num_bikes_available AS BIGINT) * 1000
          + s.num_docks_available AS n,
        CAST(CASE WHEN s.is_installed = 1 THEN 4 ELSE 0 END
@@ -3330,7 +3342,7 @@ SELECT 'si', s.station_id,
          WHEN s.rental_methods IS NULL THEN '{_RM_NULL}'
          WHEN len(s.rental_methods) = 0 THEN '{_RM_EMPTY}'
          ELSE array_to_string(s.rental_methods, ',') END,
-       to_timestamp(j.lastUpdatedOther),
+       CAST(to_timestamp(j.lastUpdatedOther) AS TIMESTAMP),
        CAST(s.capacity AS BIGINT), NULL, NULL, s.lat, s.lon
 FROM read_json('{p}/velib_station_information/*.json',
                format='newline_delimited', columns={_SI_COLSPEC}) j,
@@ -3338,7 +3350,7 @@ FROM read_json('{p}/velib_station_information/*.json',
 UNION ALL
 SELECT 'lime', s.bike_id,
        s.vehicle_type_id || '|' || s.vehicle_type,
-       to_timestamp(j.last_updated),
+       CAST(to_timestamp(j.last_updated) AS TIMESTAMP),
        CAST(s.current_range_meters AS BIGINT),
        CAST(CASE WHEN s.is_reserved = 'true' THEN 2 ELSE 0 END
           + CASE WHEN s.is_disabled = 'true' THEN 1 ELSE 0 END AS BIGINT),

@@ -127,6 +127,11 @@ def ngram_jaccard_pairs(
     cond = (F.col("a.shingle") == F.col("b.shingle")) & (
         F.col("a.id") < F.col("b.id")
     )
+    if band is not None and band < 1:
+        # band=0 would make `id DIV 0` yield NULL bands — silently zero
+        # pairs here, while the SQL twins would compute a DIFFERENT pair
+        # set; a misconfigured SWEEP_ID_BAND must fail loudly (ADVICE r6)
+        raise ValueError(f"band must be >= 1, got {band}")
     if band is not None:
         inv = inv.withColumn("bd", F.expr(f"id DIV {int(band)}"))
         cond = cond & (F.col("a.bd") == F.col("b.bd"))
@@ -698,6 +703,8 @@ def simhash_clusters(
         & (F.col("a.id") < F.col("b.id"))
     )
     # band: id DIV band pair restriction (sweep boundedness template)
+    if band is not None and band < 1:
+        raise ValueError(f"band must be >= 1, got {band}")  # see ngram twin
     if band is not None:
         halves = halves.withColumn("bd", F.expr(f"id DIV {int(band)}"))
         cond = cond & (F.col("a.bd") == F.col("b.bd"))

@@ -81,11 +81,16 @@ def _start_drain(
     if sink != "parquet":
         raise ValueError(f"unknown drain sink {sink!r} (memory|parquet)")
     out_dir = tempfile.mkdtemp(prefix="drain_")
-    write_mode = "overwrite" if mode == "complete" else "append"
     schema = df.schema
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode(write_mode).parquet(out_dir)
+        # Idempotent per-batch directory (ADVICE r6): foreachBatch is
+        # at-least-once, so a replayed micro-batch (checkpoint resume,
+        # task retry after a partial write) must overwrite ITS OWN files
+        # rather than append duplicates the fetch would silently count.
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
 
     q = (
         df.writeStream.foreachBatch(_sink)
@@ -96,11 +101,22 @@ def _start_drain(
     )
 
     def _fetch() -> DataFrame:
-        if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+        batches = sorted(
+            (d for d in os.listdir(out_dir) if d.startswith("batch=")),
+            key=lambda d: int(d.split("=", 1)[1]),
+        )
+        if not batches:
             # zero batches ran — an empty frame with the declared schema,
             # exactly what an unpopulated memory sink returns
             return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(out_dir)
+        if mode == "complete":
+            # complete re-emits the full result every trigger: the memory
+            # sink's contract is last-emission-wins, so read only the
+            # final batch directory
+            batches = batches[-1:]
+        return spark.read.schema(schema).parquet(
+            *(os.path.join(out_dir, d) for d in batches)
+        )
 
     return q, _fetch
 

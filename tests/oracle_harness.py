@@ -10,9 +10,14 @@ and failed the driver. Local green must imply driver green.
 
 Defined coercions before comparing types (differences the driver's
 canonicalizer provably erases):
-  * any timestamp unit/tz → timestamp[us] naive (session tz is pinned UTC,
-    so Spark's timestamp[us, tz=UTC] and DuckDB's naive timestamp[us] carry
-    identical wall-clock values);
+  * timestamp naive or tz="UTC" → timestamp[us] naive (session tz is pinned
+    UTC, so Spark's timestamp[us, tz=UTC] and DuckDB's naive timestamp[us]
+    carry identical wall-clock values). ANY OTHER tz annotation is
+    PRESERVED and fails the compare: round-6 shipped two red driver rows
+    because DuckDB's TIMESTAMPTZ exports as tz="Etc/UTC", which the driver
+    treats as a schema mismatch vs Spark's tz="UTC" — the fix is
+    CAST(... AS TIMESTAMP) in the oracle SQL, and this harness must force
+    that locally;
   * large_string → string (Arrow encoding detail, same pandas object dtype).
 Everything else — integer width, decimal128 (HUGEINT), date32 vs timestamp,
 float width — must match exactly or the compare fails.
@@ -86,7 +91,12 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
 def _canon_type(t: pa.DataType) -> pa.DataType:
     """Canonical Arrow type under the harness's defined coercion map."""
     if pa.types.is_timestamp(t):
-        return pa.timestamp("us")
+        # Only naive and tz="UTC" are provably-equal under the pinned-UTC
+        # session; anything else (DuckDB TIMESTAMPTZ exports tz="Etc/UTC")
+        # is a driver schema mismatch and must stay visible here.
+        if t.tz is None or t.tz == "UTC":
+            return pa.timestamp("us")
+        return pa.timestamp("us", tz=t.tz)
     if pa.types.is_large_string(t) or pa.types.is_string(t):
         return pa.string()
     if pa.types.is_large_list(t) or pa.types.is_list(t):

@@ -51,6 +51,21 @@ def test_harness_is_dtype_strict(spark, con):
         compare(y, con, "SELECT CAST(1996 AS BIGINT) AS y", "int-width")
 
 
+def test_harness_rejects_duckdb_timestamptz(spark, con):
+    """Round-6 driver regression pin: DuckDB's to_timestamp()/timezone()
+    return TIMESTAMPTZ, whose Arrow export is timestamp[us, tz='Etc/UTC'].
+    The driver's canonicalizer equates only naive ↔ tz='UTC' and flags
+    any other tz annotation as a schema mismatch — two entries shipped
+    red in r6 because the old harness erased ALL tz annotations. The
+    uncast oracle must fail locally; CAST(... AS TIMESTAMP) must pass."""
+    ts = spark.sql("SELECT TIMESTAMP '1970-01-01 00:00:00' AS t")
+    with pytest.raises(AssertionError, match="DTYPES"):
+        compare(ts, con, "SELECT to_timestamp(0) AS t", "timestamptz-uncast")
+    # the documented fix shape: cast to naive TIMESTAMP in the oracle SQL
+    compare(ts, con, "SELECT CAST(to_timestamp(0) AS TIMESTAMP) AS t",
+            "timestamptz-cast")
+
+
 def test_entry_smoke(spark):
     import importlib.util
 

@@ -29,6 +29,11 @@ MERGED = [
     "dedup_minhash_lsh",  # round 4: self-verifying reshape (invariant row)
     "lake_suite",  # round 5: ManifestTable lifecycle vs pure-SQL construction
     "dedup_ngram_jaccard",  # round 4: cross-table fuzzy join folded in
+    "ingest_suite",  # round 6 NEW — shipped red with zero local compare
+    # coverage (the r6 regression); round 7 makes this structurally
+    # impossible via test_every_entry_is_locally_compare_covered below
+    "udaf_robust_stats",  # value-tested in test_adv_queries but never
+    # oracle-compared under its FINAL_REGISTRY spec until round 7
     "p_row_normalize",
     "p_window_weight",
     "window_suite",
@@ -83,6 +88,36 @@ def test_merged_query_matches_oracle(spark, con, name):
         assert len(df.columns) > 0
     else:
         compare(df, con, spec.oracle, name)
+
+
+def test_every_entry_is_locally_compare_covered():
+    """Round-6 post-mortem guard: `ingest_suite` shipped red because it
+    existed only in FINAL_REGISTRY — no per-family registry (so
+    test_driver_contract never saw it) and no MERGED listing (so this
+    module never compared it). Local green must imply driver green, which
+    requires every FINAL_REGISTRY entry to face the strict harness
+    somewhere: either it lives in a per-family registry (looped by
+    test_driver_contract.test_query_matches_oracle) or it is listed in
+    MERGED above (looped by test_merged_query_matches_oracle). Any new or
+    merged entry that is in neither fails here BEFORE it can ship."""
+    from datalake_public_spark.driver_queries import REGISTRY
+    from datalake_public_spark.driver_queries_ext import EXT_REGISTRY
+    from datalake_public_spark.driver_queries_llm import LLM_REGISTRY
+    from datalake_public_spark.driver_queries_streaming import (
+        STREAMING_REGISTRY,
+    )
+
+    per_family = (
+        set(REGISTRY) | set(LLM_REGISTRY) | set(EXT_REGISTRY)
+        | set(STREAMING_REGISTRY)
+    )
+    uncovered = [
+        n for n in FINAL_REGISTRY if n not in per_family and n not in MERGED
+    ]
+    assert not uncovered, (
+        f"FINAL_REGISTRY entries with NO local strict-compare coverage "
+        f"(add to MERGED or a per-family registry): {uncovered}"
+    )
 
 
 def test_coverage_doc_names_every_registry_entry():

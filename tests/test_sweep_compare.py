@@ -108,6 +108,25 @@ def test_tz_aware_vs_naive_same_wall_clock_is_equal():
     assert fast_rows(aware.to_pandas()) == fast_rows(naive.to_pandas())
 
 
+def test_non_utc_tz_annotation_fails_schema_check():
+    # Round-6 regression pin: DuckDB TIMESTAMPTZ exports as
+    # tz='Etc/UTC', which the driver treats as a schema mismatch vs
+    # Spark's tz='UTC' (or naive). The harness canonicalizer must
+    # PRESERVE any non-'UTC' tz so assert_types_match fails locally —
+    # r6 shipped two red driver rows because it erased all tz info.
+    from tests.oracle_harness import _canon_type, assert_types_match
+
+    etc = pa.timestamp("us", tz="Etc/UTC")
+    assert _canon_type(etc) == etc  # preserved, not erased
+    assert _canon_type(pa.timestamp("us", tz="UTC")) == pa.timestamp("us")
+    assert _canon_type(pa.timestamp("ns")) == pa.timestamp("us")
+    wall = datetime.datetime(2024, 5, 1, 8, 30)
+    spark_side = pa.table({"t": pa.array([wall], type=pa.timestamp("us", tz="UTC"))})
+    duck_tz = pa.table({"t": pa.array([wall], type=etc)})
+    with pytest.raises(AssertionError, match="DTYPES"):
+        assert_types_match(spark_side, duck_tz, "etc-utc-pin")
+
+
 def test_nested_and_decimal_columns_decline_to_fast_rows():
     nested = pa.table({"a": pa.array([[1, 2], [3]], type=pa.list_(pa.int64()))})
     assert vector_equal(nested, nested) is None

@@ -233,6 +233,30 @@ def main() -> None:
         ),
     }
 
+    def release_entry_memory() -> None:
+        # Release the per-entry gigabytes before the next entry. At the
+        # ×100 rung a collected result reaches ~10M rows on BOTH sides
+        # (Arrow + pandas + sorted copies); without an explicit drop the
+        # process RSS ratchets across the 50 entries and later entries
+        # pay for it in page-cache pressure and allocator churn — the
+        # recorded full-sweep run had sessionize at 829.6s mid-sweep vs
+        # 46.5s isolated with identical phase behavior. The DuckDB
+        # connection is recycled per entry (views are ~free to rebuild;
+        # its buffer pool is not), and malloc_trim returns freed pandas
+        # pages to the OS (glibc arenas otherwise keep them). Runs in a
+        # finally so the strict fast path's early-exit cannot skip it
+        # (it did in r6 — the RSS ratchet persisted for most entries).
+        nonlocal con
+        con.close()
+        con = duck_connection(sf_dir)
+        gc.collect()
+        try:
+            import ctypes
+
+            ctypes.CDLL("libc.so.6").malloc_trim(0)
+        except Exception:
+            pass
+
     for name, spec in FINAL_REGISTRY.items():
         if only is not None and name not in only:
             continue
@@ -242,6 +266,7 @@ def main() -> None:
         note = None
         if name in bounded:
             spark_fn, oracle_sql, note = bounded[name]
+        s_tbl = o_tbl = s = o = ns = no = None
         try:
             s_tbl = spark_fn(spark, sf_dir).toArrow()
             t_spark = time.time()
@@ -271,7 +296,7 @@ def main() -> None:
                     results[name]["bounded"] = note
                 print(name, "strict", results[name]["s"], flush=True)
                 flush()
-                continue
+                continue  # cleanup still runs via the finally below
             ns, no = fast_rows(s), fast_rows(o)
             phases["compare_s"] = round(time.time() - t_oracle, 1)
             if ns == no:
@@ -304,30 +329,13 @@ def main() -> None:
                 "s": round(time.time() - t0, 1),
                 "err": str(e)[:400],
             }
+        finally:
+            s_tbl = o_tbl = s = o = ns = no = None  # noqa: F841
+            release_entry_memory()
         if note is not None:
             results[name]["bounded"] = note
         print(name, results[name]["verdict"], results[name]["s"], flush=True)
         flush()
-        # Release the per-entry gigabytes before the next entry. At the
-        # ×100 rung a collected result reaches ~10M rows on BOTH sides
-        # (Arrow + pandas + sorted copies); without an explicit drop the
-        # process RSS ratchets across the 50 entries and later entries
-        # pay for it in page-cache pressure and allocator churn — the
-        # recorded full-sweep run had sessionize at 829.6s mid-sweep vs
-        # 46.5s isolated with identical phase behavior. The DuckDB
-        # connection is recycled per entry (views are ~free to rebuild;
-        # its buffer pool is not), and malloc_trim returns freed pandas
-        # pages to the OS (glibc arenas otherwise keep them).
-        s_tbl = o_tbl = s = o = ns = no = None  # noqa: F841
-        con.close()
-        con = duck_connection(sf_dir)
-        gc.collect()
-        try:
-            import ctypes
-
-            ctypes.CDLL("libc.so.6").malloc_trim(0)
-        except Exception:
-            pass
         try:
             spark.sparkContext._jvm.System.gc()
         except Exception:
