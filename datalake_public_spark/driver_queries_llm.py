@@ -458,10 +458,24 @@ def ml_kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     exactly k=8 non-empty clusters, every input vector assigned exactly
     once (total == corpus count, DuckDB-verifiable), predictions in
     [0, k), and the clustering is non-degenerate (largest cluster < total).
-    Emitted as scalar values/booleans so the driver hash checks them
-    against the oracle's literals; seed-fixed determinism + the
-    weightCol≡duplication equivalence stay pinned in tests/test_cluster.py."""
-    from datalake_public_spark.operators.cluster import fit_assign_kmeans
+
+    Round 7 folds the reference's one real analytic contract into the
+    driver row (``k_means_with_spark.py:119-137``): the reference
+    duplicates each point ``weight`` times and fits unweighted K-Means;
+    our production path uses MLlib's native ``weightCol``. Both
+    formulations run here end-to-end on deterministic, vec_id-derived
+    blob geometry (8 blobs ~1000 apart vs ≤1 jitter, so seed-fixed
+    k-means|| recovers the exact blob partition at every SF) and the row
+    carries ``weight_equiv_dup`` (weighted-mass multisets identical) plus
+    ``weighted_mass`` — an exact VALUE the oracle recomputes as
+    sum(vec_id % 3 + 1). Centroid-tolerance equivalence on gaussian
+    blobs stays pinned in tests/test_cluster.py."""
+    from pyspark.sql import Window
+
+    from datalake_public_spark.operators.cluster import (
+        fit_assign_kmeans,
+        weighted_expand,
+    )
 
     emb = _t(spark, sf, "embeddings").select(
         F.col("vec_id"),
@@ -472,7 +486,7 @@ def ml_kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
         emb, feature_cols=("x", "y"), k=8, seed=1, weight_col=None
     )
     sizes = clustered.groupBy("prediction").agg(F.count(F.lit(1)).alias("n_vectors"))
-    return sizes.agg(
+    base = sizes.agg(
         F.count(F.lit(1)).cast("int").alias("n_clusters"),
         F.sum("n_vectors").alias("total_vectors"),
         ((F.min("prediction") >= 0) & (F.max("prediction") <= 7)).alias(
@@ -481,12 +495,52 @@ def ml_kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
         (F.max("n_vectors") < F.sum("n_vectors")).alias("non_degenerate"),
     )
 
+    # weightCol ≡ duplication, driver-checked: 8 blobs keyed by
+    # vec_id % 8, spaced ~1000 apart with deterministic sub-unit jitter
+    # (exact recovery is certain, so the equivalence cannot flap with SF)
+    blob = F.col("vec_id") % 8
+    pts = _t(spark, sf, "embeddings").select(
+        (blob * 1000 + (F.col("vec_id") % 97) / 100.0).alias("x"),
+        (blob * -500 + (F.col("vec_id") % 89) / 100.0).alias("y"),
+        ((F.col("vec_id") % 3) + 1).cast("int").alias("w"),
+    )
+    weighted = fit_assign_kmeans(
+        pts, feature_cols=("x", "y"), k=8, seed=1, weight_col="w"
+    )
+    dup = fit_assign_kmeans(
+        weighted_expand(pts, "w", ["x", "y"]),
+        feature_cols=("x", "y"),
+        k=8,
+        seed=1,
+        weight_col=None,
+    )
+    w_sizes = weighted.groupBy("prediction").agg(
+        F.sum("w").cast("long").alias("ws")
+    )
+    d_sizes = dup.groupBy("prediction").agg(F.count(F.lit(1)).alias("ds"))
+    # multiset compare via rank-aligned outer join (8 rows per side)
+    wa = w_sizes.select(
+        "ws", F.row_number().over(Window.orderBy("ws")).alias("rk")
+    )
+    da = d_sizes.select(
+        "ds", F.row_number().over(Window.orderBy("ds")).alias("rk")
+    )
+    eqrow = wa.join(da, "rk", "full").agg(
+        F.coalesce(F.bool_and(F.col("ws") == F.col("ds")), F.lit(False)).alias(
+            "weight_equiv_dup"
+        ),
+        F.sum("ws").alias("weighted_mass"),
+    )
+    return base.crossJoin(eqrow)  # 1×1 aggregate pair
+
 
 ML_KMEANS_SQL = """
 SELECT CAST(8 AS INT) AS n_clusters,
        CAST(count(*) AS BIGINT) AS total_vectors,
        TRUE AS preds_in_range,
-       TRUE AS non_degenerate
+       TRUE AS non_degenerate,
+       TRUE AS weight_equiv_dup,
+       CAST(sum(vec_id % 3 + 1) AS BIGINT) AS weighted_mass
 FROM embeddings
 """
 
