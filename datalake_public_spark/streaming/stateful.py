@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Any, Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -71,7 +72,16 @@ def sessionize_fn(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Fold this micro-batch's events for one user into the open session;
-    emit sessions that close (gap exceeded mid-batch, or state timeout)."""
+    emit sessions that close (gap exceeded mid-batch, or state timeout).
+
+    Vectorized (round 7): the original per-event Python loop plus one
+    1-row DataFrame PER CLOSED SESSION dominated the ×100 sweep (223 s
+    engine time for 10M events — VERDICT r6 item 4). Session boundaries
+    are gap positions in the sorted timestamp array, per-session sums are
+    ``np.add.reduceat`` segment reductions (sequential within a segment,
+    same accumulation order as the loop), and ALL closed sessions of the
+    group leave as ONE DataFrame. Semantics are pinned by the unchanged
+    driver oracle and tests/test_streaming.py."""
     (user_id,) = key
     if state.hasTimedOut:
         start_us, end_us, n, sv = state.get
@@ -79,29 +89,62 @@ def sessionize_fn(
         yield _close(user_id, start_us, end_us, n, sv)
         return
 
-    rows = pd.concat(list(pdfs)).sort_values("ts")
-    if state.exists:
+    chunks = [p for p in pdfs if len(p)]
+    if not chunks:
+        return
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+    t = pdf["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    v = pdf["value"].to_numpy(dtype=np.float64)
+    order = np.argsort(t, kind="stable")
+    t, v = t[order], v[order]
+
+    carry = state.exists
+    if carry:
         start_us, end_us, n, sv = state.get
-    else:
-        start_us = end_us = -1
-        n, sv = 0, 0.0
 
-    out: list[pd.DataFrame] = []
-    for ts, v in zip(rows["ts"], rows["value"]):
-        t = _us(ts)
-        if n == 0:
-            start_us, end_us, n, sv = t, t, 1, float(v)
-        elif t - end_us >= GAP_US:
-            out.append(_close(user_id, start_us, end_us, n, sv))
-            start_us, end_us, n, sv = t, t, 1, float(v)
-        else:
-            end_us, n, sv = t, n + 1, sv + float(v)
+    # a segment begins where the gap from the previous end is >= GAP_US;
+    # the carried open session acts as the "previous end" for element 0
+    newseg = np.empty(len(t), dtype=bool)
+    newseg[1:] = (t[1:] - t[:-1]) >= GAP_US
+    closed_carry = None
+    if carry and t[0] - end_us >= GAP_US:
+        closed_carry = (start_us, end_us, n, sv)  # closes before this batch
+        carry = False
+    newseg[0] = True
+    starts = np.flatnonzero(newseg)
+    nexts = np.append(starts[1:], len(t))
+    seg_start = t[starts]
+    seg_end = t[nexts - 1]
+    seg_n = (nexts - starts).astype(np.int64)
+    seg_sv = np.add.reduceat(v, starts)
+    if carry:  # merge the carried open session into segment 0
+        seg_start[0] = start_us
+        seg_n[0] += n
+        seg_sv[0] = sv + seg_sv[0]
 
-    state.update((start_us, end_us, n, sv))
+    state.update(
+        (int(seg_start[-1]), int(seg_end[-1]), int(seg_n[-1]), float(seg_sv[-1]))
+    )
     # close the open session when the watermark passes its gap horizon
-    state.setTimeoutTimestamp(end_us // 1_000 + GAP_US // 1_000)
-    for pdf in out:
-        yield pdf
+    state.setTimeoutTimestamp(int(seg_end[-1]) // 1_000 + GAP_US // 1_000)
+
+    k = len(starts)
+    if k > 1 or closed_carry is not None:
+        cs, ce, cn, cv = seg_start[: k - 1], seg_end[: k - 1], seg_n[: k - 1], seg_sv[: k - 1]
+        if closed_carry is not None:
+            cs = np.concatenate(([closed_carry[0]], cs))
+            ce = np.concatenate(([closed_carry[1]], ce))
+            cn = np.concatenate(([closed_carry[2]], cn))
+            cv = np.concatenate(([closed_carry[3]], cv))
+        yield pd.DataFrame(
+            {
+                "user_id": np.full(len(cs), user_id, dtype=np.int64),
+                "sess_start": pd.to_datetime(cs, unit="us"),
+                "sess_end": pd.to_datetime(ce, unit="us"),
+                "n_events": cn.astype(np.int64),
+                "sum_value": np.round(cv, 2),
+            }
+        )
 
 
 def stateful_sessionize(
