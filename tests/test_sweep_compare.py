@@ -161,5 +161,36 @@ def test_large_permuted_table_roundtrip():
     assert vector_equal(a, c) is False
 
 
+def test_oracle_cache_roundtrip_preserves_strict_dtypes(tmp_path, monkeypatch):
+    """The sweep's oracle cache (round 7) must hand back EXACTLY what
+    DuckDB produced: a parquet roundtrip that widened an int, dropped a
+    decimal, or re-annotated a timestamp would corrupt the strict
+    compare silently. Also pins the key contract: same SQL+fixtures hit,
+    different SQL miss."""
+    import duckdb
+
+    monkeypatch.setenv("SWEEP_ORACLE_CACHE", str(tmp_path / "cache"))
+    con = duckdb.connect()
+    sql = (
+        "SELECT 1::BIGINT AS b, 2::INT AS i, 1.5::DOUBLE AS f, "
+        "CAST('2024-05-01 08:30:00' AS TIMESTAMP) AS t, "
+        "CAST(12.34 AS DECIMAL(10,2)) AS d, 'x' AS s"
+    )
+    cold, hit0 = scale_sweep.oracle_cached(con, "pin", sql, "/tmp", "sig0")
+    warm, hit1 = scale_sweep.oracle_cached(con, "pin", sql, "/tmp", "sig0")
+    assert (hit0, hit1) == (False, True)
+    assert warm.schema == cold.schema  # exact Arrow types, no widening
+    assert warm.equals(cold)
+    # a different oracle SQL can never collide with the cached answer
+    other, hit2 = scale_sweep.oracle_cached(
+        con, "pin", sql.replace("1::BIGINT", "9::BIGINT"), "/tmp", "sig0"
+    )
+    assert hit2 is False
+    assert other.column("b").to_pylist() == [9]
+    # a regenerated fixture (new signature) also misses
+    _, hit3 = scale_sweep.oracle_cached(con, "pin", sql, "/tmp", "sig1")
+    assert hit3 is False
+
+
 if __name__ == "__main__":
     sys.exit(pytest.main([__file__, "-q"]))

@@ -34,6 +34,7 @@ import json
 import math
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -137,6 +138,66 @@ def tolerant_equal(s_rows: list[tuple], o_rows: list[tuple]) -> bool:
             elif x != y:
                 return False
     return True
+
+
+def _fixture_signature(sf_dir: str) -> str:
+    """Size+mtime digest of everything an oracle can read: the rung's
+    parquet tables plus the committed fixture trees (GBFS, streaming
+    late-data). Any regeneration changes the digest, so a cached oracle
+    result can never be served stale — staleness is keyed away, not
+    checked."""
+    import hashlib
+
+    h = hashlib.sha256()
+    roots = [sf_dir]
+    pkg_fixtures = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "..",
+        "datalake_public_spark",
+        "fixtures",
+    )
+    if os.path.isdir(pkg_fixtures):
+        roots.append(pkg_fixtures)
+    for root in roots:
+        for dirpath, _, files in sorted(os.walk(root)):
+            for f in sorted(files):
+                st = os.stat(os.path.join(dirpath, f))
+                h.update(
+                    f"{dirpath}/{f}:{st.st_size}:{st.st_mtime_ns}".encode()
+                )
+    return h.hexdigest()[:16]
+
+
+def oracle_cached(con, name: str, sql: str, sf_dir: str, fix_sig: str):
+    """Fetch an oracle result through a content-addressed parquet cache
+    (VERDICT r6 item 5: the ×100 sweep's remaining tail is DuckDB
+    re-running e.g. 17 TPC-H queries (244 s) and the exact-cosine
+    baseline (240 s) on identical inputs every round). Key =
+    (entry, sha256(oracle SQL), fixture signature): an edited oracle,
+    regenerated fixture, or different rung misses; only a bit-identical
+    question can hit. Arrow→parquet roundtrip preserves every type the
+    strict compare distinguishes (timestamp[us], decimal128, int
+    widths); string vs large_string is already coerced by _canon_type.
+    Returns (table, hit). Disable with SWEEP_ORACLE_CACHE=0."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    cache_root = os.environ.get(
+        "SWEEP_ORACLE_CACHE", os.path.join(tempfile.gettempdir(), "dlps_oracle_cache")
+    )
+    if cache_root == "0":
+        return con.execute(sql).fetch_arrow_table(), False
+    key = hashlib.sha256(sql.encode()).hexdigest()[:24]
+    path = os.path.join(cache_root, f"{name}_{key}_{fix_sig}.parquet")
+    if os.path.exists(path):
+        return pq.read_table(path), True
+    tbl = con.execute(sql).fetch_arrow_table()
+    os.makedirs(cache_root, exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return tbl, False
 
 
 def main() -> None:
@@ -257,6 +318,8 @@ def main() -> None:
         except Exception:
             pass
 
+    fix_sig = _fixture_signature(sf_dir)
+
     for name, spec in FINAL_REGISTRY.items():
         if only is not None and name not in only:
             continue
@@ -270,12 +333,16 @@ def main() -> None:
         try:
             s_tbl = spark_fn(spark, sf_dir).toArrow()
             t_spark = time.time()
-            o_tbl = con.execute(oracle_sql).fetch_arrow_table()
+            o_tbl, cache_hit = oracle_cached(
+                con, name, oracle_sql, sf_dir, fix_sig
+            )
             t_oracle = time.time()
             phases = {
                 "spark_s": round(t_spark - t0, 1),
                 "oracle_s": round(t_oracle - t_spark, 1),
             }
+            if cache_hit:
+                phases["oracle_cached"] = True
             s = s_tbl.to_pandas()
             o = o_tbl.to_pandas()
             assert sorted(s.columns) == sorted(o.columns), (
