@@ -1825,7 +1825,33 @@ def vocab_familiarity(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("double").alias("oov_frac"),
         F.lit(None).cast("double").alias("familiarity"),
     )
-    return vocab.unionByName(fam).unionByName(surface)
+    # round 7: BM25 top-k retrieval (operators/retrieval.py) — exact
+    # integer scoring (log-free probabilistic idf), so scores AND ranks
+    # are oracle-pinned bit-for-bit; key packs query|doc, n = fixed-point
+    # score, n_oov = rank
+    from datalake_public_spark.operators.retrieval import (
+        DRIVER_QUERIES,
+        bm25_topk,
+    )
+
+    qdf = spark.createDataFrame(list(DRIVER_QUERIES), "query_id int, qtext string")
+    bm25 = bm25_topk(
+        _t(spark, sf, "documents").select("doc_id", "text"), qdf, k=10
+    ).select(
+        F.lit("bm25").alias("op"),
+        F.concat_ws("|", F.col("query_id").cast("string"), F.col("doc_id").cast("string")).alias("key"),
+        F.col("score").alias("n"),
+        F.col("rk").alias("n_oov"),
+        F.lit(None).cast("double").alias("oov_frac"),
+        F.lit(None).cast("double").alias("familiarity"),
+    )
+    return vocab.unionByName(fam).unionByName(surface).unionByName(bm25)
+
+
+def _bm25_sql() -> str:
+    from datalake_public_spark.operators.retrieval import bm25_topk_sql
+
+    return bm25_topk_sql(k=10)
 
 
 def _vocab_familiarity_sql() -> str:
@@ -1869,6 +1895,10 @@ UNION ALL
 SELECT 'sql_surface', 'vocab_via_views',
        CAST((SELECT count(*) FROM ({VOCAB_SQL}) vv) AS BIGINT),
        CAST(NULL AS INT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+UNION ALL
+SELECT 'bm25', CAST(query_id AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR),
+       score, rk, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM ({_bm25_sql()}) b
 """
 
 

@@ -1,0 +1,190 @@
+"""BM25 full-text retrieval over a document corpus, Spark-first.
+
+The retrieval step an LLM training-data pipeline runs constantly:
+score documents against short keyword queries, keep the top-k per
+query (hard-negative mining, dedup-by-retrieval, eval-set building).
+
+Spark shape (100 TB story):
+  * term frequencies are ONE map-side-combinable groupBy over the
+    exploded token stream (doc length rides along as a grouping key —
+    functionally dependent on doc_id, so no extra join);
+  * document frequencies are a second, token-keyed aggregate whose
+    output is vocabulary-sized (≪ corpus);
+  * the query side is tiny by construction and BROADCAST after being
+    joined with its terms' document frequencies, so the only work
+    against the corpus-sized tf table is a broadcast hash join that
+    keeps rows for query terms only;
+  * per-query top-k is a window over the candidate set (docs containing
+    at least one query term), not the corpus.
+
+Exact-integer scoring (the repo's cross-engine oracle convention —
+``functions/arith.py``): the standard BM25 idf uses ln(), whose last
+ulp differs between libm builds, so the oracle could diverge. This
+operator uses the log-free PROBABILISTIC idf
+``(N - df + ½) / (df + ½)`` — the core of the Robertson–Spärck Jones
+weight BM25 derives from — which makes every per-term score a ratio of
+int64-sized integers with k1 = 6/5 and b = 3/4 (avgdl floored to an
+integer):
+
+    tf_part = 44·tf·avgdl / (20·tf·avgdl + 6·avgdl + 18·dl)
+    idf     = (2N − 2df + 1) / (2df + 1)
+    score   = Σ_terms half_up(scale · idf · tf_part)   — exact int64
+
+Both engines evaluate the identical integer expression (Spark ``DIV``,
+DuckDB ``//``), so scores and therefore ranks are bit-identical — no
+float summation order anywhere.
+
+Reference: the reference engine has no retrieval operator (its search
+is delegated to Elasticsearch — ``index_to_elastic_with_spark.py``);
+this is the in-engine counterpart for corpus-scale batch retrieval.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datalake_public_spark.functions import text_funcs as T
+
+# deterministic corpus-vocabulary queries for the driver entry; the SQL
+# twin renders the same tuples as a VALUES list
+DRIVER_QUERIES: tuple[tuple[int, str], ...] = (
+    (1, "spark table scan"),
+    (2, "hash join merge sort"),
+    (3, "stream window batch"),
+    (4, "slow query filter data"),
+)
+
+_SCALE = 10_000  # fixed-point score units (1e-4)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    scale: int = _SCALE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+) -> DataFrame:
+    """Top-k documents per query by exact-integer BM25.
+
+    Returns (query_id, doc_id, score, rk): ``score`` is the summed
+    per-term integer partial score in ``scale``-ths (BIGINT), ``rk`` the
+    1-based rank by (score DESC, doc_id ASC) — fully deterministic."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), T.tokens(text_col).alias("toks")
+    )
+    # tf with dl riding along as a (functionally dependent) grouping key:
+    # one shuffle, map-side combined
+    tf = (
+        toks.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            F.explode("toks").alias("token"),
+        )
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("toks").cast("long")).alias("total_tokens"),
+    ).select("n_docs", F.expr("total_tokens DIV n_docs").alias("avgdl"))
+
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(T.tokens(query_text_col))).alias("token"),
+    )
+    # resolve query-term document frequencies FIRST (vocab-sized join on
+    # a tiny side), then broadcast the enriched query terms into tf
+    qstats = qterms.join(dfreq, "token").crossJoin(F.broadcast(stats))
+    num = (
+        (F.lit(2) * F.col("n_docs") - F.lit(2) * F.col("df") + F.lit(1))
+        * F.lit(44) * F.col("tf") * F.col("avgdl")
+    )
+    den = (F.lit(2) * F.col("df") + F.lit(1)) * (
+        F.lit(20) * F.col("tf") * F.col("avgdl")
+        + F.lit(6) * F.col("avgdl")
+        + F.lit(18) * F.col("dl")
+    )
+    part = F.expr(
+        f"(2 * {scale} * __num + __den) DIV (2 * __den)"
+    )  # half-up integer ratio — arith.py's contract at int64 width
+    scored = (
+        tf.join(F.broadcast(qstats), "token")
+        .withColumn("__num", num)
+        .withColumn("__den", den)
+        .select("query_id", "doc_id", part.alias("part"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("part").alias("score"))
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(win).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "doc_id", "score", "rk")
+    )
+
+
+def bm25_topk_sql(
+    *,
+    k: int = 10,
+    scale: int = _SCALE,
+    source: str = "SELECT doc_id, text FROM documents",
+    queries: tuple[tuple[int, str], ...] = DRIVER_QUERIES,
+) -> str:
+    """DuckDB twin: the identical integer expression tree (``//`` is
+    integer division on BIGINT), same tokenizer, same tie-break."""
+    values = ", ".join(f"({qid}, '{qt}')" for qid, qt in queries)
+    toks = T.tokens_sql("text")
+    qtoks = T.tokens_sql("qtext")
+    return f"""
+WITH docs AS ({source}),
+toks AS (SELECT doc_id, {toks} AS toks FROM docs),
+tf AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, token,
+         CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, toks, unnest(toks) AS token FROM toks)
+  GROUP BY doc_id, len(toks), token
+),
+dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(toks)) AS BIGINT) // CAST(count(*) AS BIGINT) AS avgdl
+  FROM toks
+),
+q(query_id, qtext) AS (VALUES {values}),
+qterms AS (
+  SELECT query_id, unnest(list_distinct({qtoks})) AS token FROM q
+),
+qstats AS (SELECT query_id, token, df FROM qterms JOIN dfreq USING (token)),
+parts AS (
+  SELECT qs.query_id, tf.doc_id,
+         (2 * {scale}
+            * ((2 * s.n_docs - 2 * qs.df + 1) * 44 * tf.tf * s.avgdl)
+          + ((2 * qs.df + 1)
+             * (20 * tf.tf * s.avgdl + 6 * s.avgdl + 18 * tf.dl)))
+         // (2 * ((2 * qs.df + 1)
+             * (20 * tf.tf * s.avgdl + 6 * s.avgdl + 18 * tf.dl))) AS part
+  FROM tf JOIN qstats qs USING (token), stats s
+),
+scored AS (
+  SELECT query_id, doc_id, CAST(sum(part) AS BIGINT) AS score
+  FROM parts GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS INT) AS rk
+  FROM scored
+)
+SELECT query_id, doc_id, score, rk FROM ranked WHERE rk <= {k}
+"""

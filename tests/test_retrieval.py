@@ -1,0 +1,97 @@
+"""BM25 retrieval operator: scoring semantics, determinism, oracle parity.
+
+The operator's contract is exact-integer scoring (log-free probabilistic
+idf as int64 ratios — operators/retrieval.py docstring), so the DuckDB
+twin must match bit-for-bit including ranks, not just approximately.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datalake_public_spark.operators.retrieval import (
+    DRIVER_QUERIES,
+    bm25_topk,
+    bm25_topk_sql,
+)
+from tests.conftest import SF_SMOKE
+from tests.oracle_harness import compare, duck_connection
+
+
+def _q(spark, rows):
+    return spark.createDataFrame(rows, "query_id int, qtext string")
+
+
+def test_bm25_ranks_matching_doc_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple apple apple apple"),
+            (3, "dog cat fish"),
+            (4, "apple dog"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, _q(spark, [(1, "apple")]), k=10).collect()
+    ids = [r.doc_id for r in out]
+    # doc 3 has no query term — absent; repeated-term doc 2 outranks
+    # single-occurrence docs; shorter doc 4 outranks longer doc 1
+    assert 3 not in ids
+    assert ids[0] == 2
+    assert ids.index(4) < ids.index(1)
+    assert [r.rk for r in out] == list(range(1, len(out) + 1))
+
+
+def test_bm25_score_hand_computed(spark):
+    # one doc, one term: N=1, df=1, tf=2, dl=2, avgdl=2
+    # idf = (2-2+1)/(2+1) = 1/3; tf_part = 44*2*2/(20*2*2+6*2+18*2) = 176/128
+    # score = half_up(10000 * 176 / (3*128)) = half_up(1760000/384) = 4583
+    docs = spark.createDataFrame([(7, "x x")], "doc_id long, text string")
+    out = bm25_topk(docs, _q(spark, [(1, "x")]), k=1).collect()
+    assert len(out) == 1
+    assert (out[0].doc_id, out[0].score, out[0].rk) == (7, 4583, 1)
+
+
+def test_bm25_multi_term_sums_and_ties_break_by_doc_id(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, _q(spark, [(1, "a b")]), k=3).collect()
+    by_id = {r.doc_id: r for r in out}
+    # docs 1 and 2 are identical → identical scores, doc 1 ranks first
+    assert by_id[1].score == by_id[2].score
+    assert (by_id[1].rk, by_id[2].rk) == (1, 2)
+    # doc 3 matches only 'a' → strictly lower score, rank 3
+    assert by_id[3].score < by_id[1].score
+    assert by_id[3].rk == 3
+
+
+def test_bm25_duplicate_query_terms_count_once(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    once = bm25_topk(docs, _q(spark, [(1, "a")]), k=1).collect()[0].score
+    twice = bm25_topk(docs, _q(spark, [(1, "a a")]), k=1).collect()[0].score
+    assert once == twice  # array_distinct on query terms
+
+
+def test_bm25_oracle_parity_on_testdata(spark):
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    )
+    q = _q(spark, list(DRIVER_QUERIES))
+    con = duck_connection(SF_SMOKE)
+    try:
+        compare(bm25_topk(docs, q, k=10), con, bm25_topk_sql(k=10), "bm25")
+    finally:
+        con.close()
+
+
+def test_bm25_no_matching_terms_yields_empty(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    assert bm25_topk(docs, _q(spark, [(1, "zzz")]), k=5).count() == 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-q"]))
