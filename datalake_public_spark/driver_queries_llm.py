@@ -222,8 +222,9 @@ def ngram_pairs_sql(
     * ``band`` — optional pair restriction to ``id DIV band`` bands
       (both engines identically restricted; the sweep-time boundedness
       template, see tools/scale_sweep.py)."""
-    if band is not None and band < 1:
-        raise ValueError(f"band must be >= 1, got {band}")
+    from datalake_public_spark.operators.dedup import check_band
+
+    check_band(band)
     bd = f" AND a.id // {band} = b.id // {band}" if band is not None else ""
     return f"""
 WITH sh0 AS (
@@ -307,8 +308,9 @@ def simhash_pairs_sql(band: int | None = None) -> str:
     (6.8 s) — UNION dedupes pairs matched by both halves, identical
     semantics. ``band``: optional ``id DIV band`` pair restriction
     (both engines; sweep boundedness template)."""
-    if band is not None and band < 1:
-        raise ValueError(f"band must be >= 1, got {band}")
+    from datalake_public_spark.operators.dedup import check_band
+
+    check_band(band)
     bd = f" AND a.id // {band} = b.id // {band}" if band is not None else ""
     return f"""
 WITH fp0 AS (

@@ -75,6 +75,18 @@ def exact_dedup(
     )
 
 
+def check_band(band: int | None) -> int | None:
+    """Validate the sweep-boundedness ``band`` parameter shared by every
+    banded twin: band=0 would make Spark's `id DIV 0` yield NULL bands
+    (silently zero pairs) while the DuckDB twins' banding computed a
+    DIFFERENT pair set — a misconfigured SWEEP_ID_BAND must fail loudly
+    (ADVICE r6), and every band-accepting site must use THIS guard so a
+    new site can't drift (one validator, four call sites)."""
+    if band is not None and band < 1:
+        raise ValueError(f"band must be >= 1, got {band}")
+    return band
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -127,11 +139,7 @@ def ngram_jaccard_pairs(
     cond = (F.col("a.shingle") == F.col("b.shingle")) & (
         F.col("a.id") < F.col("b.id")
     )
-    if band is not None and band < 1:
-        # band=0 would make `id DIV 0` yield NULL bands — silently zero
-        # pairs here, while the SQL twins would compute a DIFFERENT pair
-        # set; a misconfigured SWEEP_ID_BAND must fail loudly (ADVICE r6)
-        raise ValueError(f"band must be >= 1, got {band}")
+    check_band(band)
     if band is not None:
         inv = inv.withColumn("bd", F.expr(f"id DIV {int(band)}"))
         cond = cond & (F.col("a.bd") == F.col("b.bd"))
@@ -703,8 +711,7 @@ def simhash_clusters(
         & (F.col("a.id") < F.col("b.id"))
     )
     # band: id DIV band pair restriction (sweep boundedness template)
-    if band is not None and band < 1:
-        raise ValueError(f"band must be >= 1, got {band}")  # see ngram twin
+    check_band(band)
     if band is not None:
         halves = halves.withColumn("bd", F.expr(f"id DIV {int(band)}"))
         cond = cond & (F.col("a.bd") == F.col("b.bd"))

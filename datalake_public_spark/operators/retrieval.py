@@ -22,17 +22,19 @@ Exact-integer scoring (the repo's cross-engine oracle convention —
 ulp differs between libm builds, so the oracle could diverge. This
 operator uses the log-free PROBABILISTIC idf
 ``(N - df + ½) / (df + ½)`` — the core of the Robertson–Spärck Jones
-weight BM25 derives from — which makes every per-term score a ratio of
-int64-sized integers with k1 = 6/5 and b = 3/4 (avgdl floored to an
-integer):
+weight BM25 derives from — which makes every per-term score an exact
+integer ratio with k1 = 6/5 and b = 3/4 (avgdl floored to an integer),
+evaluated at 128-bit width (Spark decimal(38,0) ↔ DuckDB HUGEINT) so
+the products cannot overflow on any physical corpus:
 
     tf_part = 44·tf·avgdl / (20·tf·avgdl + 6·avgdl + 18·dl)
     idf     = (2N − 2df + 1) / (2df + 1)
-    score   = Σ_terms half_up(scale · idf · tf_part)   — exact int64
+    score   = Σ_terms half_up(scale · idf · tf_part)   — exact integer
 
 Both engines evaluate the identical integer expression (Spark ``DIV``,
-DuckDB ``//``), so scores and therefore ranks are bit-identical — no
-float summation order anywhere.
+DuckDB ``//``; the per-term quotient is ≤ scale·idf ≈ 1e12, a long),
+so scores and therefore ranks are bit-identical — no float summation
+order anywhere.
 
 Reference: the reference engine has no retrieval operator (its search
 is delegated to Elasticsearch — ``index_to_elastic_with_spark.py``);
@@ -103,18 +105,31 @@ def bm25_topk(
     # resolve query-term document frequencies FIRST (vocab-sized join on
     # a tiny side), then broadcast the enriched query terms into tf
     qstats = qterms.join(dfreq, "token").crossJoin(F.broadcast(stats))
+    # products in decimal(38,0) / HUGEINT (the SQL twin): int64 products
+    # would WRAP SILENTLY in non-ANSI Spark once N·tf·avgdl passes ~2^63
+    # (N≈5e7 docs with long documents gets there) and ship wrong ranks;
+    # 128-bit headroom moves the cliff past any reachable corpus. The
+    # DIV quotient is scale·idf ≤ ~1e12 — comfortably a long.
+    dec = "decimal(38,0)"
     num = (
-        (F.lit(2) * F.col("n_docs") - F.lit(2) * F.col("df") + F.lit(1))
+        (F.lit(2) * F.col("n_docs") - F.lit(2) * F.col("df") + F.lit(1)).cast(dec)
         * F.lit(44) * F.col("tf") * F.col("avgdl")
     )
-    den = (F.lit(2) * F.col("df") + F.lit(1)) * (
-        F.lit(20) * F.col("tf") * F.col("avgdl")
+    den = (F.lit(2) * F.col("df") + F.lit(1)).cast(dec) * (
+        F.lit(20) * F.col("tf").cast(dec) * F.col("avgdl")
         + F.lit(6) * F.col("avgdl")
         + F.lit(18) * F.col("dl")
     )
-    part = F.expr(
-        f"(2 * {scale} * __num + __den) DIV (2 * __den)"
-    )  # half-up integer ratio — arith.py's contract at int64 width
+    # half-up integer ratio — arith.py's contract, at decimal width.
+    # A null part can only mean decimal(38,0) overflow (num ≥ ~1e34 —
+    # beyond any physical corpus): raise rather than silently drop the
+    # term from the sum.
+    part = F.when(
+        F.expr(f"(2 * {scale} * __num + __den) DIV (2 * __den)").isNull(),
+        F.expr(
+            "raise_error('bm25: score arithmetic overflowed decimal(38,0)')"
+        ).cast("long"),
+    ).otherwise(F.expr(f"(2 * {scale} * __num + __den) DIV (2 * __den)"))
     scored = (
         tf.join(F.broadcast(qstats), "token")
         .withColumn("__num", num)
@@ -142,7 +157,9 @@ def bm25_topk_sql(
 ) -> str:
     """DuckDB twin: the identical integer expression tree (``//`` is
     integer division on BIGINT), same tokenizer, same tie-break."""
-    values = ", ".join(f"({qid}, '{qt}')" for qid, qt in queries)
+    values = ", ".join(
+        "({}, '{}')".format(qid, qt.replace("'", "''")) for qid, qt in queries
+    )
     toks = T.tokens_sql("text")
     qtoks = T.tokens_sql("qtext")
     return f"""
@@ -166,13 +183,16 @@ qterms AS (
 ),
 qstats AS (SELECT query_id, token, df FROM qterms JOIN dfreq USING (token)),
 parts AS (
+  -- HUGEINT products: the 128-bit twin of Spark's decimal(38,0) math
   SELECT qs.query_id, tf.doc_id,
-         (2 * {scale}
-            * ((2 * s.n_docs - 2 * qs.df + 1) * 44 * tf.tf * s.avgdl)
-          + ((2 * qs.df + 1)
+         CAST((2 * {scale}
+            * (CAST(2 * s.n_docs - 2 * qs.df + 1 AS HUGEINT)
+               * 44 * tf.tf * s.avgdl)
+          + (CAST(2 * qs.df + 1 AS HUGEINT)
              * (20 * tf.tf * s.avgdl + 6 * s.avgdl + 18 * tf.dl)))
-         // (2 * ((2 * qs.df + 1)
-             * (20 * tf.tf * s.avgdl + 6 * s.avgdl + 18 * tf.dl))) AS part
+         // (2 * (CAST(2 * qs.df + 1 AS HUGEINT)
+             * (20 * tf.tf * s.avgdl + 6 * s.avgdl + 18 * tf.dl)))
+         AS BIGINT) AS part
   FROM tf JOIN qstats qs USING (token), stats s
 ),
 scored AS (

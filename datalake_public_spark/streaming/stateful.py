@@ -78,10 +78,16 @@ def sessionize_fn(
     1-row DataFrame PER CLOSED SESSION dominated the ×100 sweep (223 s
     engine time for 10M events — VERDICT r6 item 4). Session boundaries
     are gap positions in the sorted timestamp array, per-session sums are
-    ``np.add.reduceat`` segment reductions (sequential within a segment,
-    same accumulation order as the loop), and ALL closed sessions of the
-    group leave as ONE DataFrame. Semantics are pinned by the unchanged
-    driver oracle and tests/test_streaming.py."""
+    ``np.add.reduceat`` segment reductions, and ALL closed sessions of
+    the group leave as ONE DataFrame. Float caveat: reduceat sums
+    pairwise, not in strict event order — like the DuckDB oracle's own
+    sum(), associativity differs from the old sequential loop by last
+    ulps; the contract holds because summed values sit on the cent grid
+    (error ≪ the round(…, 2) step, same argument as the oracle's).
+    Rounding itself goes through Python ``round`` (one shared helper
+    with the timeout path — np.round scales by 100 and re-divides,
+    which disagrees with round() off the grid). Semantics are pinned by
+    the unchanged driver oracle and tests/test_streaming.py."""
     (user_id,) = key
     if state.hasTimedOut:
         start_us, end_us, n, sv = state.get
@@ -142,7 +148,11 @@ def sessionize_fn(
                 "sess_start": pd.to_datetime(cs, unit="us"),
                 "sess_end": pd.to_datetime(ce, unit="us"),
                 "n_events": cn.astype(np.int64),
-                "sum_value": np.round(cv, 2),
+                # Python round, NOT np.round: both emission paths (batch
+                # close here, timeout close in _close) must round the
+                # same way, and np.round(12.345, 2) = 12.34 disagrees
+                # with round's 12.35 off the cent grid
+                "sum_value": [round(float(x), 2) for x in cv],
             }
         )
 

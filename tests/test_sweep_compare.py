@@ -176,19 +176,19 @@ def test_oracle_cache_roundtrip_preserves_strict_dtypes(tmp_path, monkeypatch):
         "CAST('2024-05-01 08:30:00' AS TIMESTAMP) AS t, "
         "CAST(12.34 AS DECIMAL(10,2)) AS d, 'x' AS s"
     )
-    cold, hit0 = scale_sweep.oracle_cached(con, "pin", sql, "/tmp", "sig0")
-    warm, hit1 = scale_sweep.oracle_cached(con, "pin", sql, "/tmp", "sig0")
+    cold, hit0 = scale_sweep.oracle_cached(con, "pin", sql, "sig0")
+    warm, hit1 = scale_sweep.oracle_cached(con, "pin", sql, "sig0")
     assert (hit0, hit1) == (False, True)
     assert warm.schema == cold.schema  # exact Arrow types, no widening
     assert warm.equals(cold)
     # a different oracle SQL can never collide with the cached answer
     other, hit2 = scale_sweep.oracle_cached(
-        con, "pin", sql.replace("1::BIGINT", "9::BIGINT"), "/tmp", "sig0"
+        con, "pin", sql.replace("1::BIGINT", "9::BIGINT"), "sig0"
     )
     assert hit2 is False
     assert other.column("b").to_pylist() == [9]
     # a regenerated fixture (new signature) also misses
-    _, hit3 = scale_sweep.oracle_cached(con, "pin", sql, "/tmp", "sig1")
+    _, hit3 = scale_sweep.oracle_cached(con, "pin", sql, "sig1")
     assert hit3 is False
 
 

@@ -168,7 +168,7 @@ def _fixture_signature(sf_dir: str) -> str:
     return h.hexdigest()[:16]
 
 
-def oracle_cached(con, name: str, sql: str, sf_dir: str, fix_sig: str):
+def oracle_cached(con, name: str, sql: str, fix_sig: str):
     """Fetch an oracle result through a content-addressed parquet cache
     (VERDICT r6 item 5: the ×100 sweep's remaining tail is DuckDB
     re-running e.g. 17 TPC-H queries (244 s) and the exact-cosine
@@ -178,13 +178,25 @@ def oracle_cached(con, name: str, sql: str, sf_dir: str, fix_sig: str):
     question can hit. Arrow→parquet roundtrip preserves every type the
     strict compare distinguishes (timestamp[us], decimal128, int
     widths); string vs large_string is already coerced by _canon_type.
-    Returns (table, hit). Disable with SWEEP_ORACLE_CACHE=0."""
+    Returns (table, hit). Disable with SWEEP_ORACLE_CACHE=0.
+
+    Known non-hitters: entries whose oracle SQL embeds per-process
+    mkdtemp paths (lake_suite, the staged streaming-late fixture, IVF
+    index roots) key differently every process and always recompute —
+    acceptable, their oracles are cheap; the cache exists for the
+    stable-SQL heavyweights. The default root is PER-USER (uid suffix):
+    a world-shared fixed path would let another user pre-own the
+    directory (every write fails) or plant poisoned parquet at the
+    predictable names."""
     import hashlib
 
     import pyarrow.parquet as pq
 
     cache_root = os.environ.get(
-        "SWEEP_ORACLE_CACHE", os.path.join(tempfile.gettempdir(), "dlps_oracle_cache")
+        "SWEEP_ORACLE_CACHE",
+        os.path.join(
+            tempfile.gettempdir(), f"dlps_oracle_cache_{os.getuid()}"
+        ),
     )
     if cache_root == "0":
         return con.execute(sql).fetch_arrow_table(), False
@@ -333,9 +345,7 @@ def main() -> None:
         try:
             s_tbl = spark_fn(spark, sf_dir).toArrow()
             t_spark = time.time()
-            o_tbl, cache_hit = oracle_cached(
-                con, name, oracle_sql, sf_dir, fix_sig
-            )
+            o_tbl, cache_hit = oracle_cached(con, name, oracle_sql, fix_sig)
             t_oracle = time.time()
             phases = {
                 "spark_s": round(t_spark - t0, 1),
