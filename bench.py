@@ -47,6 +47,7 @@ HEADLINE = [
     "tumbling_window_agg",
     "dedup_exact",
     "dedup_lines",
+    "bm25_topk",
     "dedup_minhash_lsh",
     "text_quality_score",
     "doc_fingerprint",
@@ -120,9 +121,21 @@ def main() -> None:
             .select(F.col("gid").alias("doc_id"), "text")
         )
 
+    def _bm25(spark_, sfd):
+        from datalake_public_spark.operators.retrieval import (
+            DRIVER_QUERIES,
+            bm25_topk,
+        )
+
+        q = spark_.createDataFrame(
+            list(DRIVER_QUERIES), "query_id int, qtext string"
+        )
+        return bm25_topk(_docs(spark_, sfd).select("doc_id", "text"), q, k=10)
+
     extra = {
         "dedup_exact": lambda s, d: exact_dedup(_docs(s, d)),
         "dedup_lines": lambda s, d: line_dedup(_grouped_docs(s, d)),
+        "bm25_topk": _bm25,
     }
 
     def build(name):
@@ -172,7 +185,7 @@ def main() -> None:
 
     # round-3 extension queries report separately (like `bucketed`) so
     # `value` keeps summing the original 12-query set across rounds
-    EXTENSIONS = {"dedup_lines"}
+    EXTENSIONS = {"dedup_lines", "bm25_topk"}
     core = {n: t for n, t in timings.items() if n not in EXTENSIONS}
     total = round(sum(core.values()), 3)
     print(

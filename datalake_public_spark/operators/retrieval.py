@@ -75,14 +75,25 @@ def bm25_topk(
 
     Returns (query_id, doc_id, score, rk): ``score`` is the summed
     per-term integer partial score in ``scale``-ths (BIGINT), ``rk`` the
-    1-based rank by (score DESC, doc_id ASC) — fully deterministic."""
+    1-based rank by (score DESC, doc_id ASC) — fully deterministic.
+    N (the idf corpus size) counts documents with >= 1 token — the set
+    derivable from the single persisted tf pass (a zero-token document
+    can never be retrieved, and re-counting raw docs would cost a
+    second full text scan); the SQL twin uses the same definition."""
     from pyspark.sql import Window
+
+    from datalake_public_spark.operators.dedup import _adopt_caches
 
     toks = docs.select(
         F.col(id_col).alias("doc_id"), T.tokens(text_col).alias("toks")
     )
     # tf with dl riding along as a (functionally dependent) grouping key:
-    # one shuffle, map-side combined
+    # one shuffle, map-side combined. PERSISTED before the three-branch
+    # reuse (file convention — see ngram_jaccard_pairs): dfreq, corpus
+    # stats, and the candidate join all read tf; unpersisted, each branch
+    # re-derived it from its own FULL TEXT SCAN + tokenize (the audit
+    # showed 3 FileScans of the corpus — at 100 TB that is 3 passes over
+    # the dominant column instead of one).
     tf = (
         toks.select(
             "doc_id",
@@ -91,12 +102,21 @@ def bm25_topk(
         )
         .groupBy("doc_id", "dl", "token")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .persist()
     )
+    tf.count()  # materialize before the multi-branch reuse
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    stats = toks.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.size("toks").cast("long")).alias("total_tokens"),
-    ).select("n_docs", F.expr("total_tokens DIV n_docs").alias("avgdl"))
+    # corpus stats from the COMPACT persisted tf, not a fresh text scan:
+    # one (doc_id)-keyed shuffle of (doc_id, dl) pairs ≪ re-reading text
+    stats = (
+        tf.groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"), F.sum("tf").alias("n_toks"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+        )
+        .select("n_docs", F.expr("total_tokens DIV n_docs").alias("avgdl"))
+    )
 
     qterms = queries.select(
         F.col(query_id_col).alias("query_id"),
@@ -141,10 +161,11 @@ def bm25_topk(
     win = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
-    return (
+    return _adopt_caches(
         scored.withColumn("rk", F.row_number().over(win).cast("int"))
         .filter(F.col("rk") <= k)
-        .select("query_id", "doc_id", "score", "rk")
+        .select("query_id", "doc_id", "score", "rk"),
+        tf,
     )
 
 
@@ -173,9 +194,11 @@ tf AS (
 ),
 dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
 stats AS (
+  -- N counts docs with >= 1 token (the tf-derivable set, mirroring the
+  -- Spark side's single-scan shape; a zero-token doc can never match)
   SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum(len(toks)) AS BIGINT) // CAST(count(*) AS BIGINT) AS avgdl
-  FROM toks
+         CAST(sum(n_toks) AS BIGINT) // CAST(count(*) AS BIGINT) AS avgdl
+  FROM (SELECT doc_id, sum(tf) AS n_toks FROM tf GROUP BY doc_id)
 ),
 q(query_id, qtext) AS (VALUES {values}),
 qterms AS (

@@ -430,3 +430,31 @@ def test_quality_filter_rules_not_substituted_into_scan_filter(spark):
             assert "too_short_chars" not in line, line[:200]
     # and the barrier survived the optimizer
     assert "__barrier" in plan
+
+
+def test_bm25_single_corpus_scan_broadcast_query_side(spark):
+    """BM25 (round 7): the corpus must be scanned ONCE — tf persists and
+    dfreq / corpus-stats / candidate-join all read the cache (the first
+    audit showed 3 full text scans). The query side must broadcast (a
+    sort-merge join would shuffle the corpus-sized tf on token), and no
+    cartesian anywhere (the 1-row stats join is a broadcast loop)."""
+    from datalake_public_spark.operators.retrieval import (
+        DRIVER_QUERIES,
+        bm25_topk,
+    )
+    from datalake_public_spark.operators.dedup import release_caches
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    q = spark.createDataFrame(list(DRIVER_QUERIES), "query_id int, qtext string")
+    out = bm25_topk(docs, q, k=10)
+    try:
+        p = _plan(spark, out)
+        # three branches, all served from the persisted tf
+        assert p.count("InMemoryTableScan") == 3
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+        assert "CartesianProduct" not in p
+    finally:
+        release_caches(out)
