@@ -1835,9 +1835,10 @@ def vocab_familiarity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     qdf = spark.createDataFrame(list(DRIVER_QUERIES), "query_id int, qtext string")
-    bm25 = bm25_topk(
+    bm25_inline = bm25_topk(
         _t(spark, sf, "documents").select("doc_id", "text"), qdf, k=10
-    ).select(
+    )
+    bm25 = bm25_inline.select(
         F.lit("bm25").alias("op"),
         F.concat_ws("|", F.col("query_id").cast("string"), F.col("doc_id").cast("string")).alias("key"),
         F.col("score").alias("n"),
@@ -1845,7 +1846,40 @@ def vocab_familiarity(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("double").alias("oov_frac"),
         F.lit(None).cast("double").alias("familiarity"),
     )
-    return vocab.unionByName(fam).unionByName(surface).unionByName(bm25)
+    # prebuilt-index path (build-once-probe-many, the 100 TB query-many
+    # regime): driver-checked the same way as similarity_ann's
+    # ivf_prebuilt — n packs (symmetric-difference count vs the inline
+    # result, which must be 0) with the prebuilt row count
+    from datalake_public_spark.operators.retrieval import (
+        bm25_build_index,
+        bm25_topk_prebuilt,
+    )
+
+    idx_root = _registry_tmp_root("bm25_idx_")
+    bm25_build_index(
+        _t(spark, sf, "documents").select("doc_id", "text"), idx_root
+    )
+    pre = bm25_topk_prebuilt(spark, idx_root, qdf, k=10)
+    nd = (
+        bm25_inline.exceptAll(pre)
+        .unionByName(pre.exceptAll(bm25_inline))
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    nc = pre.agg(F.count(F.lit(1)).alias("nc"))
+    pre_row = nd.crossJoin(nc).select(  # 1×1 aggregate pair — bounded
+        F.lit("bm25_prebuilt").alias("op"),
+        F.lit("equals_inline").alias("key"),
+        (F.col("nd") * 1000000 + F.col("nc")).cast("long").alias("n"),
+        F.lit(None).cast("int").alias("n_oov"),
+        F.lit(None).cast("double").alias("oov_frac"),
+        F.lit(None).cast("double").alias("familiarity"),
+    )
+    return (
+        vocab.unionByName(fam)
+        .unionByName(surface)
+        .unionByName(bm25)
+        .unionByName(pre_row)
+    )
 
 
 def _bm25_sql() -> str:
@@ -1899,6 +1933,12 @@ UNION ALL
 SELECT 'bm25', CAST(query_id AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR),
        score, rk, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
 FROM ({_bm25_sql()}) b
+UNION ALL
+-- prebuilt ≡ inline: Spark packs (symdiff * 1e6 + prebuilt row count);
+-- equality means symdiff = 0, so the oracle recomputes just the count
+SELECT 'bm25_prebuilt', 'equals_inline',
+       CAST((SELECT count(*) FROM ({_bm25_sql()}) bb) AS BIGINT),
+       CAST(NULL AS INT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
 """
 
 

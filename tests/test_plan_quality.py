@@ -432,29 +432,46 @@ def test_quality_filter_rules_not_substituted_into_scan_filter(spark):
     assert "__barrier" in plan
 
 
-def test_bm25_single_corpus_scan_broadcast_query_side(spark):
-    """BM25 (round 7): the corpus must be scanned ONCE — tf persists and
-    dfreq / corpus-stats / candidate-join all read the cache (the first
-    audit showed 3 full text scans). The query side must broadcast (a
-    sort-merge join would shuffle the corpus-sized tf on token), and no
-    cartesian anywhere (the 1-row stats join is a broadcast loop)."""
+def test_bm25_broadcast_query_side_no_smj_no_cartesian(spark):
+    """BM25 (round 7): the query side must broadcast (a sort-merge join
+    would shuffle the corpus-sized tf on token) and nothing may go
+    cartesian (the 1-row stats join is a broadcast loop). tf is
+    deliberately NOT cached — recompute-per-branch measured 2.7× faster
+    than InMemoryRelation materialization at ×10 (see the operator's
+    comment); the query-many answer is the prebuilt index below."""
     from datalake_public_spark.operators.retrieval import (
         DRIVER_QUERIES,
         bm25_topk,
     )
-    from datalake_public_spark.operators.dedup import release_caches
 
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
         "doc_id", "text"
     )
     q = spark.createDataFrame(list(DRIVER_QUERIES), "query_id int, qtext string")
-    out = bm25_topk(docs, q, k=10)
-    try:
-        p = _plan(spark, out)
-        # three branches, all served from the persisted tf
-        assert p.count("InMemoryTableScan") == 3
-        assert "BroadcastHashJoin" in p
-        assert "SortMergeJoin" not in p
-        assert "CartesianProduct" not in p
-    finally:
-        release_caches(out)
+    p = _plan(spark, bm25_topk(docs, q, k=10))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "InMemoryTableScan" not in p  # the cache was a measured loss
+
+
+def test_bm25_prebuilt_index_prunes_buckets_no_text_scan(spark, tmp_path):
+    """The prebuilt path must read ZERO document text (index-only) and
+    prune the tf read to the query terms' hash buckets (PartitionFilters
+    on bucket)."""
+    from datalake_public_spark.operators.retrieval import (
+        DRIVER_QUERIES,
+        bm25_build_index,
+        bm25_topk_prebuilt,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    root = str(tmp_path / "bm25_idx")
+    bm25_build_index(docs, root)
+    q = spark.createDataFrame(list(DRIVER_QUERIES), "query_id int, qtext string")
+    out = bm25_topk_prebuilt(spark, root, q, k=10)
+    p = _plan(spark, out, "formatted")
+    assert "documents.parquet" not in p  # no text scan at query time
+    assert "SortMergeJoin" not in p

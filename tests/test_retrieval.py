@@ -91,6 +91,28 @@ def test_bm25_no_matching_terms_yields_empty(spark):
     assert bm25_topk(docs, _q(spark, [(1, "zzz")]), k=5).count() == 0
 
 
+def test_bm25_prebuilt_equals_inline(spark, tmp_path):
+    """build-once-probe-many: the prebuilt index path must return the
+    EXACT (query_id, doc_id, score, rk) set as the inline path — shared
+    scoring tail, so a drift here means the index write/read lost rows
+    or types."""
+    from datalake_public_spark.operators.retrieval import (
+        bm25_build_index,
+        bm25_topk_prebuilt,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    )
+    q = _q(spark, list(DRIVER_QUERIES))
+    root = str(tmp_path / "idx")
+    bm25_build_index(docs, root)
+    inline = sorted(map(tuple, bm25_topk(docs, q, k=10).collect()))
+    prebuilt = sorted(map(tuple, bm25_topk_prebuilt(spark, root, q, k=10).collect()))
+    assert inline == prebuilt
+    assert len(inline) == 40
+
+
 if __name__ == "__main__":
     import sys
 
