@@ -210,7 +210,12 @@ def bm25_build_index(
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         .withColumn("bucket", F.pmod(F.xxhash64("token"), F.lit(64)))
     )
-    tf.write.partitionBy("bucket").mode("overwrite").parquet(f"{index_root}/tf")
+    # repartition on bucket before the partitioned write: without it,
+    # every shuffle partition writes a file into every bucket directory
+    # (shuffle_partitions × 64 small files); with it, one file per bucket
+    tf.repartition("bucket").write.partitionBy("bucket").mode(
+        "overwrite"
+    ).parquet(f"{index_root}/tf")
     tf_r = tf.sparkSession.read.parquet(f"{index_root}/tf")
     tf_r.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("df")
