@@ -183,20 +183,12 @@ def _score_and_rank(
     )
 
 
-def bm25_build_index(
-    docs: DataFrame,
-    index_root: str,
-    *,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def _write_tf_batch(
+    docs: DataFrame, index_root: str, batch_tag: str, text_col: str, id_col: str
 ) -> None:
-    """Materialize the BM25 index (tf / dfreq / stats) as parquet under
-    ``index_root`` — the query-many regime's answer to the inline path's
-    per-call corpus scans (same build-once-probe-many shape as the
-    prebuilt IVF index, operators/similarity.py). tf is written
-    bucket-partitioned by pmod(xxhash64(token), 64) so a query touches
-    only its terms' buckets (partition pruning on the scan); dfreq and
-    stats are vocabulary- and 1-row-sized."""
+    """Write one document batch's tf under ``tf/batch=<tag>`` —
+    overwrite of THAT directory only, so a replayed batch is an
+    idempotent no-op-shaped rewrite, never a duplicate append."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"), T.tokens(text_col).alias("toks")
     )
@@ -215,8 +207,17 @@ def bm25_build_index(
     # (shuffle_partitions × 64 small files); with it, one file per bucket
     tf.repartition("bucket").write.partitionBy("bucket").mode(
         "overwrite"
-    ).parquet(f"{index_root}/tf")
-    tf_r = tf.sparkSession.read.parquet(f"{index_root}/tf")
+    ).parquet(f"{index_root}/tf/batch={batch_tag}")
+
+
+def _refresh_derived(spark, index_root: str) -> None:
+    """Rebuild dfreq and corpus stats from the full tf table — one pass
+    over the COMPACT index (no document text), so extending a 100 TB
+    corpus by a 0.1% batch costs the batch's tokenize plus an index-only
+    aggregate. Overwrite is idempotent; a crash between the tf write
+    and this refresh self-heals on replay (the batch rewrite is a no-op,
+    the refresh runs again)."""
+    tf_r = spark.read.parquet(f"{index_root}/tf").drop("batch", "bucket")
     tf_r.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     ).write.mode("overwrite").parquet(f"{index_root}/dfreq")
@@ -231,6 +232,49 @@ def bm25_build_index(
         .write.mode("overwrite")
         .parquet(f"{index_root}/stats")
     )
+
+
+def bm25_build_index(
+    docs: DataFrame,
+    index_root: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the BM25 index (tf / dfreq / stats) as parquet under
+    ``index_root`` — the query-many regime's answer to the inline path's
+    per-call corpus scans (same build-once-probe-many shape as the
+    prebuilt IVF index, operators/similarity.py). tf is written
+    batch- then bucket-partitioned (pmod(xxhash64(token), 64)) so a
+    query touches only its terms' buckets (partition pruning on the
+    scan) and ``bm25_extend_index`` can add document batches
+    idempotently; dfreq and stats are vocabulary- and 1-row-sized."""
+    _write_tf_batch(docs, index_root, "base", text_col, id_col)
+    _refresh_derived(docs.sparkSession, index_root)
+
+
+def bm25_extend_index(
+    new_docs: DataFrame,
+    index_root: str,
+    batch_tag: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Add a document batch to an existing index (the continuous-corpus
+    regime — mirrors ``extend_ivf_index``): only the NEW documents are
+    scanned and tokenized; dfreq/stats — which shift globally when df
+    changes — rebuild from the compact tf table, never from text.
+    Idempotent BY CONSTRUCTION: the batch writes to its own
+    ``tf/batch=<tag>`` directory with overwrite, and the derived
+    refresh is an overwrite too, so a replay (streaming foreachBatch
+    restart, crash between the two writes) converges to the same index
+    instead of duplicating rows. ``batch_tag`` must be unique per
+    logical batch ("base" is reserved for the initial build)."""
+    if batch_tag == "base":
+        raise ValueError("batch_tag 'base' is reserved for bm25_build_index")
+    _write_tf_batch(new_docs, index_root, batch_tag, text_col, id_col)
+    _refresh_derived(new_docs.sparkSession, index_root)
 
 
 def bm25_topk_prebuilt(
@@ -253,7 +297,7 @@ def bm25_topk_prebuilt(
     tf = (
         spark.read.parquet(f"{index_root}/tf")
         .join(F.broadcast(buckets), "bucket")
-        .drop("bucket")
+        .drop("batch", "bucket")
     )
     dfreq = spark.read.parquet(f"{index_root}/dfreq")
     stats = spark.read.parquet(f"{index_root}/stats")

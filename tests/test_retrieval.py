@@ -113,6 +113,36 @@ def test_bm25_prebuilt_equals_inline(spark, tmp_path):
     assert len(inline) == 40
 
 
+def test_bm25_extend_index_incremental_and_idempotent(spark, tmp_path):
+    """Continuous-corpus contract: build on half the corpus, extend with
+    the other half (and REPLAY the extension, simulating a foreachBatch
+    restart) — the extended index must answer exactly like an inline run
+    over the full corpus, and the replay must not duplicate anything."""
+    from datalake_public_spark.operators.retrieval import (
+        bm25_build_index,
+        bm25_extend_index,
+        bm25_topk_prebuilt,
+    )
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    )
+    first, second = docs.filter(F.col("doc_id") % 2 == 0), docs.filter(
+        F.col("doc_id") % 2 == 1
+    )
+    q = _q(spark, list(DRIVER_QUERIES))
+    root = str(tmp_path / "idx")
+    bm25_build_index(first, root)
+    bm25_extend_index(second, root, "b1")
+    bm25_extend_index(second, root, "b1")  # replay — must be a no-op
+    extended = sorted(map(tuple, bm25_topk_prebuilt(spark, root, q, k=10).collect()))
+    inline = sorted(map(tuple, bm25_topk(docs, q, k=10).collect()))
+    assert extended == inline
+    with pytest.raises(ValueError, match="reserved"):
+        bm25_extend_index(second, root, "base")
+
+
 if __name__ == "__main__":
     import sys
 
