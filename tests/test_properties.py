@@ -245,3 +245,57 @@ def test_line_dedup_identity_and_idempotence(spark, docs):
 
 if __name__ == "__main__":  # pragma: no cover
     pytest.main([__file__, "-q"])
+
+
+# word-salad corpora: tokens from a small vocabulary so query terms hit
+WORDS = ["alpha", "beta", "gamma", "delta", "x1", "zz"]
+DOCS = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _bm25_reference(docs: list[str], query_terms: list[str], scale: int = 10_000):
+    """Independent pure-Python twin of operators/retrieval's exact
+    integer formula (k1=6/5, b=3/4, floored avgdl, probabilistic idf) —
+    validates the whole DataFrame plumbing, not just the expression."""
+    toks = {i: d.split() for i, d in enumerate(docs)}
+    toks = {i: [t for t in ts if t] for i, ts in toks.items()}
+    nonempty = {i: ts for i, ts in toks.items() if ts}
+    if not nonempty:
+        return {}
+    n_docs = len(nonempty)
+    avgdl = sum(len(ts) for ts in nonempty.values()) // n_docs
+    df = {}
+    for ts in nonempty.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    scores: dict[int, int] = {}
+    for i, ts in nonempty.items():
+        s = 0
+        for t in set(query_terms):
+            tf = ts.count(t)
+            if tf == 0 or t not in df:
+                continue
+            num = (2 * n_docs - 2 * df[t] + 1) * 44 * tf * avgdl
+            den = (2 * df[t] + 1) * (20 * tf * avgdl + 6 * avgdl + 18 * len(ts))
+            s += (2 * scale * num + den) // (2 * den)
+        if s > 0:
+            scores[i] = s
+    return scores
+
+
+@given(docs=DOCS, qidx=st.lists(st.sampled_from(WORDS), min_size=1, max_size=3))
+@SET
+def test_bm25_matches_independent_reference(spark, docs, qidx):
+    from datalake_public_spark.operators.retrieval import bm25_topk
+
+    sdf = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    q = spark.createDataFrame([(1, " ".join(qidx))], "query_id int, qtext string")
+    got = {
+        r.doc_id: r.score for r in bm25_topk(sdf, q, k=len(docs) + 1).collect()
+    }
+    assert got == _bm25_reference(docs, qidx)
