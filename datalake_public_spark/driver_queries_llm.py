@@ -376,30 +376,31 @@ def dedup_embedding_cosine_blocked(sub_blocks: int):
     the within-label pairs (id-hash-uniform, documented in the sweep
     artifact). The UNBOUNDED entry still runs at every driver-gate SF
     (0.001/0.01/0.1); the BLAS production twin keeps its full-corpus
-    1e-9 cross-pin in tests/test_dedup.py."""
+    1e-9 cross-pin in tests/test_dedup.py.
+
+    Round 8 (VERDICT r7 item 1): the Spark side routes through
+    ``embedding_block_cosine_pairs_bitexact`` — the tiled-BLAS kernel
+    scores the within-sub-block pairs and only rounding-boundary-ambiguous
+    cosines (~2%) re-score through the fold expression, so the emitted
+    bits are unchanged (equality with the fold formulation pinned in
+    tests/test_dedup.py) while the 218.8 s ×100 fold cost collapses to
+    kernel time. The composite (label, sub) block rides as one long key
+    ``blk = label·B + sub``; label is recovered exactly as blk DIV B."""
 
     def q(spark, sf):
         emb = _t(spark, sf, "embeddings").withColumn(
-            "sub", F.pmod(F.col("vec_id"), F.lit(sub_blocks))
+            "blk",
+            F.col("label").cast("long") * sub_blocks
+            + F.pmod(F.col("vec_id"), F.lit(sub_blocks)),
         )
-        a = emb.select(
-            F.col("vec_id").alias("id_a"),
-            F.col("embedding").alias("va"),
-            "label",
-            "sub",
+        pairs = dedup.embedding_block_cosine_pairs_bitexact(
+            emb, block_col="blk"
         )
-        b = emb.select(
-            F.col("vec_id").alias("id_b"),
-            F.col("embedding").alias("vb"),
-            "label",
-            "sub",
-        )
-        return (
-            a.join(b, ["label", "sub"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .withColumn("cos", F.round(V.cosine("va", "vb"), 6))
-            .filter(F.col("cos") >= 0.35)
-            .select("label", "id_a", "id_b", "cos")
+        return pairs.select(
+            F.expr(f"CAST(blk DIV {sub_blocks} AS INT)").alias("label"),
+            "id_a",
+            "id_b",
+            "cos",
         )
 
     return q

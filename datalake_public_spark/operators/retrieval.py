@@ -100,9 +100,38 @@ def bm25_topk(
         .groupBy("doc_id", "dl", "token")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
     # corpus stats stay tf-derived (N = docs with >= 1 token, matching
-    # the SQL twin): scan → partial agg, no extra join
+    # the SQL twin); dfreq/stats/scoring shared with the checkpointed-tf
+    # path so the two can never drift
+    return bm25_score_tf(
+        tf,
+        queries,
+        k=k,
+        scale=scale,
+        query_id_col=query_id_col,
+        query_text_col=query_text_col,
+    )
+
+
+def bm25_score_tf(
+    tf: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    scale: int = _SCALE,
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+) -> DataFrame:
+    """Score/rank against a PRECOMPUTED tf table (doc_id, dl, token, tf)
+    — the checkpointed-tf regime (VERDICT r7 item 2): when several
+    consumers need BM25 over the same corpus snapshot, tokenize once,
+    materialize tf (``bm25_build_index`` writes exactly this table), and
+    feed every consumer from the compact index instead of re-running the
+    scan→tokenize→explode chain per consumer. dfreq and corpus stats
+    recompute from tf — no document text is ever read. Identical results
+    to ``bm25_topk`` by construction (same derivations, same scoring
+    tail)."""
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
     stats = (
         tf.groupBy("doc_id")
         .agg(F.first("dl").alias("dl"), F.sum("tf").alias("n_toks"))
@@ -112,7 +141,6 @@ def bm25_topk(
         )
         .select("n_docs", F.expr("total_tokens DIV n_docs").alias("avgdl"))
     )
-
     qterms = _query_terms(queries, query_id_col, query_text_col)
     return _score_and_rank(tf, dfreq, stats, qterms, k=k, scale=scale)
 
@@ -342,14 +370,20 @@ qterms AS (
 qstats AS (SELECT query_id, token, df FROM qterms JOIN dfreq USING (token)),
 parts AS (
   -- HUGEINT products: the 128-bit twin of Spark's decimal(38,0) math
+  -- the inner sum is HUGEINT too (CAST on its first factor): in BIGINT
+  -- it would raise out-of-range on an extreme corpus (tf·avgdl >
+  -- ~4.6e17) where Spark's decimal(38,0) succeeds — both engines must
+  -- share the 128-bit headroom end to end (ADVICE r7)
   SELECT qs.query_id, tf.doc_id,
          CAST((2 * {scale}
             * (CAST(2 * s.n_docs - 2 * qs.df + 1 AS HUGEINT)
                * 44 * tf.tf * s.avgdl)
           + (CAST(2 * qs.df + 1 AS HUGEINT)
-             * (20 * tf.tf * s.avgdl + 6 * s.avgdl + 18 * tf.dl)))
+             * (CAST(20 * tf.tf AS HUGEINT) * s.avgdl
+                + 6 * s.avgdl + 18 * tf.dl)))
          // (2 * (CAST(2 * qs.df + 1 AS HUGEINT)
-             * (20 * tf.tf * s.avgdl + 6 * s.avgdl + 18 * tf.dl)))
+             * (CAST(20 * tf.tf AS HUGEINT) * s.avgdl
+                + 6 * s.avgdl + 18 * tf.dl)))
          AS BIGINT) AS part
   FROM tf JOIN qstats qs USING (token), stats s
 ),

@@ -495,6 +495,119 @@ def test_embedding_block_kernel_tiling_invariant(spark):
     assert full == tiny
 
 
+def test_shingle_kernel_matches_expression(spark):
+    """The Arrow shingle kernel and the Catalyst expression form
+    (tokens → shingles_from_tokens) emit the SAME shingle universe —
+    the contract ngram_jaccard_pairs' round-8 kernel swap rests on
+    (array order may differ: the kernel sorts, the expression keeps
+    first-occurrence order; compare as sets). Fixture docs plus the
+    edge shapes: empty text, < n tokens, repeated shingles, multiple
+    consecutive spaces."""
+    from datalake_public_spark.functions import text_funcs as T
+    from datalake_public_spark.operators.dedup import (
+        _shingle_strings_kernel,
+    )
+
+    edge = spark.createDataFrame(
+        [
+            (9001, ""),
+            (9002, "one two"),
+            (9003, "a b c a b c a b c"),
+            (9004, "x  y   z  x  y"),
+            (9005, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .unionByName(edge)
+    )
+    kern = {
+        r.doc_id: set(r.sh)
+        for r in docs.select(
+            "doc_id", _shingle_strings_kernel(3)(F.col("text")).alias("sh")
+        ).collect()
+    }
+    expr = {
+        r.doc_id: set(r.sh)
+        for r in docs.select("doc_id", T.tokens("text").alias("__t"))
+        .select(
+            "doc_id", T.shingles_from_tokens("__t", 3).alias("sh")
+        )
+        .collect()
+    }
+    assert kern == expr
+    assert kern[9001] == set() and kern[9005] == set()
+    assert kern[9003] == {"a b c", "b c a", "c a b"}
+
+
+def test_bitexact_blocked_cosine_equals_fold_on_fixture(spark):
+    """embedding_block_cosine_pairs_bitexact is BIT-identical to the
+    fold-expression formulation — pair sets and every cosine double —
+    on the full embeddings fixture (the guarantee the round-8 sweep
+    twin rests on; the plain BLAS kernel only pins |Δ| ≤ 1e-9)."""
+    from datalake_public_spark.functions import vector as V
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    a = emb.selectExpr("vec_id as id_a", "embedding as va", "label")
+    b = emb.selectExpr("vec_id as id_b", "embedding as vb", "label")
+    fold = {
+        (r.label, r.id_a, r.id_b): r.cos
+        for r in a.join(b, ["label"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(V.cosine("va", "vb"), 6))
+        .filter(F.col("cos") >= 0.35)
+        .collect()
+    }
+    got = {
+        (r.label, r.id_a, r.id_b): r.cos
+        for r in dedup.embedding_block_cosine_pairs_bitexact(emb).collect()
+    }
+    assert got == fold and len(got) > 0
+
+
+def test_bitexact_blocked_cosine_routes_boundary_pairs_through_fold(spark):
+    """Crafted rounding-boundary cosines (the cases where the BLAS value
+    and the fold value could round differently) must produce EXACTLY the
+    fold formulation's output — they take the re-score path by
+    construction. Covers: the threshold boundary 0.3499995, a mid-grid
+    x.xxxxx5 boundary, solid pass/fail values, and a zero-norm vector
+    (NULL cosine in the fold → dropped on both paths)."""
+    import math
+
+    from datalake_public_spark.functions import vector as V
+
+    t1, t2 = 0.3499995, 0.7234565  # both within 1e-16 of a .5 grid line
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [t1, math.sqrt(1 - t1 * t1)], 0),  # cos(1,2) ≈ threshold edge
+        (3, [t2, math.sqrt(1 - t2 * t2)], 0),  # cos(1,3) ≈ mid-grid edge
+        (4, [0.9, math.sqrt(1 - 0.81)], 0),    # solid pass
+        (5, [0.1, math.sqrt(1 - 0.01)], 0),    # solid fail
+        (6, [0.0, 0.0], 0),                    # zero norm → dropped
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    a = emb.selectExpr("vec_id as id_a", "embedding as va", "label")
+    b = emb.selectExpr("vec_id as id_b", "embedding as vb", "label")
+    fold = {
+        (r.label, r.id_a, r.id_b): r.cos
+        for r in a.join(b, ["label"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(V.cosine("va", "vb"), 6))
+        .filter(F.col("cos") >= 0.35)
+        .collect()
+    }
+    got = {
+        (r.label, r.id_a, r.id_b): r.cos
+        for r in dedup.embedding_block_cosine_pairs_bitexact(emb).collect()
+    }
+    assert got == fold
+    assert (0, 1, 4) in got and (0, 1, 5) not in got
+
+
 def test_blocked_cosine_sweep_twin_matches_sql_and_is_subset(spark):
     """The scale-sweep's bounded cosine twin (VERDICT r4 item 3) must
     (a) agree exactly with its DuckDB SQL twin and (b) emit a strict
