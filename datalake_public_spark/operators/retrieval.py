@@ -79,9 +79,6 @@ def bm25_topk(
     N (the idf corpus size) counts documents with >= 1 token — the
     tf-derivable set (a zero-token document can never be retrieved);
     the SQL twin uses the same definition."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), T.tokens(text_col).alias("toks")
-    )
     # tf with dl riding along as a (functionally dependent) grouping key:
     # one shuffle, map-side combined. tf is deliberately NOT persisted:
     # measured at the ×10 rung, recomputing the codegen scan→explode→agg
@@ -91,15 +88,7 @@ def bm25_topk(
     # join reads only query-term rows. For the query-many regime where
     # repeated scans DO dominate, build the index once with
     # ``bm25_build_index`` and query via ``bm25_topk_prebuilt``.
-    tf = (
-        toks.select(
-            "doc_id",
-            F.size("toks").cast("long").alias("dl"),
-            F.explode("toks").alias("token"),
-        )
-        .groupBy("doc_id", "dl", "token")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
+    tf = _compute_tf(docs, text_col, id_col)
     # corpus stats stay tf-derived (N = docs with >= 1 token, matching
     # the SQL twin); dfreq/stats/scoring shared with the checkpointed-tf
     # path so the two can never drift
@@ -211,16 +200,13 @@ def _score_and_rank(
     )
 
 
-def _write_tf_batch(
-    docs: DataFrame, index_root: str, batch_tag: str, text_col: str, id_col: str
-) -> None:
-    """Write one document batch's tf under ``tf/batch=<tag>`` —
-    overwrite of THAT directory only, so a replayed batch is an
-    idempotent no-op-shaped rewrite, never a duplicate append."""
+def _compute_tf(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """scan → tokenize → explode → map-side-combined groupBy: the one
+    corpus-sized pass every BM25 path shares."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"), T.tokens(text_col).alias("toks")
     )
-    tf = (
+    return (
         toks.select(
             "doc_id",
             F.size("toks").cast("long").alias("dl"),
@@ -228,29 +214,33 @@ def _write_tf_batch(
         )
         .groupBy("doc_id", "dl", "token")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .withColumn("bucket", F.pmod(F.xxhash64("token"), F.lit(64)))
     )
+
+
+def _write_tf_frame(tf: DataFrame, index_root: str, batch_tag: str) -> None:
+    """Write one batch's tf under ``tf/batch=<tag>`` — overwrite of THAT
+    directory only, so a replayed batch is an idempotent no-op-shaped
+    rewrite, never a duplicate append."""
     # repartition on bucket before the partitioned write: without it,
     # every shuffle partition writes a file into every bucket directory
     # (shuffle_partitions × 64 small files); with it, one file per bucket
-    tf.repartition("bucket").write.partitionBy("bucket").mode(
-        "overwrite"
-    ).parquet(f"{index_root}/tf/batch={batch_tag}")
+    (
+        tf.withColumn("bucket", F.pmod(F.xxhash64("token"), F.lit(64)))
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(f"{index_root}/tf/batch={batch_tag}")
+    )
 
 
-def _refresh_derived(spark, index_root: str) -> None:
-    """Rebuild dfreq and corpus stats from the full tf table — one pass
-    over the COMPACT index (no document text), so extending a 100 TB
-    corpus by a 0.1% batch costs the batch's tokenize plus an index-only
-    aggregate. Overwrite is idempotent; a crash between the tf write
-    and this refresh self-heals on replay (the batch rewrite is a no-op,
-    the refresh runs again)."""
-    tf_r = spark.read.parquet(f"{index_root}/tf").drop("batch", "bucket")
-    tf_r.groupBy("token").agg(
+def _write_derived(tf: DataFrame, index_root: str) -> None:
+    """dfreq + corpus stats from a tf frame — vocabulary- and 1-row-sized
+    outputs; no document text is read."""
+    tf.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     ).write.mode("overwrite").parquet(f"{index_root}/dfreq")
     (
-        tf_r.groupBy("doc_id")
+        tf.groupBy("doc_id")
         .agg(F.first("dl").alias("dl"), F.sum("tf").alias("n_toks"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -259,6 +249,19 @@ def _refresh_derived(spark, index_root: str) -> None:
         .select("n_docs", F.expr("total_tokens DIV n_docs").alias("avgdl"))
         .write.mode("overwrite")
         .parquet(f"{index_root}/stats")
+    )
+
+
+def _refresh_derived(spark, index_root: str) -> None:
+    """Rebuild dfreq and corpus stats from the FULL tf table — one pass
+    over the COMPACT index (no document text), so extending a 100 TB
+    corpus by a 0.1% batch costs the batch's tokenize plus an index-only
+    aggregate. Overwrite is idempotent; a crash between the tf write
+    and this refresh self-heals on replay (the batch rewrite is a no-op,
+    the refresh runs again)."""
+    _write_derived(
+        spark.read.parquet(f"{index_root}/tf").drop("batch", "bucket"),
+        index_root,
     )
 
 
@@ -276,9 +279,18 @@ def bm25_build_index(
     batch- then bucket-partitioned (pmod(xxhash64(token), 64)) so a
     query touches only its terms' buckets (partition pruning on the
     scan) and ``bm25_extend_index`` can add document batches
-    idempotently; dfreq and stats are vocabulary- and 1-row-sized."""
-    _write_tf_batch(docs, index_root, "base", text_col, id_col)
-    _refresh_derived(docs.sparkSession, index_root)
+    idempotently; dfreq and stats are vocabulary- and 1-row-sized.
+
+    tf persists across the build's three consumers (the bucketed write,
+    dfreq, stats), so the corpus is scanned and tokenized exactly ONCE;
+    the cache is dropped before returning. The extension path instead
+    derives from the parquet read-back (it must see ALL batches)."""
+    tf = _compute_tf(docs, text_col, id_col).persist()
+    try:
+        _write_tf_frame(tf, index_root, "base")
+        _write_derived(tf, index_root)
+    finally:
+        tf.unpersist()
 
 
 def bm25_extend_index(
@@ -301,7 +313,9 @@ def bm25_extend_index(
     logical batch ("base" is reserved for the initial build)."""
     if batch_tag == "base":
         raise ValueError("batch_tag 'base' is reserved for bm25_build_index")
-    _write_tf_batch(new_docs, index_root, batch_tag, text_col, id_col)
+    _write_tf_frame(
+        _compute_tf(new_docs, text_col, id_col), index_root, batch_tag
+    )
     _refresh_derived(new_docs.sparkSession, index_root)
 
 
@@ -317,14 +331,29 @@ def bm25_topk_prebuilt(
 ) -> DataFrame:
     """Top-k per query against a ``bm25_build_index`` index: identical
     results to the inline path (shared scoring tail), zero text scans —
-    the tf read prunes to the query terms' hash buckets."""
+    the tf read prunes to the query terms' hash buckets.
+
+    The bucket set is resolved DRIVER-SIDE (≤ 64 ints — the query side
+    is tiny by contract, same bounded-collect shape as similarity.py's
+    capped query collect) and pushed as a LITERAL isin predicate, which
+    becomes a static PartitionFilter on the scan. The r7 broadcast-join
+    formulation relied on dynamic partition pruning that never fired —
+    the plan showed only isnotnull(bucket), i.e. every bucket was read
+    and filtered row-wise (caught tightening the plan pin, VERDICT r7
+    item 5); a literal predicate cannot rot that way and is asserted in
+    tests/test_plan_quality.py."""
     qterms = _query_terms(queries, query_id_col, query_text_col)
-    buckets = qterms.select(
-        F.pmod(F.xxhash64("token"), F.lit(64)).alias("bucket")
-    ).distinct()
+    bucket_vals = sorted(
+        r.bucket
+        for r in qterms.select(
+            F.pmod(F.xxhash64("token"), F.lit(64)).alias("bucket")
+        )
+        .distinct()
+        .collect()
+    )
     tf = (
         spark.read.parquet(f"{index_root}/tf")
-        .join(F.broadcast(buckets), "bucket")
+        .filter(F.col("bucket").isin(bucket_vals))
         .drop("batch", "bucket")
     )
     dfreq = spark.read.parquet(f"{index_root}/dfreq")

@@ -457,8 +457,13 @@ def test_bm25_broadcast_query_side_no_smj_no_cartesian(spark):
 
 def test_bm25_prebuilt_index_prunes_buckets_no_text_scan(spark, tmp_path):
     """The prebuilt path must read ZERO document text (index-only) and
-    prune the tf read to the query terms' hash buckets (PartitionFilters
-    on bucket)."""
+    prune the tf read to the query terms' hash buckets — asserted on the
+    scan's PartitionFilters, not just implied (VERDICT r7 item 5: the
+    broadcast-join formulation's promised pruning relied on dynamic
+    partition pruning that never fired; the literal isin predicate shows
+    up as a static `bucket IN (...)` partition filter)."""
+    import re
+
     from datalake_public_spark.operators.retrieval import (
         DRIVER_QUERIES,
         bm25_build_index,
@@ -475,3 +480,20 @@ def test_bm25_prebuilt_index_prunes_buckets_no_text_scan(spark, tmp_path):
     p = _plan(spark, out, "formatted")
     assert "documents.parquet" not in p  # no text scan at query time
     assert "SortMergeJoin" not in p
+    # the tf scan carries a LITERAL bucket membership partition filter
+    tf_scans = [
+        m
+        for m in re.findall(r"PartitionFilters: \[[^\]]*\]", p)
+        if "bucket" in m
+    ]
+    assert tf_scans, f"no bucket partition filter in plan:\n{p[:2000]}"
+    assert any(
+        re.search(r"bucket#\d+ (IN \(|INSET )", m) for m in tf_scans
+    ), tf_scans
+    # and the pruning is real: fewer tf partition dirs read than exist
+    import glob
+
+    n_buckets = len(glob.glob(f"{root}/tf/batch=base/bucket=*"))
+    m = re.search(r"partitions read: (\d+)", p)
+    if m:  # formatted explain reports it when available
+        assert int(m.group(1)) < n_buckets

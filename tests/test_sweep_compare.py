@@ -161,6 +161,94 @@ def test_large_permuted_table_roundtrip():
     assert vector_equal(a, c) is False
 
 
+def test_hash_compare_path_agrees_with_sort_path():
+    """Round 8 (VERDICT r7 item 4): above ``hash_rows`` vector_equal
+    compares sorted row-hash multisets instead of multi-column-sorting
+    the tables. Forcing the hash path with hash_rows=0 must reproduce
+    the sort path's verdicts exactly: permutation-equal → True, a single
+    mutated cell → False (which falls back to the diff path in the
+    sweep), NaN multiset semantics preserved."""
+    a = _base_table()
+    b = _permuted(a, [4, 2, 0, 3, 1])
+    assert vector_equal(a, b, hash_rows=0) is True
+    pdf = a.to_pandas()
+    pdf.loc[2, "s"] = "MUTATED"
+    c = pa.Table.from_pandas(pdf, schema=a.schema, preserve_index=False)
+    assert vector_equal(a, c, hash_rows=0) is False
+    nan_a = pa.table({"f": pa.array([1.0, float("nan")])})
+    nan_same = pa.table({"f": pa.array([float("nan"), 1.0])})
+    nan_diff = pa.table({"f": pa.array([1.0, 2.0])})
+    assert vector_equal(nan_a, nan_same, hash_rows=0) is True
+    assert vector_equal(nan_a, nan_diff, hash_rows=0) is False
+    # large-table determinism: permuted 50k-row table hashes equal, a
+    # one-cell mutation is caught (the deliberate-mismatch pin)
+    rng = np.random.default_rng(13)
+    n = 50_000
+    big = pd.DataFrame(
+        {
+            "k": rng.integers(0, 1_000, n),
+            "v": rng.standard_normal(n).round(6),
+            "s": pd.Series(rng.integers(0, 26, n)).map(
+                lambda i: chr(97 + i) * 3
+            ),
+        }
+    )
+    ta = pa.Table.from_pandas(big, preserve_index=False)
+    tb = pa.Table.from_pandas(
+        big.sample(frac=1.0, random_state=3).reset_index(drop=True),
+        preserve_index=False,
+    )
+    assert vector_equal(ta, tb, hash_rows=0) is True
+    big2 = big.copy()
+    big2.loc[n // 2, "v"] += 1e-9
+    tc = pa.Table.from_pandas(big2, preserve_index=False)
+    assert vector_equal(ta, tc, hash_rows=0) is False
+
+
+def test_oracle_cache_rejects_foreign_owned_dir(tmp_path, monkeypatch):
+    """ADVICE r7: a cache dir owned by another uid must be refused, not
+    trusted (predictable /tmp path → planted-parquet oracle forgery).
+    Simulated by monkeypatching os.getuid to a foreign id — the check
+    compares dir ownership against the CURRENT uid before any read."""
+    import duckdb
+
+    cache = tmp_path / "cache"
+    monkeypatch.setenv("SWEEP_ORACLE_CACHE", str(cache))
+    con = duckdb.connect()
+    scale_sweep.oracle_cached(con, "own", "SELECT 1 AS x", "s0")  # creates
+    real_uid = os.getuid()
+    monkeypatch.setattr(os, "getuid", lambda: real_uid + 1)
+    with pytest.raises(RuntimeError, match="owned by uid"):
+        scale_sweep.oracle_cached(con, "own", "SELECT 1 AS x", "s0")
+
+
+def test_oracle_cache_skips_tempdir_sql_and_keys_on_duckdb_version(
+    tmp_path, monkeypatch
+):
+    """ADVICE r7: (a) SQL embedding per-process temp paths never hits —
+    don't write dead files for it; (b) the key folds in duckdb
+    __version__ so an upgraded engine can't be compared against a stale
+    pre-upgrade oracle."""
+    import glob
+    import tempfile as _tf
+
+    import duckdb
+
+    cache = tmp_path / "cache"
+    monkeypatch.setenv("SWEEP_ORACLE_CACHE", str(cache))
+    con = duckdb.connect()
+    temp_sql = f"SELECT len('{_tf.gettempdir()}/x_123') AS n"
+    _, hit = scale_sweep.oracle_cached(con, "tmpsql", temp_sql, "s0")
+    assert hit is False
+    assert glob.glob(str(cache / "tmpsql_*")) == []  # nothing written
+    stable_sql = "SELECT 42 AS n"
+    scale_sweep.oracle_cached(con, "ver", stable_sql, "s0")
+    (path,) = glob.glob(str(cache / "ver_*"))
+    monkeypatch.setattr(duckdb, "__version__", "999.0.0-test")
+    _, hit2 = scale_sweep.oracle_cached(con, "ver", stable_sql, "s0")
+    assert hit2 is False  # version bump → key miss, no stale serve
+
+
 def test_oracle_cache_roundtrip_preserves_strict_dtypes(tmp_path, monkeypatch):
     """The sweep's oracle cache (round 7) must hand back EXACTLY what
     DuckDB produced: a parquet roundtrip that widened an int, dropped a

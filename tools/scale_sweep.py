@@ -40,7 +40,28 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def vector_equal(s_tbl, o_tbl):
+HASH_COMPARE_ROWS = 2_000_000  # above this, hash multisets instead of sorting
+
+
+def _sorted_row_hashes(t, cols, hash_key: str):
+    """Order-insensitive row digest of a canonicalized Arrow table: one
+    vectorized 64-bit hash per column (pandas' siphash with ``hash_key``),
+    combined across columns with a wrapping polynomial, then sorted —
+    equal multisets of rows produce identical sorted hash arrays."""
+    import numpy as np
+    import pandas as pd
+
+    h = None
+    mult = np.uint64(1_000_003)
+    for c in cols:
+        hc = pd.util.hash_pandas_object(
+            t.column(c).to_pandas(), index=False, hash_key=hash_key
+        ).to_numpy()
+        h = hc if h is None else (h * mult) ^ hc
+    return np.sort(h)
+
+
+def vector_equal(s_tbl, o_tbl, hash_rows: int = HASH_COMPARE_ROWS):
     """Arrow-native strict multiset compare for primitive-typed tables.
 
     The per-row ``fast_rows`` path is ~50 µs/row of pure Python; at the
@@ -52,11 +73,22 @@ def vector_equal(s_tbl, o_tbl):
     multisets sort to identical sequences, so elementwise equality of
     the sorted tables IS order-insensitive exact equality.
 
+    Above ``hash_rows`` rows the multi-column Arrow sort itself dominates
+    (VERDICT r7 item 4: 28.9 s of the sessionize entry's sweep cost), so
+    large tables compare order-insensitive ROW HASHES instead: two
+    independently-keyed 64-bit row digests per side, sorted and compared
+    exactly. Equal hash multisets under two independent keys is a
+    ~2^-128 false-accept — far below the probability the engines agree
+    by accident — and any mismatch falls back to the full sorted diff,
+    so failure reporting is unchanged (pinned by the deliberate-mismatch
+    test in tests/test_sweep_compare.py).
+
     Returns True / False, or None when a column type needs the per-row
     canonicalization (nested lists/structs, decimals) — callers fall
     back to ``fast_rows``. A False here also falls back, so the
     float-tolerant retry and diff reporting are unchanged.
     """
+    import numpy as np
     import pyarrow as pa
 
     from tests.oracle_harness import _canon_type
@@ -79,6 +111,16 @@ def vector_equal(s_tbl, o_tbl):
     s, o = canon(s_tbl), canon(o_tbl)
     if s is None or o is None:
         return None
+    if s.num_rows > hash_rows:
+        return bool(
+            all(
+                np.array_equal(
+                    _sorted_row_hashes(s, cols, key),
+                    _sorted_row_hashes(o, cols, key),
+                )
+                for key in ("0123456789123456", "fedcba9876543210")
+            )
+        )
     keys = [(c, "ascending") for c in cols]
     s = s.sort_by(keys).combine_chunks()
     o = o.sort_by(keys).combine_chunks()
@@ -192,6 +234,8 @@ def oracle_cached(con, name: str, sql: str, fix_sig: str):
 
     import pyarrow.parquet as pq
 
+    import duckdb
+
     cache_root = os.environ.get(
         "SWEEP_ORACLE_CACHE",
         os.path.join(
@@ -200,15 +244,35 @@ def oracle_cached(con, name: str, sql: str, fix_sig: str):
     )
     if cache_root == "0":
         return con.execute(sql).fetch_arrow_table(), False
-    key = hashlib.sha256(sql.encode()).hexdigest()[:24]
+    # ADVICE r7: (a) the dir must be OWNED by us with mode 0700 — the
+    # predictable /tmp name lets another local user pre-create it and
+    # plant parquet at computable names, forging sweep verdicts; verify
+    # ownership BEFORE any read, not just at write time. (b) the DuckDB
+    # version is part of the key — a cached pre-upgrade oracle result
+    # must not be served against a post-upgrade comparison.
+    os.makedirs(cache_root, mode=0o700, exist_ok=True)
+    st = os.stat(cache_root)
+    if st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"oracle cache dir {cache_root} is owned by uid {st.st_uid}, "
+            f"not {os.getuid()} — refusing to trust it (set "
+            "SWEEP_ORACLE_CACHE to a private path or 0 to disable)"
+        )
+    os.chmod(cache_root, 0o700)
+    key = hashlib.sha256(
+        f"{duckdb.__version__}:{sql}".encode()
+    ).hexdigest()[:24]
     path = os.path.join(cache_root, f"{name}_{key}_{fix_sig}.parquet")
     if os.path.exists(path):
         return pq.read_table(path), True
     tbl = con.execute(sql).fetch_arrow_table()
-    os.makedirs(cache_root, exist_ok=True)
-    tmp = f"{path}.tmp.{os.getpid()}"
-    pq.write_table(tbl, tmp)
-    os.replace(tmp, path)
+    # ADVICE r7: entries whose SQL embeds per-process mkdtemp paths can
+    # never hit (the key changes every run) — writing them just grows
+    # the cache without bound across rounds
+    if tempfile.gettempdir() not in sql:
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
     return tbl, False
 
 
@@ -353,19 +417,24 @@ def main() -> None:
             }
             if cache_hit:
                 phases["oracle_cached"] = True
-            s = s_tbl.to_pandas()
-            o = o_tbl.to_pandas()
-            assert sorted(s.columns) == sorted(o.columns), (
-                f"columns differ: {sorted(s.columns)} vs {sorted(o.columns)}"
+            # assertions run on the Arrow tables: the pandas conversion
+            # (seconds for multi-million-row string tables) is deferred
+            # to the fallback path — the strict fast path never pays it
+            assert sorted(s_tbl.column_names) == sorted(o_tbl.column_names), (
+                f"columns differ: {sorted(s_tbl.column_names)} "
+                f"vs {sorted(o_tbl.column_names)}"
             )
             assert_types_match(s_tbl, o_tbl, name)
-            assert len(s) == len(o), f"row count {len(s)} vs {len(o)}"
-            assert len(s) > 0, "empty result"
+            n_rows = s_tbl.num_rows
+            assert n_rows == o_tbl.num_rows, (
+                f"row count {n_rows} vs {o_tbl.num_rows}"
+            )
+            assert n_rows > 0, "empty result"
             if vector_equal(s_tbl, o_tbl) is True:
                 phases["compare_s"] = round(time.time() - t_oracle, 1)
                 results[name] = {
                     "verdict": "strict",
-                    "rows": len(s),
+                    "rows": n_rows,
                     "s": round(time.time() - t0, 1),
                     **phases,
                 }
@@ -374,6 +443,8 @@ def main() -> None:
                 print(name, "strict", results[name]["s"], flush=True)
                 flush()
                 continue  # cleanup still runs via the finally below
+            s = s_tbl.to_pandas()
+            o = o_tbl.to_pandas()
             ns, no = fast_rows(s), fast_rows(o)
             phases["compare_s"] = round(time.time() - t_oracle, 1)
             if ns == no:
