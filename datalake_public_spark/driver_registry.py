@@ -1801,14 +1801,17 @@ def vocab_familiarity(spark: SparkSession, sf: str) -> DataFrame:
     from datalake_public_spark.operators.text import corpus_familiarity
 
     # the api-path vocab result is 200 rows by construction (LIMIT 200):
-    # persist it LAZILY and serve the 'vocab' rows AND the sql-surface
-    # exceptAll legs from the cache — before r8 the full
-    # scan→tokenize→count chain ran twice for the two consumers. Lazy
-    # (not collected): every branch then materializes inside the entry's
-    # single final action where independent stages overlap across cores;
-    # an eager collect here measured +5 s of serialized cold-start at
-    # ×10. The entry memo bounds the persist to one per (session, sf).
-    api_vocab_local = vocab_top_tokens(spark, sf).persist()
+    # materialize it ONCE into a local relation and serve the 'vocab'
+    # rows AND the sql-surface exceptAll legs from it — before r8 the
+    # full scan→tokenize→count chain ran twice for the two consumers.
+    # A bounded collect (not persist): persisting would register the
+    # path-stable vocab_top_tokens plan in the CacheManager, which
+    # plan-matches INTO ANY later build of the same query in the session
+    # and silently rewrites its physical plan (observed breaking the
+    # vocab plan-shape test); the bm25 persists below are safe — their
+    # plans embed the per-process index root.
+    api_df = vocab_top_tokens(spark, sf)
+    api_vocab_local = spark.createDataFrame(api_df.collect(), api_df.schema)
     vocab = api_vocab_local.select(
         F.lit("vocab").alias("op"),
         F.col("token").alias("key"),

@@ -358,14 +358,14 @@ def test_line_dedup_shuffles_hashes_not_bodies(spark):
 
 
 def test_ngram_baseline_tokenizes_once(spark):
-    """The round-4 shingle-plan lesson, pinned: the optimized plan of
-    the exact n-gram baseline must contain exactly ONE tokenize
-    (split) — the one in the token projection. Regressions to watch:
-    (a) capturing the token EXPRESSION in the shingle lambda makes
-    interpreted HOF evaluation re-tokenize per element (O(tokens²)/doc);
-    (b) a size(shingles) filter above the projection pushes down with
-    the alias chain substituted back in, re-creating (a) inside the
-    predicate."""
+    """The shingle-plan lesson, round-8 form: shingling runs inside ONE
+    opaque Arrow kernel, so the optimizer can neither re-evaluate the
+    tokenize expression per element (the interpreted-HOF O(tokens²)/doc
+    trap) nor substitute the shingle construction into a pushed-down
+    predicate (InferFiltersFromGenerate) — the r4-r7 expression-form
+    hazards are structurally impossible. Pin: the plan contains the
+    pandas-UDF eval and ZERO Catalyst tokenize/shingle expressions, and
+    the kernel's output attribute is what every consumer references."""
     from datalake_public_spark.operators.dedup import (
         ngram_jaccard_pairs,
         release_caches,
@@ -374,17 +374,18 @@ def test_ngram_baseline_tokenizes_once(spark):
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     df = ngram_jaccard_pairs(docs)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    # the smoking gun of (a): per-element re-tokenization — element_at
-    # applied to the tokenize expression instead of a bound attribute
+    # shingling is the kernel, not a Catalyst expression chain
+    assert "kernel(text" in plan, plan[:500]
+    assert "array_distinct" not in plan
     assert "element_at(filter(split" not in plan
-    # the smoking gun of (b): the shingle construction substituted into
-    # a pushed-down predicate
+    # the shingle frame is cached: every branch reads the
+    # InMemoryRelation (whose printed subtree repeats the kernel text),
+    # so the kernel EXECUTES once however many branches consume it
+    assert "InMemoryRelation" in plan
+    # and no filter ever contains a split/tokenize re-inlining
     for line in plan.splitlines():
         if "Filter" in line or "DataFilters" in line:
-            assert "array_distinct" not in line, line[:200]
-    # shingle projections reference the bound token attribute (__toks)
-    shingle_lines = [l for l in plan.splitlines() if "array_distinct" in l]
-    assert shingle_lines and all("__toks#" in l for l in shingle_lines)
+            assert "split(" not in line, line[:200]
     release_caches(df)
 
 
