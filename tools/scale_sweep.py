@@ -43,22 +43,92 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 HASH_COMPARE_ROWS = 2_000_000  # above this, hash multisets instead of sorting
 
 
-def _sorted_row_hashes(t, cols, hash_key: str):
-    """Order-insensitive row digest of a canonicalized Arrow table: one
-    vectorized 64-bit hash per column (pandas' siphash with ``hash_key``),
-    combined across columns with a wrapping polynomial, then sorted —
-    equal multisets of rows produce identical sorted hash arrays."""
+def _mix64(x, salt: int):
+    """splitmix64-style avalanche over a uint64 numpy array (wrapping).
+    In-place ops with one scratch buffer — the naive expression form
+    allocated five 133 MB temporaries per call at 16.6M rows and
+    dominated the hash path."""
+    import numpy as np
+
+    out = x + np.uint64(salt)  # one allocation; x is left untouched
+    tmp = np.empty_like(out)
+    for shift, mult in (
+        (30, 0xBF58476D1CE4E5B9),
+        (27, 0x94D049BB133111EB),
+    ):
+        np.right_shift(out, np.uint64(shift), out=tmp)
+        out ^= tmp
+        out *= np.uint64(mult)
+    np.right_shift(out, np.uint64(31), out=tmp)
+    out ^= tmp
+    return out
+
+
+_NULL_SENT = 0x9E3779B97F4A7C15  # distinct-from-any-value null marker
+
+
+def _column_hashes(col, keys):
+    """One 64-bit hash array per ``key`` for one canonical Arrow column,
+    in a SINGLE conversion pass. Numeric/temporal/bool columns hash via
+    a vectorized bit-view (floats normalized so -0.0 ≡ +0.0 and every
+    NaN payload collapses, matching the sort path's equivalence); string
+    columns dictionary-encode first and hash only the UNIQUES through
+    pandas' keyed siphash — the first hash-path cut hashed all 16.6M
+    materialized Python strings twice per key and was 3× slower than the
+    sort path it replaced (r8; replicated corpora have few uniques)."""
     import numpy as np
     import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    h = None
+    a = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    if isinstance(a, pa.ChunkedArray):
+        a = pa.concat_arrays(a.chunks) if a.num_chunks else pa.array([], a.type)
+    null_mask = pc.is_null(a).to_numpy(zero_copy_only=False)
+    if pa.types.is_string(a.type) or pa.types.is_large_string(a.type):
+        enc = pc.dictionary_encode(a)
+        uniques = enc.dictionary.to_pandas()
+        idx = enc.indices.fill_null(0).to_numpy(zero_copy_only=False)
+        out = []
+        for key in keys:
+            uh = pd.util.hash_pandas_object(
+                uniques, index=False, hash_key=key
+            ).to_numpy()
+            h = uh[idx] if len(uh) else np.zeros(len(a), dtype=np.uint64)
+            h[null_mask] = np.uint64(_NULL_SENT)
+            out.append(_mix64(h, int.from_bytes(key[:8].encode(), "little")))
+        return out
+    if pa.types.is_floating(a.type):
+        v = a.cast(pa.float64()).fill_null(0.0).to_numpy(zero_copy_only=False)
+        v = v + 0.0  # -0.0 → +0.0 (the sort path treats them equal)
+        bits = v.view(np.uint64).copy()
+        nan = np.isnan(v)
+        bits[nan] = np.uint64(0x7FF8000000000000)  # canonical NaN
+    else:  # ints / bool / date / timestamp — exact after canon cast
+        v = a.cast(pa.int64()).fill_null(0).to_numpy(zero_copy_only=False)
+        bits = v.astype(np.int64).view(np.uint64).copy()
+    bits[null_mask] = np.uint64(_NULL_SENT)
+    return [
+        _mix64(bits, int.from_bytes(key[:8].encode(), "little"))
+        for key in keys
+    ]
+
+
+def _sorted_row_hashes(t, cols, keys=("0123456789123456", "fedcba9876543210")):
+    """Order-insensitive row digests of a canonicalized Arrow table: per
+    column, one vectorized 64-bit hash per key (see _column_hashes),
+    combined across columns with a wrapping polynomial, then sorted —
+    equal multisets of rows produce identical sorted hash arrays. Both
+    keys' digests are built in ONE pass over the data."""
+    import numpy as np
+
+    hs = [None] * len(keys)
     mult = np.uint64(1_000_003)
     for c in cols:
-        hc = pd.util.hash_pandas_object(
-            t.column(c).to_pandas(), index=False, hash_key=hash_key
-        ).to_numpy()
-        h = hc if h is None else (h * mult) ^ hc
-    return np.sort(h)
+        per_key = _column_hashes(t.column(c), keys)
+        for i, hc in enumerate(per_key):
+            hs[i] = hc if hs[i] is None else (hs[i] * mult) ^ hc
+    return [np.sort(h) for h in hs]
 
 
 def vector_equal(s_tbl, o_tbl, hash_rows: int = HASH_COMPARE_ROWS):
@@ -112,14 +182,9 @@ def vector_equal(s_tbl, o_tbl, hash_rows: int = HASH_COMPARE_ROWS):
     if s is None or o is None:
         return None
     if s.num_rows > hash_rows:
+        hs, ho = _sorted_row_hashes(s, cols), _sorted_row_hashes(o, cols)
         return bool(
-            all(
-                np.array_equal(
-                    _sorted_row_hashes(s, cols, key),
-                    _sorted_row_hashes(o, cols, key),
-                )
-                for key in ("0123456789123456", "fedcba9876543210")
-            )
+            all(np.array_equal(a, b) for a, b in zip(hs, ho))
         )
     keys = [(c, "ascending") for c in cols]
     s = s.sort_by(keys).combine_chunks()
