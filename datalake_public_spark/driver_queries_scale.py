@@ -49,10 +49,16 @@ def dedup_simhash_banded_sql(band: int) -> str:
 
 def dedup_ngram_fuzzy_banded(band: int):
     """Banded twin of driver_registry.dedup_ngram_fuzzy: the within/cross
-    baselines pair only within bands; the fuzzy-join branch still runs
-    the full production plan, with its output restricted to the same
-    bands before the union and the invariants (a cross-band fuzzy pair
-    has no banded-baseline counterpart by construction, not by bug)."""
+    baselines pair only within bands; the fuzzy-join branch runs the
+    production operator with its ``id_band`` boundedness key (round 8 —
+    the r7 form ran fuzzy UNRESTRICTED and post-filtered, which expanded
+    ~200M within-bucket candidates from the replicated corpus's
+    cross-band exact-copy cliques only to discard them: 69.5 s of the
+    entry's 94 s ×100 engine time; the keyed form yields the same
+    same-band pair set linearly — see fuzzy_join_minhash's docstring for
+    the per-id-band bucket-cap nuance, which only ever ADDS
+    exact-verified pairs and leaves every emitted row and invariant
+    unchanged). The post-filter stays as a no-op guard."""
 
     def q(spark: SparkSession, sf: str) -> DataFrame:
         docs = _t(spark, sf, "documents")
@@ -69,7 +75,7 @@ def dedup_ngram_fuzzy_banded(band: int):
         left = docs.filter(F.col("doc_id") % 2 == 0)
         right = docs.filter(F.col("doc_id") % 2 == 1)
         fuzzy = (
-            D.fuzzy_join_minhash(left, right, threshold=0.5)
+            D.fuzzy_join_minhash(left, right, threshold=0.5, id_band=band)
             .filter(
                 F.expr(f"left_id DIV {band}") == F.expr(f"right_id DIV {band}")
             )

@@ -313,11 +313,30 @@ def minhash_signatures(
     regardless of document size. Deterministic: (a_p, b_p) from a fixed
     driver-side seed, crc32 base hash is platform-independent."""
     kernel = _minhash_kernel(num_perm, seed, shingle_n)
+    # The empty-doc filter must NOT push below the widening exchange:
+    # pushed, the deterministic kernel expression substitutes into the
+    # predicate and evaluates on the narrow SCAN partitioning — measured
+    # 25.6 s vs 1.3 s for the kernel itself at ×100 (round 8; the same
+    # PushPredicateThroughNonJoin trap quality_filter pins). The rand()
+    # barrier entangled in the when() makes the projection
+    # nondeterministic, which blocks the pushdown — always true at
+    # runtime, opaque to every simplification rule.
     out = widen_for_compute(docs).select(
-        F.col(id_col).alias("id"), kernel(F.col(text_col)).alias("ss")
+        F.col(id_col).alias("id"),
+        kernel(F.col(text_col)).alias("ss"),
+        F.rand().alias("__barrier"),
     )
-    return out.select("id", F.col("ss.sh").alias("shingles"), F.col("ss.sig").alias("sig")).filter(
-        F.size("shingles") > 0
+    return (
+        out.select(
+            "id",
+            F.col("ss.sh").alias("shingles"),
+            F.col("ss.sig").alias("sig"),
+            "__barrier",
+        )
+        .filter(
+            F.size(F.when(F.col("__barrier") < 2.0, F.col("shingles"))) > 0
+        )
+        .drop("__barrier")
     )
 
 
@@ -410,6 +429,7 @@ def fuzzy_join_minhash(
     bands: int = 16,
     threshold: float = 0.5,
     max_bucket: int = 200,
+    id_band: int | None = None,
 ) -> DataFrame:
     """CROSS-TABLE fuzzy join on text similarity — the entity-resolution /
     new-crawl-vs-existing-corpus matcher: find (left, right) pairs whose
@@ -424,9 +444,23 @@ def fuzzy_join_minhash(
     does). Returns (left_id, right_id, jaccard) with exact precision;
     recall follows the LSH S-curve (≥1-(1-j^r)^bands per pair).
 
+    ``id_band``: restrict candidates to ``id DIV id_band`` co-bands —
+    the sweep-boundedness template (check_band). The id-band rides the
+    BUCKET KEY, so a replicated corpus's cross-band exact-copy cliques
+    never expand as candidates at all: at ×100 the post-hoc-filter
+    formulation expanded ~200M within-bucket pairs and verified 1.2M
+    survivors in 69.5 s only to have the sweep twin discard every
+    cross-band one; keyed banding produces the post-filter pair set
+    linearly in corpus size, modulo one deliberate difference: bucket
+    caps apply per id-band, which can only ADMIT additional
+    exact-verified pairs that a capped global bucket previously
+    dropped — never lose any.
+
     Scale: shuffles (band, key, id) triples + the candidate pairs'
     shingle sets — never the full text columns, never a cross join."""
     r = num_perm // bands
+    check_band(id_band)
+    bucket_keys = ["band", "key"] + (["bd"] if id_band is not None else [])
 
     def prep(df, side):
         sigs = minhash_signatures(
@@ -445,14 +479,20 @@ def fuzzy_join_minhash(
                 )
             ).alias("bk"),
         ).select(f"{side}_id", "bk.band", "bk.key")
-        sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
-        ok = sizes.filter(F.col("n") <= max_bucket).select("band", "key")
-        return sigs, banded.join(ok, ["band", "key"], "left_semi")
+        if id_band is not None:
+            banded = banded.withColumn(
+                "bd", F.expr(f"{side}_id DIV {int(id_band)}")
+            )
+        sizes = banded.groupBy(*bucket_keys).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        ok = sizes.filter(F.col("n") <= max_bucket).select(*bucket_keys)
+        return sigs, banded.join(ok, bucket_keys, "left_semi")
 
     sigs_l, banded_l = prep(left, "left")
     sigs_r, banded_r = prep(right, "right")
     cand = (
-        banded_l.join(banded_r, ["band", "key"])
+        banded_l.join(banded_r, bucket_keys)
         .select("left_id", "right_id")
         .distinct()
     )

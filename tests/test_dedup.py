@@ -495,6 +495,55 @@ def test_embedding_block_kernel_tiling_invariant(spark):
     assert full == tiny
 
 
+def test_fuzzy_join_id_band_equals_post_filter(spark):
+    """The round-8 sweep-boundedness key: fuzzy_join_minhash(id_band=B)
+    must emit exactly the pairs the unrestricted run post-filtered to
+    same-band (on a corpus where no bucket exceeds max_bucket, the two
+    are set-identical; at scale the keyed form only ever ADDS
+    exact-verified pairs from previously-capped global buckets)."""
+    B = 10_000_000
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    left = docs.filter(F.col("doc_id") % 2 == 0)
+    right = docs.filter(F.col("doc_id") % 2 == 1)
+    old = sorted(
+        map(
+            tuple,
+            dedup.fuzzy_join_minhash(left, right, threshold=0.5)
+            .filter(F.expr(f"left_id DIV {B}") == F.expr(f"right_id DIV {B}"))
+            .collect(),
+        )
+    )
+    new = sorted(
+        map(
+            tuple,
+            dedup.fuzzy_join_minhash(
+                left, right, threshold=0.5, id_band=B
+            ).collect(),
+        )
+    )
+    assert old == new and len(new) > 0
+
+
+def test_minhash_signatures_filter_does_not_push_below_widening(spark):
+    """Round-8 plan pin: the empty-doc filter on the kernel output must
+    stay ABOVE the widening exchange — pushed down, the kernel expression
+    substitutes into the predicate and evaluates on the narrow scan
+    partitioning (measured 25.6 s vs 1.3 s at ×100). The rand() barrier
+    makes the projection nondeterministic, blocking the pushdown; assert
+    the optimized plan keeps the kernel out of every Filter node."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = (
+        dedup.minhash_signatures(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if line.strip().startswith("Filter"):
+            assert "kernel(text" not in line, line[:200]
+    assert "rand(" in plan  # the barrier survived optimization
+
+
 def test_shingle_kernel_matches_expression(spark):
     """The Arrow shingle kernel and the Catalyst expression form
     (tokens → shingles_from_tokens) emit the SAME shingle universe —
