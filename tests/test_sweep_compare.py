@@ -203,6 +203,22 @@ def test_hash_compare_path_agrees_with_sort_path():
     big2.loc[n // 2, "v"] += 1e-9
     tc = pa.Table.from_pandas(big2, preserve_index=False)
     assert vector_equal(ta, tc, hash_rows=0) is False
+    # the raw-type hash path must honor the canon-type unifications it
+    # skips: tz=UTC vs naive (same UTC micros) and string vs large_string
+    wall = datetime.datetime(2024, 5, 1, 8, 30)
+    aware = pa.table(
+        {"t": pa.array([wall], type=pa.timestamp("us", tz="UTC"))}
+    )
+    naive = pa.table({"t": pa.array([wall], type=pa.timestamp("us"))})
+    assert vector_equal(aware, naive, hash_rows=0) is True
+    small = pa.table({"s": pa.array(["a", "b", None])})
+    large = pa.table(
+        {"s": pa.array(["b", None, "a"], type=pa.large_string())}
+    )
+    assert vector_equal(small, large, hash_rows=0) is True
+    # nested/decimal columns decline the hash path too (fall to canon)
+    dec = pa.table({"d": pa.array([1, 2], type=pa.decimal128(10, 2))})
+    assert vector_equal(dec, dec, hash_rows=0) is None
 
 
 def test_oracle_cache_rejects_foreign_owned_dir(tmp_path, monkeypatch):

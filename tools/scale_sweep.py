@@ -115,20 +115,52 @@ def _column_hashes(col, keys):
 
 
 def _sorted_row_hashes(t, cols, keys=("0123456789123456", "fedcba9876543210")):
-    """Order-insensitive row digests of a canonicalized Arrow table: per
-    column, one vectorized 64-bit hash per key (see _column_hashes),
-    combined across columns with a wrapping polynomial, then sorted —
-    equal multisets of rows produce identical sorted hash arrays. Both
-    keys' digests are built in ONE pass over the data."""
+    """Order-insensitive row digests of an Arrow table: per column, one
+    vectorized 64-bit hash per key (see _column_hashes), combined across
+    columns with a wrapping polynomial, then sorted — equal multisets of
+    rows produce identical sorted hash arrays. Columns hash in a THREAD
+    pool (numpy/pandas/Arrow release the GIL on large arrays), so wall
+    time is ~the slowest column, not the sum."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import numpy as np
 
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(cols)))) as ex:
+        per_col = list(
+            ex.map(lambda c: _column_hashes(t.column(c), keys), cols)
+        )
     hs = [None] * len(keys)
     mult = np.uint64(1_000_003)
-    for c in cols:
-        per_key = _column_hashes(t.column(c), keys)
+    for per_key in per_col:
         for i, hc in enumerate(per_key):
             hs[i] = hc if hs[i] is None else (hs[i] * mult) ^ hc
     return [np.sort(h) for h in hs]
+
+
+_HASHABLE_KINDS = (
+    "is_integer",
+    "is_floating",
+    "is_boolean",
+    "is_timestamp",
+    "is_date",
+    "is_string",
+    "is_large_string",
+)
+
+
+def _hash_comparable(t) -> bool:
+    """True when every column can take the raw-type hash path. The hash
+    path skips the canonical-schema cast entirely: assert_types_match
+    already proved both sides carry the SAME canonical types, and the
+    bit-view/epoch/dictionary hashing is identical for every pair of
+    types _canon_type would unify (tz-annotated vs naive timestamps both
+    hash their UTC micros; string vs large_string both hash uniques)."""
+    import pyarrow.types as pt
+
+    return all(
+        any(getattr(pt, k)(f.type) for k in _HASHABLE_KINDS)
+        for f in t.schema
+    )
 
 
 def vector_equal(s_tbl, o_tbl, hash_rows: int = HASH_COMPARE_ROWS):
@@ -167,6 +199,19 @@ def vector_equal(s_tbl, o_tbl, hash_rows: int = HASH_COMPARE_ROWS):
         return False
     cols = sorted(s_tbl.column_names)
 
+    if (
+        s_tbl.num_rows > hash_rows
+        and _hash_comparable(s_tbl)
+        and _hash_comparable(o_tbl)
+    ):
+        # raw-type hash path: no canonical cast (types already asserted
+        # equal by the caller; the hashes are invariant under every
+        # unification _canon_type performs — see _hash_comparable)
+        hs, ho = _sorted_row_hashes(s_tbl, cols), _sorted_row_hashes(
+            o_tbl, cols
+        )
+        return bool(all(np.array_equal(a, b) for a, b in zip(hs, ho)))
+
     def canon(t):
         fields = []
         for c in cols:
@@ -181,11 +226,6 @@ def vector_equal(s_tbl, o_tbl, hash_rows: int = HASH_COMPARE_ROWS):
     s, o = canon(s_tbl), canon(o_tbl)
     if s is None or o is None:
         return None
-    if s.num_rows > hash_rows:
-        hs, ho = _sorted_row_hashes(s, cols), _sorted_row_hashes(o, cols)
-        return bool(
-            all(np.array_equal(a, b) for a, b in zip(hs, ho))
-        )
     keys = [(c, "ascending") for c in cols]
     s = s.sort_by(keys).combine_chunks()
     o = o.sort_by(keys).combine_chunks()
