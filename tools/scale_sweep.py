@@ -491,6 +491,17 @@ def main() -> None:
         nonlocal con
         con.close()
         con = duck_connection(sf_dir)
+        # Drop every persisted frame the finished entry left behind
+        # (entries persist-and-forget by design — caches die with the
+        # session — but across 50 entries the accumulated blocks crowd
+        # the storage pool and later python-kernel entries slow ~2×:
+        # dedup_simhash measured 65.9 s mid-sweep vs 34.1 s warm-isolated
+        # on identical code, round 8). Entries are independent, so a
+        # clean slate per entry is semantically free.
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
         gc.collect()
         try:
             import ctypes
