@@ -11,11 +11,55 @@ change.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Every ckpt_*/drain_* mkdtemp dir this process created and has not yet
+# removed (VERDICT r8 nit 1: ~500 leftover ckpt dirs / 11 GB in /tmp
+# measurably distorted ×100 timings, and the fix was a manual protocol
+# note — protocols rot; this registry makes cleanup code).
+_OWNED_TMP_DIRS: set[str] = set()
+
+
+def _mkdtemp_owned(prefix: str) -> str:
+    d = tempfile.mkdtemp(prefix=prefix)
+    _OWNED_TMP_DIRS.add(d)
+    return d
+
+
+def _remove_owned(path: str | None) -> None:
+    if path is None:
+        return
+    shutil.rmtree(path, ignore_errors=True)
+    _OWNED_TMP_DIRS.discard(path)
+
+
+def purge_stream_tmp_dirs() -> int:
+    """Remove every ckpt_*/drain_* temp dir this process created that is
+    still on disk; returns how many were removed.
+
+    Checkpoint dirs of SUCCESSFUL drains are already gone (removed inline
+    — the availableNow query has terminated, so its state store and WAL
+    are dead weight). What this purges is (a) drain_* parquet-spill dirs,
+    which must outlive their drain because the fetched DataFrame reads
+    them lazily, and (b) ckpt dirs of drains that raised. Callers that
+    know every drained result has been consumed (the scale sweep between
+    entries, test teardown) call this; an atexit hook covers everything
+    else. Caller-supplied checkpoint_dir paths are never touched."""
+    n = 0
+    for d in sorted(_OWNED_TMP_DIRS):
+        shutil.rmtree(d, ignore_errors=True)
+        _OWNED_TMP_DIRS.discard(d)
+        n += 1
+    return n
+
+
+atexit.register(purge_stream_tmp_dirs)
 
 
 def _default_timeout_s() -> int:
@@ -64,9 +108,14 @@ def _start_drain(
     driver-side sink ingest, and the follow-up Arrow collect scans
     parquet in parallel (measured at the ×100 rung on the stateful
     sessionizer, 9.5M rows: toArrow 1.4 s from parquet vs ~30 s from a
-    driver-memory table)."""
+    driver-memory table).
+
+    Returns ``(query, fetch, owned_ckpt)`` — ``owned_ckpt`` is the
+    checkpoint dir WE created (None when the caller supplied one); the
+    caller removes it after a successful drain."""
     spark = df.sparkSession
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_")
+    owned_ckpt = None if checkpoint_dir else _mkdtemp_owned("ckpt_")
+    ckpt = checkpoint_dir or owned_ckpt
     if sink == "memory":
         name = query_name or f"mem_{uuid.uuid4().hex[:12]}"
         q = (
@@ -77,10 +126,13 @@ def _start_drain(
             .trigger(availableNow=True)
             .start()
         )
-        return q, lambda: spark.table(name)
+        return q, (lambda: spark.table(name)), owned_ckpt
     if sink != "parquet":
         raise ValueError(f"unknown drain sink {sink!r} (memory|parquet)")
-    out_dir = tempfile.mkdtemp(prefix="drain_")
+    # stays registered in _OWNED_TMP_DIRS: the fetched DataFrame reads
+    # these parquet files LAZILY, so the dir can only be removed by
+    # purge_stream_tmp_dirs() once the caller has consumed the result
+    out_dir = _mkdtemp_owned("drain_")
     schema = df.schema
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -118,7 +170,7 @@ def _start_drain(
             *(os.path.join(out_dir, d) for d in batches)
         )
 
-    return q, _fetch
+    return q, _fetch, owned_ckpt
 
 
 def run_available_now(
@@ -143,7 +195,7 @@ def run_available_now(
     from datalake_public_spark.streaming.sources import restore_query_scoped_confs
 
     spark = df.sparkSession
-    q, fetch = _start_drain(
+    q, fetch, owned_ckpt = _start_drain(
         df,
         output_mode,
         sink,
@@ -153,14 +205,22 @@ def run_available_now(
     # the running query holds its own cloned conf — release any
     # source-scoped session confs (e.g. parquet nanosAsLong) immediately
     restore_query_scoped_confs(spark)
+    ok = False
     try:
         _await_or_raise(
             q,
             timeout_s if timeout_s is not None else _default_timeout_s(),
             f"{sink}-sink availableNow query",
         )
+        ok = True
     finally:
         q.stop()
+        # a drained availableNow query never resumes — its checkpoint
+        # (state store + WAL, the bulk of the r8 11 GB /tmp leak) is dead
+        # weight the moment the drain succeeds. Failed drains keep theirs
+        # for post-mortem; purge_stream_tmp_dirs() collects them later.
+        if ok:
+            _remove_owned(owned_ckpt)
     return fetch()
 
 
@@ -191,19 +251,22 @@ def run_available_now_many(
             f"{len(modes)} output_modes / {len(sink_kinds)} sinks for "
             f"{len(dfs)} streams — zip would silently drop streams"
         )
-    fetches, queries = [], []
+    fetches, queries, owned_ckpts = [], [], []
     spark = dfs[0].sparkSession if dfs else None
+    ok = False
     try:
         for df, mode, sink in zip(dfs, modes, sink_kinds):
-            q, fetch = _start_drain(df, mode, sink)
+            q, fetch, owned_ckpt = _start_drain(df, mode, sink)
             fetches.append(fetch)
             queries.append(q)
+            owned_ckpts.append(owned_ckpt)
         for i, q in enumerate(queries):
             _await_or_raise(
                 q,
                 timeout_s if timeout_s is not None else _default_timeout_s(),
                 f"availableNow drain query #{i}",
             )
+        ok = True
     finally:
         # restore in the finally: if any start() throws, the session must
         # not keep source-scoped confs (or stale pending-restore entries)
@@ -211,6 +274,9 @@ def run_available_now_many(
             restore_query_scoped_confs(spark)
         for q in queries:
             q.stop()
+        if ok:
+            for c in owned_ckpts:
+                _remove_owned(c)
     return [fetch() for fetch in fetches]
 
 
@@ -229,7 +295,8 @@ def write_fanout_available_now(
     (``k_means_with_spark.py:157`` parquet then ``:161-172`` ES, which
     recomputes the whole plan for the second action — SURVEY §4
     "caching: absent"). Each sink is a callable ``(batch_df) -> None``."""
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_")
+    owned_ckpt = None if checkpoint_dir else _mkdtemp_owned("ckpt_")
+    ckpt = checkpoint_dir or owned_ckpt
 
     def _fanout(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
@@ -249,10 +316,14 @@ def write_fanout_available_now(
     from datalake_public_spark.streaming.sources import restore_query_scoped_confs
 
     restore_query_scoped_confs(df.sparkSession)
+    ok = False
     try:
         _await_or_raise(q, timeout_s, "foreachBatch fan-out query")
+        ok = True
     finally:
         q.stop()
+        if ok:
+            _remove_owned(owned_ckpt)
 
 
 def write_table_available_now(
@@ -270,7 +341,8 @@ def write_table_available_now(
     streaming ingest → versioned lake path in one call."""
     from datalake_public_spark.sinks.table import ManifestTable
 
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_")
+    owned_ckpt = None if checkpoint_dir else _mkdtemp_owned("ckpt_")
+    ckpt = checkpoint_dir or owned_ckpt
     table = ManifestTable(table_root)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -286,10 +358,14 @@ def write_table_available_now(
     from datalake_public_spark.streaming.sources import restore_query_scoped_confs
 
     restore_query_scoped_confs(df.sparkSession)
+    ok = False
     try:
         _await_or_raise(q, timeout_s, f"ManifestTable sink at {table_root}")
+        ok = True
     finally:
         q.stop()
+        if ok:
+            _remove_owned(owned_ckpt)
 
 
 def write_available_now(
@@ -303,7 +379,8 @@ def write_available_now(
     """Drain a streaming DataFrame to parquet (append — file sinks support
     only append mode; aggregations need watermarks so finalized windows
     can be appended)."""
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_")
+    owned_ckpt = None if checkpoint_dir else _mkdtemp_owned("ckpt_")
+    ckpt = checkpoint_dir or owned_ckpt
     writer = (
         df.writeStream.format("parquet")
         .option("path", path)
@@ -317,7 +394,11 @@ def write_available_now(
     from datalake_public_spark.streaming.sources import restore_query_scoped_confs
 
     restore_query_scoped_confs(df.sparkSession)
+    ok = False
     try:
         _await_or_raise(q, timeout_s, f"parquet sink query at {path}")
+        ok = True
     finally:
         q.stop()
+        if ok:
+            _remove_owned(owned_ckpt)

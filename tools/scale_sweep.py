@@ -43,23 +43,33 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 HASH_COMPARE_ROWS = 2_000_000  # above this, hash multisets instead of sorting
 
 
-def _mix64(x, salt: int):
-    """splitmix64-style avalanche over a uint64 numpy array (wrapping).
+# Per-key finalizer parameters: ((shift1, mult1), (shift2, mult2),
+# shift3). Key 0 is the splitmix64 finalizer, key 1 Murmur3's fmix64 —
+# DIFFERENT multiplier/shift constants, so the two keyed digests are
+# different permutations of the bit-view, not the same permutation ± an
+# additive salt (ADVICE r8: correlated keys overstate independence).
+_MIXER_PARAMS = (
+    ((30, 0xBF58476D1CE4E5B9), (27, 0x94D049BB133111EB), 31),
+    ((33, 0xFF51AFD7ED558CCD), (33, 0xC4CEB9FE1A85EC53), 33),
+)
+
+
+def _mix64(x, salt: int, params=_MIXER_PARAMS[0]):
+    """Keyed avalanche finalizer over a uint64 numpy array (wrapping).
     In-place ops with one scratch buffer — the naive expression form
     allocated five 133 MB temporaries per call at 16.6M rows and
-    dominated the hash path."""
+    dominated the hash path. ``params`` selects the per-key constants
+    (see _MIXER_PARAMS)."""
     import numpy as np
 
+    (s1, m1), (s2, m2), s3 = params
     out = x + np.uint64(salt)  # one allocation; x is left untouched
     tmp = np.empty_like(out)
-    for shift, mult in (
-        (30, 0xBF58476D1CE4E5B9),
-        (27, 0x94D049BB133111EB),
-    ):
+    for shift, mult in ((s1, m1), (s2, m2)):
         np.right_shift(out, np.uint64(shift), out=tmp)
         out ^= tmp
         out *= np.uint64(mult)
-    np.right_shift(out, np.uint64(31), out=tmp)
+    np.right_shift(out, np.uint64(s3), out=tmp)
     out ^= tmp
     return out
 
@@ -90,13 +100,28 @@ def _column_hashes(col, keys):
         uniques = enc.dictionary.to_pandas()
         idx = enc.indices.fill_null(0).to_numpy(zero_copy_only=False)
         out = []
-        for key in keys:
+        for i, key in enumerate(keys):
+            # categorize=False is REQUIRED, not a tuning choice: the
+            # default categorize path factorizes through pandas'
+            # C-string hashtable, which truncates at the first NUL byte
+            # — "a" and "a\x00" unify, and the surviving representative
+            # depends on first-seen order, so equal multisets could hash
+            # UNEQUAL and NUL-suffixed corruptions could hash EQUAL
+            # (both keys — the keyed siphash sits above the conflation).
+            # Found by the round-9 property fuzz; pinned in
+            # test_nul_byte_strings_are_distinguished.
             uh = pd.util.hash_pandas_object(
-                uniques, index=False, hash_key=key
+                uniques, index=False, hash_key=key, categorize=False
             ).to_numpy()
             h = uh[idx] if len(uh) else np.zeros(len(a), dtype=np.uint64)
             h[null_mask] = np.uint64(_NULL_SENT)
-            out.append(_mix64(h, int.from_bytes(key[:8].encode(), "little")))
+            out.append(
+                _mix64(
+                    h,
+                    int.from_bytes(key[:8].encode(), "little"),
+                    _MIXER_PARAMS[i % len(_MIXER_PARAMS)],
+                )
+            )
         return out
     if pa.types.is_floating(a.type):
         v = a.cast(pa.float64()).fill_null(0.0).to_numpy(zero_copy_only=False)
@@ -105,12 +130,26 @@ def _column_hashes(col, keys):
         nan = np.isnan(v)
         bits[nan] = np.uint64(0x7FF8000000000000)  # canonical NaN
     else:  # ints / bool / date / timestamp — exact after canon cast
+        # ADVICE r8: normalize temporal WIDTH before the bit-view.
+        # assert_types_match unifies timestamp units to 'us' and date64
+        # to date32, so a timestamp[ms] vs timestamp[us] pair passes the
+        # type gate — hashing raw unit counts would diverge on equal
+        # values. (Also: Arrow has no direct date32→int64 cast; the
+        # date→int32→int64 chain below is the supported path.)
+        if pa.types.is_timestamp(a.type):
+            a = a.cast(pa.timestamp("us", tz=a.type.tz))
+        elif pa.types.is_date(a.type):
+            a = a.cast(pa.date32()).cast(pa.int32())
         v = a.cast(pa.int64()).fill_null(0).to_numpy(zero_copy_only=False)
         bits = v.astype(np.int64).view(np.uint64).copy()
     bits[null_mask] = np.uint64(_NULL_SENT)
     return [
-        _mix64(bits, int.from_bytes(key[:8].encode(), "little"))
-        for key in keys
+        _mix64(
+            bits,
+            int.from_bytes(key[:8].encode(), "little"),
+            _MIXER_PARAMS[i % len(_MIXER_PARAMS)],
+        )
+        for i, key in enumerate(keys)
     ]
 
 
@@ -178,12 +217,16 @@ def vector_equal(s_tbl, o_tbl, hash_rows: int = HASH_COMPARE_ROWS):
     Above ``hash_rows`` rows the multi-column Arrow sort itself dominates
     (VERDICT r7 item 4: 28.9 s of the sessionize entry's sweep cost), so
     large tables compare order-insensitive ROW HASHES instead: two
-    independently-keyed 64-bit row digests per side, sorted and compared
-    exactly. Equal hash multisets under two independent keys is a
-    ~2^-128 false-accept — far below the probability the engines agree
-    by accident — and any mismatch falls back to the full sorted diff,
-    so failure reporting is unchanged (pinned by the deliberate-mismatch
-    test in tests/test_sweep_compare.py).
+    differently-parameterized 64-bit row digests per side (distinct
+    finalizer constants per key — splitmix64 vs Murmur3 fmix64 — plus a
+    distinct additive salt, see _MIXER_PARAMS), sorted and compared
+    exactly. A false accept needs the same multiset collision under BOTH
+    finalizers — ≈2^-128 under an ideal-hash model and, conservatively,
+    negligible even granting the keys share the bit-view input (ADVICE
+    r8: the keys are not formally independent hashes). Any mismatch
+    falls back to the full sorted diff, so failure reporting is
+    unchanged (pinned by the deliberate-mismatch test in
+    tests/test_sweep_compare.py).
 
     Returns True / False, or None when a column type needs the per-row
     canonicalization (nested lists/structs, decimals) — callers fall
@@ -196,6 +239,12 @@ def vector_equal(s_tbl, o_tbl, hash_rows: int = HASH_COMPARE_ROWS):
     from tests.oracle_harness import _canon_type
 
     if s_tbl.num_rows != o_tbl.num_rows:
+        return False
+    # ADVICE r8: the hash path indexes o_tbl by s_tbl's column names —
+    # without this guard a column-set mismatch raises KeyError instead
+    # of honoring the documented False contract (the sweep main loop
+    # asserts names first, but tests and future callers hit this raw).
+    if sorted(s_tbl.column_names) != sorted(o_tbl.column_names):
         return False
     cols = sorted(s_tbl.column_names)
 
@@ -500,6 +549,19 @@ def main() -> None:
         # clean slate per entry is semantically free.
         try:
             spark.catalog.clearCache()
+        except Exception:
+            pass
+        # Purge this process's streaming ckpt_*/drain_* temp dirs
+        # (VERDICT r8 nit 1: stale checkpoint dirs — 11 GB across a day
+        # of runs — distorted the stateful-sessions timing ~30%; the
+        # cleanup is now code, not protocol). Safe between entries: each
+        # entry consumes its drained results before returning.
+        try:
+            from datalake_public_spark.streaming.runner import (
+                purge_stream_tmp_dirs,
+            )
+
+            purge_stream_tmp_dirs()
         except Exception:
             pass
         gc.collect()
