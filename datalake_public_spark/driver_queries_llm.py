@@ -385,7 +385,12 @@ def dedup_embedding_cosine_blocked(sub_blocks: int):
     bits are unchanged (equality with the fold formulation pinned in
     tests/test_dedup.py) while the 218.8 s ×100 fold cost collapses to
     kernel time. The composite (label, sub) block rides as one long key
-    ``blk = label·B + sub``; label is recovered exactly as blk DIV B."""
+    ``blk = label·B + sub``; label is recovered via the pmod-based
+    decode ``(blk - pmod(blk, B)) DIV B`` — exact for NEGATIVE labels
+    too (ADVICE r8: plain ``blk DIV B`` truncates toward zero, so e.g.
+    label=-1, sub=5, B=512 → blk=-507 decoded to 0, silently relabeling
+    rows; the subtraction makes the dividend an exact multiple of B,
+    where truncating and floor division agree)."""
 
     def q(spark, sf):
         emb = _t(spark, sf, "embeddings").withColumn(
@@ -397,7 +402,10 @@ def dedup_embedding_cosine_blocked(sub_blocks: int):
             emb, block_col="blk"
         )
         return pairs.select(
-            F.expr(f"CAST(blk DIV {sub_blocks} AS INT)").alias("label"),
+            F.expr(
+                f"CAST((blk - pmod(blk, {sub_blocks})) DIV {sub_blocks} "
+                "AS INT)"
+            ).alias("label"),
             "id_a",
             "id_b",
             "cos",

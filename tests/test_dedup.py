@@ -830,3 +830,107 @@ def test_banded_sweep_twins_match_their_sql(spark):
         S.dedup_components_banded(band)(spark, SF_SMOKE),
         con, S.dedup_components_banded_sql(band), "banded_components",
     )
+
+
+def test_blocked_cosine_twin_decodes_negative_labels(spark, tmp_path):
+    """ADVICE r8: the composite block key blk = label*B + pmod(vec_id,B)
+    was decoded with plain ``blk DIV B``, which truncates toward zero and
+    mis-decodes NEGATIVE labels (label=-1, B=4 → blk in [-4,0) decoded
+    to 0, silently relabeling rows). The pmod-based decode
+    ``(blk - pmod(blk,B)) DIV B`` is exact for any sign — pinned against
+    the DuckDB twin, which never encodes and reads a.label directly."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datalake_public_spark.driver_queries_llm import (
+        dedup_embedding_blocked_sql,
+        dedup_embedding_cosine_blocked,
+    )
+
+    vecs = {
+        -1: [1.0, 0.0, 0.0, 0.0],
+        -3: [0.0, 1.0, 0.0, 0.0],
+        2: [0.0, 0.0, 1.0, 0.0],
+    }
+    rows = []
+    for i, (label, v) in enumerate(sorted(vecs.items())):
+        # two vec_ids per label, congruent mod B=4 so the pair stays
+        # within one sub-block; identical vectors → cos 1.0 ≥ 0.35
+        rows += [(i, label, v), (i + 4, label, v)]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[2] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[1] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    got = {
+        (r.label, r.id_a, r.id_b): r.cos
+        for r in dedup_embedding_cosine_blocked(4)(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    want = {
+        (r[0], r[1], r[2]): r[3]
+        for r in con.execute(dedup_embedding_blocked_sql(4)).fetchall()
+    }
+    assert got == want
+    assert {k[0] for k in got} == {-3, -1, 2}, "negative labels relabeled"
+
+
+@pytest.mark.parametrize("round_digits", [4, 5, 6, 7, 8])
+def test_bitexact_blocked_cosine_hostile_boundary_windows(spark, round_digits):
+    """VERDICT r8 item 8: the bit-exactness contract leans on the
+    boundary window covering every half-up/half-even disagreement. Sweep
+    round_digits 4-8 with cosines PLANTED at x.5·10^-d ± ε for ε at
+    several points inside (0, ±0.3w) and outside (±3w, ±200w) the window
+    (w = boundary_window·10^-d in value): the emitted pair set and every
+    cosine double must equal the fold formulation at every corner, so a
+    future window-narrowing "optimization" fails here instead of
+    silently breaking the sweep twin's oracle."""
+    import math
+
+    from datalake_public_spark.functions import vector as V
+
+    grid = 10.0 ** (-round_digits)
+    w = 1e-2 * grid  # default boundary_window in value units
+    planted = [1.0]  # the probe axis [1, 0] — cos(probe, v) == v[0]
+    for base in (0.35 - 0.5 * grid, 0.72 + 0.5 * grid):
+        for eps in (0.0, 0.3 * w, -0.3 * w, 3 * w, -3 * w, 200 * w, -200 * w):
+            planted.append(base + eps)
+    rows = [
+        (i, [c, math.sqrt(max(0.0, 1.0 - c * c))], 0)
+        for i, c in enumerate(planted)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    a = emb.selectExpr("vec_id as id_a", "embedding as va", "label")
+    b = emb.selectExpr("vec_id as id_b", "embedding as vb", "label")
+    fold = {
+        (r.id_a, r.id_b): r.cos
+        for r in a.join(b, ["label"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(V.cosine("va", "vb"), round_digits))
+        .filter(F.col("cos") >= 0.35)
+        .collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.cos
+        for r in dedup.embedding_block_cosine_pairs_bitexact(
+            emb, round_digits=round_digits
+        ).collect()
+    }
+    assert got == fold
+    # sanity: the threshold-edge plantings really straddle the cut —
+    # some in, some out — so the equality above is not vacuous
+    edge_pairs = {p for p in fold if p[0] == 0 and 1 <= p[1] <= 7}
+    assert 0 < len(edge_pairs) < 7, "edge plantings did not straddle"

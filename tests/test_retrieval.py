@@ -95,7 +95,15 @@ def test_bm25_prebuilt_equals_inline(spark, tmp_path):
     """build-once-probe-many: the prebuilt index path must return the
     EXACT (query_id, doc_id, score, rk) set as the inline path — shared
     scoring tail, so a drift here means the index write/read lost rows
-    or types."""
+    or types.
+
+    Coverage note (ADVICE r8): since r8 the DRIVER's vocab_familiarity
+    'inline' side scores from the same checkpointed tf parquet the
+    prebuilt side reads, so its internal exceptAll no longer exercises
+    the bucketed tf WRITE path independently. This test is the in-repo
+    backstop: ``bm25_topk(docs, …)`` here takes raw documents.parquet
+    text through the full tokenize path (no index), so a bucketed-write
+    bug diverges from it and fails below."""
     from datalake_public_spark.operators.retrieval import (
         bm25_build_index,
         bm25_topk_prebuilt,
