@@ -2513,6 +2513,20 @@ def tpch_breadth(spark: SparkSession, sf: str) -> DataFrame:
               NOT EXISTS decorrelated to one per-order rollup).
     Each underlying query function runs unchanged (plan shapes pinned
     in tests/test_tpch_extra.py)."""
+    parts = tpch_breadth_parts(spark, sf)
+    out = None
+    for part in parts.values():
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def tpch_breadth_parts(spark: SparkSession, sf: str) -> dict:
+    """The 17 conformed per-op frames behind ``tpch_breadth``, keyed by
+    op tag in union order. Exists so the scale sweep can time each query
+    shape separately (VERDICT r8 item 2: at ×100 the entry is the
+    largest single number, 82 s, and a regression inside it was
+    invisible) — ``tpch_breadth`` unions exactly these frames, so the
+    per-op instrumentation measures the same plans the entry runs."""
     from datalake_public_spark.driver_queries import (
         q2_min_cost_supplier,
         q4_late_orders,
@@ -2684,13 +2698,12 @@ def tpch_breadth(spark: SparkSession, sf: str) -> DataFrame:
         none_long.alias("cents"),
         none_long.alias("cents2"),
     )
-    out = q4
-    for part in (
-        q13, q18, q22, q10, q14, q15, q16, q17, q20,
-        q2, q8, q9, q11, q12, q19, q21,
-    ):
-        out = out.unionByName(part)
-    return out
+    return {
+        "q4": q4, "q13": q13, "q18": q18, "q22": q22, "q10": q10,
+        "q14": q14, "q15": q15, "q16": q16, "q17": q17, "q20": q20,
+        "q2": q2, "q8": q8, "q9": q9, "q11": q11, "q12": q12,
+        "q19": q19, "q21": q21,
+    }
 
 
 def _tpch_breadth_sql() -> str:

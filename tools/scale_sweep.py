@@ -574,6 +574,31 @@ def main() -> None:
 
     fix_sig = _fixture_signature(sf_dir)
 
+    def maybe_phase_split(name: str) -> None:
+        """Attach a per-op spark_s map to merged entries whose single
+        number hides 17 query shapes (VERDICT r8 item 2: tpch_breadth at
+        82 s was the largest ×100 entry and a regression inside it was
+        invisible). Runs AFTER the entry's verdict/timings are recorded —
+        the headline spark_s measurement (one unioned toArrow) is
+        untouched; each op frame re-runs its own sub-plan with the same
+        toArrow action, so op numbers are comparable to each other and
+        sum ≈ entry spark_s (modulo the union's shared session warmup)."""
+        if name != "tpch_breadth" or results[name].get("verdict") == "fail":
+            return
+        try:
+            from datalake_public_spark.driver_registry import (
+                tpch_breadth_parts,
+            )
+
+            ops = {}
+            for op, df in tpch_breadth_parts(spark, sf_dir).items():
+                t_op = time.time()
+                df.toArrow()
+                ops[op] = round(time.time() - t_op, 1)
+            results[name]["op_spark_s"] = ops
+        except Exception as e:  # instrumentation must never fail the row
+            results[name]["op_spark_s_err"] = str(e)[:200]
+
     for name, spec in FINAL_REGISTRY.items():
         if only is not None and name not in only:
             continue
@@ -618,6 +643,7 @@ def main() -> None:
                 }
                 if note is not None:
                     results[name]["bounded"] = note
+                maybe_phase_split(name)
                 print(name, "strict", results[name]["s"], flush=True)
                 flush()
                 continue  # cleanup still runs via the finally below
@@ -660,6 +686,7 @@ def main() -> None:
             release_entry_memory()
         if note is not None:
             results[name]["bounded"] = note
+        maybe_phase_split(name)
         print(name, results[name]["verdict"], results[name]["s"], flush=True)
         flush()
         try:
