@@ -227,9 +227,15 @@ def main() -> None:
     mid = {
         n: round((bands[n][0] + bands[n][1]) / 2, 3) for n in core
     }
+    # One bench, one vintage (VERDICT r8 nit 2): a builder-local run is
+    # stamped with its role so a BENCH_LOCAL_r*.json can never be read
+    # as a second source of truth — the driver's BENCH_r{N}.json (run
+    # without BENCH_ROLE) is the canonical per-round number.
+    role = os.environ.get("BENCH_ROLE")
     print(
         json.dumps(
             {
+                **({"role": role} if role else {}),
                 "metric": "headline_queries_wall_time",
                 "value": total,
                 "value_r7_comparable": round(

@@ -124,7 +124,15 @@ def wrap_wav(
                 {id_col: pdf[id_col].astype("int64"), "wav": payloads}
             )
 
-    return df.select(id_col, text_col).mapInPandas(enc, f"{id_col} long, wav binary")
+    # widen BEFORE the encode: every downstream decode/resize/sample
+    # mapInPandas inherits this partitioning narrowly, so one widen at
+    # the chain head unlocks all cores for the whole modality chain (the
+    # ×100 decode stages ran 14 scan splits on 32 cores with a straggler
+    # task gating each stage — round 9, measured 71 → ~50 s). At 100 TB
+    # the scan yields thousands of splits and widen_for_compute no-ops.
+    return widen_for_compute(df.select(id_col, text_col)).mapInPandas(
+        enc, f"{id_col} long, wav binary"
+    )
 
 
 BMP_WIDTH = 16  # synthesized-image width: 16 px × 24 bpp → 48-byte rows,
@@ -168,7 +176,10 @@ def wrap_bmp(
                 {id_col: pdf[id_col].astype("int64"), "bmp": payloads}
             )
 
-    return df.select(id_col, text_col).mapInPandas(enc, f"{id_col} long, bmp binary")
+    # widen at the chain head — see wrap_wav
+    return widen_for_compute(df.select(id_col, text_col)).mapInPandas(
+        enc, f"{id_col} long, bmp binary"
+    )
 
 
 PNG_WIDTH = 16  # synthesized grayscale width: 16 px × 8-bit → 16-byte rows
@@ -243,7 +254,10 @@ def wrap_png(
                 {id_col: pdf[id_col].astype("int64"), "png": payloads}
             )
 
-    return df.select(id_col, text_col).mapInPandas(enc, f"{id_col} long, png binary")
+    # widen at the chain head — see wrap_wav
+    return widen_for_compute(df.select(id_col, text_col)).mapInPandas(
+        enc, f"{id_col} long, png binary"
+    )
 
 
 def decode_real(
@@ -608,7 +622,10 @@ def wrap_frames(
                 {id_col: pdf[id_col].astype("int64"), "video": payloads}
             )
 
-    return df.select(id_col, text_col).mapInPandas(enc, f"{id_col} long, video binary")
+    # widen at the chain head — see wrap_wav
+    return widen_for_compute(df.select(id_col, text_col)).mapInPandas(
+        enc, f"{id_col} long, video binary"
+    )
 
 
 def sample_frames(
