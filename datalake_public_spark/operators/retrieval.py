@@ -202,8 +202,17 @@ def _score_and_rank(
 
 def _compute_tf(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """scan → tokenize → explode → map-side-combined groupBy: the one
-    corpus-sized pass every BM25 path shares."""
-    toks = docs.select(
+    corpus-sized pass every BM25 path shares.
+
+    The scan is widened first: tokenize+explode is the CPU-bound half of
+    every index build, and a row-group-limited parquet scan hands it far
+    fewer splits than cores (14 splits on 32 cores at the ×100 rung —
+    widening cut bm25_build_index 24.6 → 8.2 s, round 9; the r8 attempt
+    on the WRITE side of the same build measured a wash, NOTES_r9). At
+    100 TB the scan yields thousands of splits and widen no-ops."""
+    from datalake_public_spark.sources.readers import widen_for_compute
+
+    toks = widen_for_compute(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("doc_id"), T.tokens(text_col).alias("toks")
     )
     return (
