@@ -1282,11 +1282,23 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     as in the spec). Unit cost = min line unit price in cents over the
     (part, supplier) pair's lineitem history.
 
-    Scale: the pair rollup and the per-part min share one lineitem
-    shuffle grain (partkey); the min joins back on partkey (AQE
-    co-locates); supplier⋈nation⋈region is a broadcast dim chain; the
-    top-100 is TakeOrdered, no full sort."""
-    li = _t(spark, sf, "lineitem")
+    Scale: the small-part predicate is pushed BELOW the fact shuffle as
+    a broadcast left-semi join on the filtered part keys — only ~20% of
+    lineitem rows belong to p_size≤10 parts, and without the semi-join
+    the (partkey, suppkey) rollup shuffles all of them only for the
+    final broadcast join to discard 80% (round 9: q2 was the largest
+    tpch_breadth op at ×100, 16.9 s of 73.4, and Spark inserts no
+    runtime filter here on its own). The restriction is exact: per-part
+    aggregates only depend on that part's rows. The pair rollup and the
+    per-part min then share one (smaller) shuffle grain; the min joins
+    back on partkey (AQE co-locates); supplier⋈nation⋈region is a
+    broadcast dim chain; the top-100 is TakeOrdered, no full sort."""
+    part = _t(spark, sf, "part").filter(F.col("p_size") <= 10)
+    li = _t(spark, sf, "lineitem").join(
+        F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"))),
+        "l_partkey",
+        "left_semi",
+    )
     unit_cents = F.round(
         F.col("l_extendedprice") * 100 / F.col("l_quantity")
     ).cast("long")
@@ -1296,7 +1308,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     part_min = pair.groupBy("l_partkey").agg(
         F.min("cost_cents").alias("min_cents")
     )
-    part = _t(spark, sf, "part").filter(F.col("p_size") <= 10)
     sup = _t(spark, sf, "supplier")
     nation = _t(spark, sf, "nation")
     region = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")

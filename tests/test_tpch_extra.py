@@ -103,6 +103,15 @@ def test_q2_broadcasts_dims_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrdered" in plan  # top-100 is heap-based, no full sort
+    # round 9: the p_size≤10 part-key semi-join must sit BELOW the
+    # (partkey, suppkey) rollup — without it the fact shuffle carries 5×
+    # the rows only for the final broadcast join to discard them (q2 was
+    # the largest tpch_breadth op at ×100, 16.9 s → ~6 s). The semi-join
+    # appears under the first HashAggregate in the plan text.
+    first_agg = plan.index("HashAggregate")
+    semi = plan.index("LeftSemi")
+    assert semi > first_agg, "part-key semi-join not below the rollup"
+    assert "LeftSemi" in plan
 
 
 def test_q8_single_fact_shuffle_dims_broadcast(spark):
