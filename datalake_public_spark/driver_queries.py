@@ -1368,11 +1368,15 @@ def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
     (numerator = revenue supplied by one nation, denominator = all
     revenue sold into one region's customers).
 
-    Scale: lineitem⋈orders shuffles on the shared orderkey; customer→
-    nation→region and supplier→nation are broadcast dim chains; the
-    share is a ratio of exact bigint cents (the q14 determinism
-    pattern), grouped on ~6 year keys so partial agg collapses the
-    shuffle."""
+    Scale: the AMERICA-customer restriction applies to ORDERS before
+    the orderkey shuffle (round 9 — the r8 form joined customer/region
+    above the lineitem⋈orders join, shuffling all orders at ×100 only
+    to discard ~80% at the broadcast join; the reorder is exact since
+    every surviving row must pass that restriction anyway);
+    lineitem⋈orders then shuffles on the shared orderkey;
+    supplier→nation stays a broadcast dim chain; the share is a ratio
+    of exact bigint cents (the q14 determinism pattern), grouped on ~6
+    year keys so partial agg collapses the shuffle."""
     li = _t(spark, sf, "lineitem")
     orders = _t(spark, sf, "orders")
     cust = _t(spark, sf, "customer")
@@ -1388,11 +1392,14 @@ def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
     cents = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
     ).cast("long")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    orders_am = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), cust.c_nationkey == F.col("c_nk"))
         .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
+        .select("o_orderkey", "o_orderdate")
+    )
+    return (
+        li.join(orders_am, li.l_orderkey == orders_am.o_orderkey)
         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(n2), sup.s_nationkey == F.col("s_nk"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
