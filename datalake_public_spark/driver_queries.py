@@ -898,22 +898,29 @@ def q4_late_orders(spark: SparkSession, sf: str) -> DataFrame:
     one LATE line (shipdate after orderdate + 60 days) — EXISTS
     decorrelated to a left-semi join.
 
-    Scale: the semi join shuffles only orderkeys from the lineitem side
-    (project-before-shuffle); the group-by is low-cardinality so partial
-    aggregation collapses it."""
+    Scale: o_orderpriority rides along the one lineitem⋈orders join, so
+    the EXISTS needs no second orders scan or semi join (round 9; the
+    prior shape re-scanned orders and re-shuffled both sides of the
+    semi join — 6.5 s of the ×100 map). The per-order dedup puts the
+    priority in the GROUP KEYS — priority is functionally dependent on
+    orderkey, so grouping on (orderkey, priority) ≡ orderkey — which
+    keeps the aggregate buffer empty/fixed-width and therefore
+    hash-based (an agg of max(priority) is a string buffer, which
+    Spark plans as SortAggregate: it sorted all ~30M late rows, 8.3 s
+    measured at ×100). HashPartitioning(orderkey) from the join
+    satisfies the grouping's clustered distribution by the subset
+    rule, so the dedup plans no exchange; only the tiny per-priority
+    rollup shuffles."""
     orders = _t(spark, sf, "orders")
-    li = _t(spark, sf, "lineitem")
-    late = (
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
         li.join(
-            orders.select("o_orderkey", "o_orderdate"),
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
-        .select("o_orderkey")
+        .select("o_orderkey", "o_orderpriority")
         .distinct()
-    )
-    return (
-        orders.join(late, "o_orderkey", "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
@@ -1102,11 +1109,15 @@ def q16_supplier_variety(spark: SparkSession, sf: str) -> DataFrame:
     debt), decorrelated to an anti join. partsupp doesn't exist in this
     testdata; lineitem's (partkey, suppkey) pairs are the association.
 
-    Scale: the pair set projects to two keys before its distinct
-    shuffle; the exclusion list is a tiny broadcast anti join; the
-    final countDistinct is a two-phase aggregate on low-cardinality
-    group keys."""
-    li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    Scale: NO standalone pair-distinct — countDistinct already plans a
+    two-phase dedup aggregate on (brand, band, suppkey), and its
+    map-side partial phase dedups before the one shuffle, so a prior
+    `.distinct()` on (partkey, suppkey) would only add a second full
+    shuffle of the fact table to remove rows the dedup aggregate
+    removes anyway (round 9: that extra shuffle was 10.0 s of the ×100
+    tpch_breadth map). The exclusion list is a tiny broadcast anti
+    join and the part attributes arrive by broadcast, both map-side."""
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
     part = _t(spark, sf, "part")
     bad = _t(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select(
         "s_suppkey"
@@ -1141,19 +1152,34 @@ def q20_heavy_shippers(spark: SparkSession, sf: str) -> DataFrame:
     nested IN decorrelated to a semi join against an aggregate-derived
     key set.
 
-    Scale: both rollups share the lineitem scan's (partkey, suppkey)
-    shuffle grain; the qualifying key set is keys-only; the supplier
+    Scale: ONE lineitem scan and ONE fact exchange (round 9; the prior
+    shape scanned lineitem twice and shuffled three times — pair
+    rollup, part rollup, rollup⋈rollup join — 7.0 s of the ×100 map).
+    The scan repartitions on partkey alone; HashPartitioning(partkey)
+    satisfies the pair rollup's ClusteredDistribution(partkey, suppkey)
+    AND the per-part window's, so the rollup plans with no further
+    exchange and the part total is a windowed sum over it (sort-only).
+    Deriving part_qty as sum-of-pair-sums is exact here, not
+    approximate: l_quantity is integral (TPC-H 1..50), so every partial
+    sum is an exact double well below 2^53 and reassociation cannot
+    change it. The qualifying key set is keys-only; the supplier
     dimension broadcasts for the final projection."""
-    li = _t(spark, sf, "lineitem")
+    from pyspark.sql import Window
+
+    li = (
+        _t(spark, sf, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .repartition(F.col("l_partkey"))
+    )
     per_pair = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(F.sum("l_quantity"), 2).alias("pair_qty")
+        F.sum("l_quantity").alias("raw_pair")
     )
-    per_part = li.groupBy("l_partkey").agg(
-        F.round(F.sum("l_quantity"), 2).alias("part_qty")
-    )
+    w = Window.partitionBy("l_partkey")
     heavy = (
-        per_pair.join(per_part, "l_partkey")
-        .filter(F.col("pair_qty") > F.col("part_qty") * 0.2)
+        per_pair.withColumn("raw_part", F.sum("raw_pair").over(w))
+        .filter(
+            F.round("raw_pair", 2) > F.round("raw_part", 2) * 0.2
+        )
         .select("l_suppkey")
         .distinct()
     )
@@ -1234,15 +1260,24 @@ def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
     of their part's average quantity — a correlated scalar average
     decorrelated to a per-part aggregate joined back.
 
-    Scale: the per-part average shares the lineitem scan; both sides
-    shuffle once on partkey (AQE co-locates); output is one row."""
-    li = _t(spark, sf, "lineitem")
-    avg_q = li.groupBy("l_partkey").agg(
-        F.round(F.avg("l_quantity"), 6).alias("avg_qty")
+    Scale: ONE lineitem scan and ONE exchange (round 9; the join-back
+    formulation scanned lineitem twice and planned a sort-merge join —
+    exchange + sort on BOTH sides — only to compare each line against
+    its own part's average, 5.1 s of the ×100 map). The per-part
+    average is a window over the partkey exchange the lines ride
+    anyway; the avg's operands (exact integral sum, count) are
+    identical either way, so the rounded threshold is bit-equal to the
+    join-back form. Output is one row."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
     )
+    w = Window.partitionBy("l_partkey")
+    avg_qty = F.round(F.avg("l_quantity").over(w), 6)
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     return (
-        li.join(avg_q, "l_partkey")
+        li.withColumn("avg_qty", avg_qty)
         .filter(F.col("l_quantity") < F.col("avg_qty") * 0.2)
         .agg(
             F.sum(cents).alias("revenue_cents"),
@@ -1450,10 +1485,16 @@ def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
     parts whose name contains 'e' — revenue minus a deterministic cost
     term (60% of retail price per unit stands in for ps_supplycost).
 
-    Scale: part broadcasts with the name filter applied pre-broadcast;
-    lineitem⋈orders shuffles once on orderkey; profit is exact bigint
-    cents per line (unit cost in cents × integral quantity), so the
-    rollup is engine-order-independent."""
+    Scale: part/supplier broadcast BELOW the one lineitem⋈orders
+    shuffle, and the per-line profit and the supplier's nationkey are
+    both computed pre-shuffle, so the fact exchange carries exactly
+    three narrow columns — (orderkey, nationkey, profit_cents), ~20
+    bytes/row — instead of the five raw price/discount/quantity/retail
+    columns (round 9; the wide exchange was most of q9's 6.9 s in the
+    ×100 map). Profit is exact bigint cents per line (unit cost in
+    cents × integral quantity), so the rollup is
+    engine-order-independent; the 25-row nation name join happens after
+    the final low-cardinality aggregate."""
     li = _t(spark, sf, "lineitem")
     orders = _t(spark, sf, "orders")
     sup = _t(spark, sf, "supplier")
@@ -1465,16 +1506,37 @@ def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
     cost_cents = F.round(F.col("p_retailprice") * 60).cast("long") * F.round(
         F.col("l_quantity")
     ).cast("long")
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
-        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            F.year("o_orderdate").alias("o_year"),
+    fact = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            li.l_partkey == F.col("p_partkey"),
         )
-        .agg(F.sum(rev_cents - cost_cents).alias("profit_cents"))
+        .join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .select(
+            "l_orderkey",
+            "s_nationkey",
+            (rev_cents - cost_cents).alias("line_profit"),
+        )
+    )
+    return (
+        fact.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            fact.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "s_nationkey", F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.sum("line_profit").alias("profit_cents"))
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == nation.n_nationkey,
+        )
+        .select(
+            F.col("n_name").alias("nation"), "o_year", "profit_cents"
+        )
     )
 
 
@@ -1656,36 +1718,51 @@ def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     exactly 1 distinct supplier shipped late. Late = shipped more than
     90 days after the order date (no receipt/commit dates here).
 
-    Scale: ONE (orderkey, suppkey) rollup replaces both correlated
-    subqueries (the naive form rescans lineitem twice per order); the
-    order-level counts come from a WINDOW over that rollup — not a
-    second aggregate joined back, which would evaluate the rollup (and
-    scan lineitem) once per consumer. Total: one lineitem scan, the
-    pair-rollup shuffle, one orderkey window shuffle, TakeOrdered."""
-    from pyspark.sql import Window
-
-    li = _t(spark, sf, "lineitem")
+    Scale: both correlated subqueries collapse into a chain of two
+    fixed-width hash aggregates that run with ZERO post-join exchanges
+    and ZERO sorts: the join's output is hash-partitioned on the
+    orderkey, and HashPartitioning(orderkey) satisfies the clustered
+    distribution of BOTH the (orderkey, suppkey) pair rollup (subset
+    rule) and the per-order rollup above it, so neither plans an
+    Exchange. Every aggregation buffer is fixed-width (max/count/sum of
+    ints), keeping both in vectorized HashAggregate — round 9 measured
+    the tempting alternatives losing: the original window formulation
+    sorts the whole rollup (8.2 s at ×100), and a collect_set
+    ObjectHashAggregate sort-falls-back at 15M groups (24.8 s). The
+    sole late supplier is recovered exactly by max(when(was_late,
+    suppkey)) under the n_late_supp = 1 filter; only qualifying rows —
+    at most one per order — reach the tiny per-supplier rollup and the
+    TakeOrdered top-100."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
     orders = _t(spark, sf, "orders")
     sup = _t(spark, sf, "supplier")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         "INTERVAL 90 DAYS"
     )
     per_pair = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late.cast("int")).alias("was_late"))
     )
-    w = Window.partitionBy("l_orderkey")
-    flagged = per_pair.withColumn(
-        "n_supp", F.count(F.lit(1)).over(w)
-    ).withColumn("n_late_supp", F.sum("was_late").over(w))
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("was_late").alias("n_late_supp"),
+        F.max(
+            F.when(F.col("was_late") == 1, F.col("l_suppkey"))
+        ).alias("late_suppkey"),
+    )
     return (
-        flagged.filter(
-            (F.col("was_late") == 1)
-            & (F.col("n_supp") > 1)
-            & (F.col("n_late_supp") == 1)
+        per_order.filter(
+            (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
         )
-        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .join(
+            F.broadcast(sup), F.col("late_suppkey") == sup.s_suppkey
+        )
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_suppkey"))

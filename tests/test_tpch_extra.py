@@ -76,11 +76,17 @@ def test_matches_oracle(spark, con, name):
     compare(fn(spark, SF_SMOKE), con, sql, name)
 
 
-def test_q4_semi_join_no_wide_shuffle(spark):
+def test_q4_one_orders_scan_no_semi_join(spark):
+    # round 9: o_orderpriority rides along the one lineitem⋈orders join;
+    # the old EXISTS decorrelation re-scanned orders and re-shuffled both
+    # sides of a left-semi join (6.5 s of the ×100 tpch_breadth map).
     plan = q4_late_orders(spark, SF_SMOKE)._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
-    assert "LeftSemi" in plan and "CartesianProduct" not in plan
+    assert "LeftSemi" not in plan, "q4 regressed to the two-scan semi join"
+    assert plan.count("orders.parquet") == 1
+    assert plan.count("lineitem.parquet") == 1
+    assert "CartesianProduct" not in plan
 
 
 def test_q22_anti_join_and_broadcast_scalar(spark):
@@ -148,13 +154,93 @@ def test_q19_disjunction_stays_rowlocal(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_q21_one_pair_rollup_no_correlated_rescans(spark):
+def test_q21_fixed_width_hash_aggregates_no_window(spark):
     plan = _plan(spark, q21_waiting_suppliers(spark, SF_SMOKE))
-    # the EXISTS/NOT-EXISTS pair is ONE (orderkey, suppkey) rollup with
-    # the order-level counts as a WINDOW over it — lineitem is scanned
-    # exactly once, not once per correlated subquery (the join-back
-    # formulation re-evaluated the whole rollup per consumer)
+    # round 9: the EXISTS/NOT-EXISTS pair is a chain of two fixed-width
+    # HASH aggregates reusing the join's orderkey partitioning —
+    # lineitem is scanned exactly once, there is no window (the old
+    # shape sorted the whole rollup, 8.2 s at ×100) and no
+    # ObjectHashAggregate/SortAggregate (a collect_set formulation
+    # sort-fell-back at 15M groups, 24.8 s measured)
     assert plan.count("lineitem.parquet") == 1
-    assert "Window" in plan
+    assert plan.count("orders.parquet") == 1
+    assert "Window" not in plan, "q21 regressed to the rollup+window shape"
+    assert "ObjectHashAggregate" not in plan
+    assert "SortAggregate" not in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrdered" in plan
+
+
+def test_q4_hash_dedup_no_sort_aggregate(spark):
+    plan = _plan(spark, q4_late_orders(spark, SF_SMOKE))
+    # round 9: the per-order dedup carries the priority in the group
+    # KEYS, keeping the aggregate hash-based — a max(priority) string
+    # buffer planned SortAggregate and sorted ~30M late rows (8.3 s
+    # measured at ×100)
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_q17_single_scan_window_average(spark):
+    plan = _plan(spark, q17_small_quantity_revenue(spark, SF_SMOKE))
+    # round 9: the correlated per-part average is a window over the one
+    # partkey exchange the lines ride anyway — the join-back shape
+    # scanned lineitem twice and sorted both sides of a sort-merge join
+    # (5.1 s of the ×100 map)
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_narrow_fact_exchange(spark):
+    plan = _plan(spark, q9_product_profit(spark, SF_SMOKE))
+    # round 9: the per-line profit and the supplier nationkey must be
+    # computed BELOW the lineitem⋈orders exchange so the fact shuffle
+    # carries (orderkey, nationkey, profit) only — the raw price /
+    # discount / quantity / retailprice columns never shuffle. In the
+    # plan text the profit arithmetic appears in a Project on the
+    # streamed side, before any Exchange that follows it.
+    assert "line_profit" in plan
+    # explain prints top-down: the orders join node prints BEFORE its
+    # child subtrees, so the profit Project sitting below the orders
+    # join means the join's line precedes line_profit's first mention
+    orders_join = min(
+        i
+        for i in (
+            plan.find("Join [l_orderkey"),
+            plan.find("SortMergeJoin [l_orderkey"),
+            plan.find("BroadcastHashJoin [l_orderkey"),
+        )
+        if i >= 0
+    )
+    assert orders_join < plan.index("AS line_profit"), (
+        "profit projection not below the orders join"
+    )
+    assert plan.count("lineitem.parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_no_standalone_pair_distinct(spark):
+    plan = _plan(spark, q16_supplier_variety(spark, SF_SMOKE))
+    # round 9: countDistinct's own two-phase dedup aggregate covers the
+    # pair dedup, so a prior (partkey, suppkey) .distinct() would only
+    # add a second full fact shuffle (10.0 s of the ×100 map). Exactly
+    # two hash exchanges: the (brand, band, suppkey) dedup and the final
+    # (brand, band) rollup — both post-dedup, neither broadcast-sized.
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_single_scan_shared_partkey_exchange(spark):
+    plan = _plan(spark, q20_heavy_shippers(spark, SF_SMOKE))
+    # round 9: ONE lineitem scan feeds one partkey exchange that both
+    # the (partkey, suppkey) rollup and the per-part window total reuse
+    # (the old shape scanned lineitem twice and shuffled three times —
+    # 7.0 s of the ×100 map). Exchanges: the partkey repartition + the
+    # qualifying-suppkey distinct.
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "CartesianProduct" not in plan
