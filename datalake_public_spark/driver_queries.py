@@ -1324,15 +1324,27 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     final broadcast join to discard 80% (round 9: q2 was the largest
     tpch_breadth op at ×100, 16.9 s of 73.4, and Spark inserts no
     runtime filter here on its own). The restriction is exact: per-part
-    aggregates only depend on that part's rows. The pair rollup and the
-    per-part min then share one (smaller) shuffle grain; the min joins
-    back on partkey (AQE co-locates); supplier⋈nation⋈region is a
+    aggregates only depend on that part's rows. The rollup exchange is
+    pinned to partkey ALONE (the q20 idiom): HashPartitioning(partkey)
+    satisfies the pair rollup's ClusteredDistribution(partkey, suppkey)
+    and the per-part min window's, so the min is a sort-only window
+    over the same exchange and the correlated-MIN join-back disappears
+    (round 9: the join-back formulation sort-merged the pair rollup
+    against its own aggregate — 19.1 s of the ×100 map under the SMJ
+    regime vs 6.2 s for this shape). supplier⋈nation⋈region is a
     broadcast dim chain; the top-100 is TakeOrdered, no full sort."""
+    from pyspark.sql import Window
+
     part = _t(spark, sf, "part").filter(F.col("p_size") <= 10)
-    li = _t(spark, sf, "lineitem").join(
-        F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"))),
-        "l_partkey",
-        "left_semi",
+    li = (
+        _t(spark, sf, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(
+            F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"))),
+            "l_partkey",
+            "left_semi",
+        )
+        .repartition(F.col("l_partkey"))
     )
     unit_cents = F.round(
         F.col("l_extendedprice") * 100 / F.col("l_quantity")
@@ -1340,8 +1352,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     pair = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(unit_cents).alias("cost_cents")
     )
-    part_min = pair.groupBy("l_partkey").agg(
-        F.min("cost_cents").alias("min_cents")
+    pair = pair.withColumn(
+        "min_cents",
+        F.min("cost_cents").over(Window.partitionBy("l_partkey")),
     )
     sup = _t(spark, sf, "supplier")
     nation = _t(spark, sf, "nation")
@@ -1354,8 +1367,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     return (
-        pair.join(part_min, "l_partkey")
-        .filter(F.col("cost_cents") == F.col("min_cents"))
+        pair.filter(F.col("cost_cents") == F.col("min_cents"))
         .join(F.broadcast(part), pair.l_partkey == part.p_partkey)
         .join(F.broadcast(eu_sup), pair.l_suppkey == F.col("s_suppkey"))
         .select(
@@ -1408,7 +1420,14 @@ def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
     above the lineitem⋈orders join, shuffling all orders at ×100 only
     to discard ~80% at the broadcast join; the reorder is exact since
     every surviving row must pass that restriction anyway);
-    lineitem⋈orders then shuffles on the shared orderkey;
+    lineitem⋈orders then shuffles on the shared orderkey with the
+    RESTRICTED orders side as a shuffle_hash build (round 9: the
+    restriction bounds the build to ~20% of orders — a per-partition
+    hash map of it beats sort-merging 60M lineitem rows, 10.1 s → 3.8 s
+    in the ×100 map; the hint is safe at 100 TB because the build side
+    is always the post-restriction fraction, never the raw fact, and
+    scoping SHJ per-join avoids the engine-wide preferSortMergeJoin
+    experiment's concurrent-build GC bimodality — see session.py);
     supplier→nation stays a broadcast dim chain; the share is a ratio
     of exact bigint cents (the q14 determinism pattern), grouped on ~6
     year keys so partial agg collapses the shuffle."""
@@ -1434,7 +1453,10 @@ def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
         .select("o_orderkey", "o_orderdate")
     )
     return (
-        li.join(orders_am, li.l_orderkey == orders_am.o_orderkey)
+        li.join(
+            orders_am.hint("shuffle_hash"),
+            li.l_orderkey == orders_am.o_orderkey,
+        )
         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(n2), sup.s_nationkey == F.col("s_nk"))
         .groupBy(F.year("o_orderdate").alias("o_year"))

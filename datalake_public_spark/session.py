@@ -39,20 +39,26 @@ def get_spark(config: EngineConfig | None = None) -> SparkSession:
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        # Prefer shuffled-hash over sort-merge when the build side's
-        # per-partition hash map provably fits (canBuildLocalHashMap:
-        # stats < threshold × shuffle partitions, and ≥3× smaller than
-        # the probe side — Spark's own guards, both stats-driven).
-        # This engine's fact joins feed hash aggregates, not merges, so
-        # SMJ's sort of BOTH sides is pure overhead: the ×100
-        # lineitem⋈orders join measured 14.6 s (SMJ) vs 9.7 s (SHJ),
-        # mirrored A-B-B-A (round 9). Broadcast still wins below the
-        # threshold; SMJ remains the fallback whenever the build side
-        # could not fit (so 100 TB joins of two huge sides still merge,
-        # and AQE skew-splitting applies to SHJ since Spark 3.2). The
-        # co-bucketed zero-shuffle paths pin SMJ explicitly with a
-        # merge hint — their sorted buckets make the merge free.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Sort-merge stays the engine-wide default; shuffled-hash is
+        # opted into PER JOIN with hint("shuffle_hash") where the build
+        # side is provably bounded (a restricted dimension or a rollup —
+        # q8's AMERICA orders, q2's per-part min). The engine-wide
+        # preferSortMergeJoin=false experiment (round 9) won per-query —
+        # isolated ×100 lineitem⋈orders measured 14.6 s SMJ vs 9.7 s
+        # SHJ, and the 17-query map summed 67 s vs SMJ's 79 — but made
+        # CONCURRENT plans bimodal: the unioned tpch_breadth run swung
+        # [53, 186] s across same-code reps (vs [44, 63] under SMJ)
+        # because many simultaneous non-spillable SHJ build maps share
+        # one local-mode heap and GC thrash; SMJ's sorts spill
+        # gracefully. Hint-scoped SHJ keeps the q2/q8 wins with the SMJ
+        # regime's stability, and degrades safely at 100 TB: a
+        # shuffle_hash hint on a side that outgrows memory OOMs loudly
+        # rather than silently merging, so hints are placed only on
+        # sides bounded by a selective restriction, never raw facts.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("DLPS_PREFER_SMJ", "true"),
+        )
         # Runtime Bloom-filter join pruning (off by default in Spark):
         # for shuffle joins whose build side exceeds the creation
         # threshold, the probe side scan is pre-filtered by a bloom
