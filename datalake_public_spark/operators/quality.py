@@ -78,35 +78,48 @@ def run_gate(df: DataFrame, *, not_null: tuple[str, ...] = (), unique: tuple[str
 
 
 def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
-    """One-pass column profile: per column, the row count, non-null
-    count, exact distinct count, and min/max (cast to string for a
-    uniform schema) — the scan a lake operator runs before trusting a
-    new table (null-rate drift, key-cardinality checks, range sanity).
+    """Column profile: per column, the row count, non-null count, exact
+    distinct count, and min/max (cast to string for a uniform schema) —
+    the scan a lake operator runs before trusting a new table
+    (null-rate drift, key-cardinality checks, range sanity).
 
-    Scale: ONE aggregation job over one scan — all columns' stats are
-    computed together, not via per-column passes. Multiple exact
-    DISTINCTs expand the shuffle (one Expand branch per column); for
-    100 TB profiling swap ``F.countDistinct`` for
-    ``F.approx_count_distinct`` — same plan shape, sketch-width shuffle.
-    The single wide row then unpivots via ``stack`` (driver-side-free)."""
+    Scale: ONE SINGLE-DISTINCT AGGREGATE PER COLUMN, unioned. A single
+    distinct aggregate plans as a two-phase aggregate with map-side
+    partial dedup and NO Expand; packing all columns' exact distincts
+    into one aggregate (the previous shape) makes Catalyst rewrite
+    through Expand — every input row replicated once per distinct
+    column into one wide partial-aggregate hash map, which measured
+    24-27 s on a 15M-row × 6-column table while the per-column union
+    runs the same exact profile in a few seconds (round 9). The
+    branches are independent stages of one job, so the scheduler
+    overlaps them; each branch's scan is column-pruned (ReadSchema is
+    that single column), so total I/O ≈ one full-table scan, the same
+    as the Expand shape paid. Per branch only that column's map-side
+    distinct values shuffle. For 100 TB profiling swap
+    ``F.countDistinct`` for ``F.approx_count_distinct`` — the branch
+    shuffle drops to one sketch per task."""
+    from functools import reduce
+
     from pyspark.sql import functions as F
 
     cols = columns or df.columns
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in cols:
-        aggs += [
-            F.count(F.col(c)).alias(f"nn_{c}"),
-            F.countDistinct(F.col(c)).alias(f"nd_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"mn_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"mx_{c}"),
-        ]
-    wide = df.agg(*aggs)
-    parts = ", ".join(
-        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
-    )
-    return wide.select(
-        "n_rows",
-        F.expr(
-            f"stack({len(cols)}, {parts}) AS (column, n_nonnull, n_distinct, min_value, max_value)"
-        ),
-    ).select("column", "n_rows", "n_nonnull", "n_distinct", "min_value", "max_value")
+    branches = [
+        df.select(F.col(c))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.col(c)).alias("n_nonnull"),
+            F.countDistinct(F.col(c)).alias("n_distinct"),
+            F.min(F.col(c)).cast("string").alias("min_value"),
+            F.max(F.col(c)).cast("string").alias("max_value"),
+        )
+        .select(
+            F.lit(c).alias("column"),
+            "n_rows",
+            "n_nonnull",
+            "n_distinct",
+            "min_value",
+            "max_value",
+        )
+        for c in cols
+    ]
+    return reduce(lambda a, b: a.unionByName(b), branches)
