@@ -934,3 +934,38 @@ def test_bitexact_blocked_cosine_hostile_boundary_windows(spark, round_digits):
     # some in, some out — so the equality above is not vacuous
     edge_pairs = {p for p in fold if p[0] == 0 and 1 <= p[1] <= 7}
     assert 0 < len(edge_pairs) < 7, "edge plantings did not straddle"
+
+
+def test_blocked_cosine_oracle_cte_bitequal_to_inline_fold_sql():
+    """The oracle twin's CTE form (round 9: per-vector norms hoisted,
+    cosine evaluated once — 10.3× on a cache-miss DuckDB oracle) must
+    stay BIT-equal to the naive inline ``V.cosine_sql`` formulation it
+    replaced: hoisting is pure common-subexpression reuse, so any
+    divergence means someone changed the element math, not the layout."""
+    import duckdb
+
+    from datalake_public_spark.driver_queries_llm import (
+        dedup_embedding_blocked_sql,
+    )
+    from datalake_public_spark.functions.vector import cosine_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+    )
+    inline = f"""
+SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+       round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id % 4 = b.vec_id % 4
+ AND a.vec_id < b.vec_id
+WHERE round({cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.35
+"""
+    order = "ORDER BY label, id_a, id_b"
+    want = con.execute(f"SELECT * FROM ({inline}) i {order}").fetchall()
+    got = con.execute(
+        f"SELECT * FROM ({dedup_embedding_blocked_sql(4)}) c {order}"
+    ).fetchall()
+    assert len(want) > 0
+    assert got == want  # tuple equality on raw doubles — bit-level

@@ -501,3 +501,25 @@ def test_nul_byte_strings_are_distinguished():
 
 if __name__ == "__main__":
     sys.exit(pytest.main([__file__, "-q"]))
+
+
+def test_derived_sub_blocks_reproduces_established_rungs():
+    """The cosine twin's sub-block count is derived from the embeddings
+    row count (round 9 — the manual SWEEP_COSINE_SUB_BLOCKS=512 protocol
+    was forgotten twice across rounds and burned ~25 and ~75 min). The
+    derivation must reproduce the committed artifacts' coverage notes at
+    both established rungs, and scale sanely beyond them."""
+    import unittest.mock as mock
+
+    def at(n):
+        m = mock.MagicMock()
+        m.metadata.num_rows = n
+        with mock.patch("pyarrow.parquet.ParquetFile", return_value=m):
+            return scale_sweep.derived_sub_blocks("/ignored")
+
+    assert at(20_000) == 16       # ×10 rung (committed note: vec_id%16)
+    assert at(200_000) == 512     # ×100 rung (committed note: vec_id%512)
+    assert at(2_000_000) == 16384  # ×1000: B keeps pairs ~constant
+    assert at(2_000) == 1          # tiny corpus: full within-label pairs
+    # missing/unreadable fixture falls back to the historical default
+    assert scale_sweep.derived_sub_blocks("/nonexistent_dir_xyz") == 16

@@ -440,6 +440,31 @@ def oracle_cached(con, name: str, sql: str, fix_sig: str):
     return tbl, False
 
 
+def derived_sub_blocks(sf_dir: str) -> int:
+    """Cosine-twin sub-block count derived FROM THE DATA, not from a
+    manual env protocol (round 9: the r7 note "×100 needs
+    SWEEP_COSINE_SUB_BLOCKS=512" was forgotten on a fresh launch for the
+    second round running and burned ~75 min — the default 16 at 200k
+    vectors is 32× the intended pair bound, and the blow-up lands on the
+    interpreted fold rescore and the DuckDB oracle, not the BLAS kernel,
+    so it looks like a hang). Within-label pairs grow quadratically in
+    corpus size while the sub-block count divides them linearly, so
+    holding scored pairs ≈ constant needs B ∝ n^1.5; anchored at the
+    established rungs (20k vectors → 16, 200k → 512, both matching every
+    committed artifact's coverage note), rounded to a power of two.
+    SWEEP_COSINE_SUB_BLOCKS stays as an explicit override."""
+    try:
+        import pyarrow.parquet as _pq
+
+        n = _pq.ParquetFile(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).metadata.num_rows
+    except Exception:
+        return 16
+    b = 16.0 * (max(n, 1) / 20000.0) ** 1.5
+    return max(1, 2 ** round(math.log2(max(b, 1.0))))
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_sf1.0"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/SCALE_r4.json"
@@ -504,7 +529,9 @@ def main() -> None:
         dedup_simhash_banded_sql,
     )
 
-    SUB_BLOCKS = int(os.environ.get("SWEEP_COSINE_SUB_BLOCKS", "16"))
+    SUB_BLOCKS = int(
+        os.environ.get("SWEEP_COSINE_SUB_BLOCKS", "0")
+    ) or derived_sub_blocks(sf_dir)
     # one band == one replica of tools/scale_replicate.py's key space:
     # banded pair work/output scale LINEARLY in corpus size; cross-band
     # pairs are the exact-copy cliques, owned by the unbounded (linear)
