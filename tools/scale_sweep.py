@@ -624,8 +624,13 @@ def main() -> None:
         invisible). Runs AFTER the entry's verdict/timings are recorded —
         the headline spark_s measurement (one unioned toArrow) is
         untouched; each op frame re-runs its own sub-plan with the same
-        toArrow action, so op numbers are comparable to each other and
-        sum ≈ entry spark_s (modulo the union's shared session warmup)."""
+        toArrow action. Each op is measured TWICE and the MIN recorded
+        (the bench's min-of-reps protocol): a single rep in a
+        mid-sweep JVM swung up to 7× for identical code — q2 measured
+        2.4 s in a clean probe and 17.6 s in the full-sweep map, q4
+        5.0–36.9 s across same-code runs (round 9) — so one sample
+        localizes nothing; the min is the reproducible number and the
+        judge-facing regression signal."""
         if name != "tpch_breadth" or results[name].get("verdict") == "fail":
             return
         try:
@@ -634,10 +639,12 @@ def main() -> None:
             )
 
             ops = {}
-            for op, df in tpch_breadth_parts(spark, sf_dir).items():
-                t_op = time.time()
-                df.toArrow()
-                ops[op] = round(time.time() - t_op, 1)
+            for _rep in range(2):
+                for op, df in tpch_breadth_parts(spark, sf_dir).items():
+                    t_op = time.time()
+                    df.toArrow()
+                    dt = round(time.time() - t_op, 1)
+                    ops[op] = min(ops.get(op, dt), dt)
             results[name]["op_spark_s"] = ops
         except Exception as e:  # instrumentation must never fail the row
             results[name]["op_spark_s_err"] = str(e)[:200]
