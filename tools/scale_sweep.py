@@ -400,11 +400,22 @@ def oracle_cached(con, name: str, sql: str, fix_sig: str):
 
     import duckdb
 
+    # Default cache root lives UNDER THE REPO (gitignored), not /tmp:
+    # a host migration wipes /tmp and the next sweep silently recomputes
+    # all 50 oracles (round 9: the ×100 embedding/ngram/components
+    # oracles alone cost ~25 min cold) — repo-resident cache survives.
+    # A pre-existing /tmp cache is still honored so the r9 transition
+    # doesn't orphan warm entries; SWEEP_ORACLE_CACHE overrides both.
+    legacy_root = os.path.join(
+        tempfile.gettempdir(), f"dlps_oracle_cache_{os.getuid()}"
+    )
+    repo_root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".oracle_cache",
+    )
     cache_root = os.environ.get(
         "SWEEP_ORACLE_CACHE",
-        os.path.join(
-            tempfile.gettempdir(), f"dlps_oracle_cache_{os.getuid()}"
-        ),
+        legacy_root if os.path.isdir(legacy_root) else repo_root,
     )
     if cache_root == "0":
         return con.execute(sql).fetch_arrow_table(), False
