@@ -171,20 +171,29 @@ def dedup_components_banded(band: int):
     is replication-invariant, so it stays tractable at any rung."""
 
     def q(spark: SparkSession, sf: str) -> DataFrame:
+        from datalake_public_spark.driver_registry import (
+            ENTRY_PHASES,
+            _timed_phase,
+        )
         from datalake_public_spark.operators.components import (
             connected_components,
         )
 
+        # same inline phase map as the unbanded corpus entry (VERDICT
+        # r9 item 5) — the CC rounds run eagerly at build, so the build
+        # times itself; the sweep attaches ENTRY_PHASES as op_spark_s
+        ENTRY_PHASES.pop("dedup_components", None)
         docs = _t(spark, sf, "documents")
         edges = D.ngram_jaccard_pairs(docs, threshold=0.5, band=band).select(
             "id_a", "id_b"
         )
-        labels = connected_components(
-            edges,
-            src="id_a",
-            dst="id_b",
-            vertices=docs.select(F.col("doc_id").alias("node")),
-        )
+        with _timed_phase("dedup_components", "cc_exact_graph"):
+            labels = connected_components(
+                edges,
+                src="id_a",
+                dst="id_b",
+                vertices=docs.select(F.col("doc_id").alias("node")),
+            )
         comp = labels.select(
             F.lit("component").alias("op"),
             F.col("node").alias("doc_id"),
@@ -196,14 +205,16 @@ def dedup_components_banded(band: int):
             groups.select(F.col("keep_id").alias("doc_id")), "doc_id",
             "left_semi",
         ).persist()
-        reps.count()
+        with _timed_phase("dedup_components", "exact_prepass"):
+            reps.count()
         lsh_pairs = D.minhash_lsh_pairs(reps, threshold=0.5)
         exact_pairs = (
             D.ngram_jaccard_pairs(reps, threshold=0.5)
             .select("id_a", "id_b")
             .persist()
         )
-        exact_pairs.count()
+        with _timed_phase("dedup_components", "ngram_pairs"):
+            exact_pairs.count()
         pairs = (
             exact_pairs.unionByName(
                 lsh_pairs.select("id_a", "id_b").join(
@@ -212,12 +223,13 @@ def dedup_components_banded(band: int):
             )
             .distinct()
         )
-        rep_labels = connected_components(
-            pairs,
-            src="id_a",
-            dst="id_b",
-            vertices=reps.select(F.col("doc_id").alias("node")),
-        )
+        with _timed_phase("dedup_components", "cc_union_lsh"):
+            rep_labels = connected_components(
+                pairs,
+                src="id_a",
+                dst="id_b",
+                vertices=reps.select(F.col("doc_id").alias("node")),
+            )
         survivors = rep_labels.filter(
             F.col("node") == F.col("component")
         ).select(F.col("node").alias("doc_id"))

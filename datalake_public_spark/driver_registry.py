@@ -76,6 +76,39 @@ def _registry_tmp_root(prefix: str) -> str:
 # reused by a successor session while a cached plan still points at it
 _EAGER_PLAN_MEMO: dict = {}
 
+# --------------------------------------------------------------------------
+# Inline per-phase timing for EAGER merged entries (VERDICT r9 item 5).
+# tpch_breadth's per-op map re-runs each lazy sub-plan min-of-2; that
+# protocol cannot decompose entries whose cost is paid eagerly at
+# plan-build (dedup_components' checkpointed CC rounds, lake_suite's
+# memoized table-mutation lifecycle — a re-run would hit the memo or
+# re-mutate state). For those, the build itself timestamps its phases:
+# single-rep, but it decomposes the exact run the headline measured.
+# The sweep attaches ENTRY_PHASES[entry] as op_spark_s with
+# op_timing="inline".
+# --------------------------------------------------------------------------
+
+ENTRY_PHASES: dict[str, dict[str, float]] = {}
+
+
+class _timed_phase:
+    def __init__(self, entry: str, op: str):
+        self.entry, self.op = entry, op
+
+    def __enter__(self):
+        import time
+
+        self.t0 = time.time()
+
+    def __exit__(self, *exc):
+        import time
+
+        d = ENTRY_PHASES.setdefault(self.entry, {})
+        d[self.op] = round(
+            d.get(self.op, 0.0) + (time.time() - self.t0), 1
+        )
+        return False
+
 
 def _memoize_eager_entry(fn):
     """Cache the built plan per (entry, session, sf) for entries whose
@@ -2257,9 +2290,14 @@ def dedup_components_corpus(spark: SparkSession, sf: str) -> DataFrame:
         connected_components,
     )
 
-    comp = dedup_components(spark, sf).select(
-        F.lit("component").alias("op"), "doc_id", "component"
-    )
+    # inline phase map (VERDICT r9 item 5): the CC rounds run EAGERLY
+    # at plan-build (localCheckpoint per round), so the sweep's re-run
+    # protocol can't decompose this entry — the build times itself
+    ENTRY_PHASES.pop("dedup_components", None)
+    with _timed_phase("dedup_components", "cc_exact_graph"):
+        comp = dedup_components(spark, sf).select(
+            F.lit("component").alias("op"), "doc_id", "component"
+        )
     docs = _t(spark, sf, "documents")
     groups = D.exact_dedup(docs)
     # reps feeds four consumers (both pair generators, the vertex set,
@@ -2268,7 +2306,8 @@ def dedup_components_corpus(spark: SparkSession, sf: str) -> DataFrame:
     reps = docs.join(
         groups.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
     ).persist()
-    reps.count()
+    with _timed_phase("dedup_components", "exact_prepass"):
+        reps.count()
     lsh_pairs = D.minhash_lsh_pairs(reps, threshold=0.5)
     # exact_pairs feeds TWO consumers (the union and the collision-guard
     # semi-join below) — persist or the quadratic baseline recomputes
@@ -2279,7 +2318,8 @@ def dedup_components_corpus(spark: SparkSession, sf: str) -> DataFrame:
         .select("id_a", "id_b")
         .persist()
     )
-    exact_pairs.count()
+    with _timed_phase("dedup_components", "ngram_pairs"):
+        exact_pairs.count()
     # LSH edges are admitted only when the exact baseline agrees on the
     # id pair (left-semi): the LSH verify scores crc32-HASHED shingles,
     # so a collision could otherwise push a just-below-threshold pair
@@ -2294,12 +2334,15 @@ def dedup_components_corpus(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    labels = connected_components(
-        pairs,
-        src="id_a",
-        dst="id_b",
-        vertices=reps.select(F.col("doc_id").alias("node")),
-    )
+    # this phase includes the LSH pair computation (lsh_pairs is lazy
+    # until the CC edge-list checkpoint forces it)
+    with _timed_phase("dedup_components", "cc_union_lsh"):
+        labels = connected_components(
+            pairs,
+            src="id_a",
+            dst="id_b",
+            vertices=reps.select(F.col("doc_id").alias("node")),
+        )
     survivors = labels.filter(F.col("node") == F.col("component")).select(
         F.col("node").alias("doc_id")
     )
@@ -2877,6 +2920,24 @@ def event_graph_suite(spark: SparkSession, sf: str) -> DataFrame:
                          already proven by udaf_robust_stats).
     The v/v2 double columns are NULL for every other op.
     """
+    parts = event_graph_suite_parts(spark, sf)
+    out = None
+    for part in parts.values():
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def event_graph_suite_parts(spark: SparkSession, sf: str) -> dict:
+    """The six tagged per-op frames behind ``event_graph_suite``, keyed
+    by op tag in union order (VERDICT r9 item 5: the merged entry's one
+    number hides an iterative-graph tier plus two event rollups — the
+    sweep times each part separately, same protocol as
+    ``tpch_breadth_parts``). ``event_graph_suite`` unions exactly these
+    frames, so the per-op instrumentation measures the same plans the
+    entry runs. The three iterative parts (pagerank, hierarchy,
+    labelprop) execute their rounds eagerly at build (localCheckpoint
+    per round), so a part's measured time includes its build — which is
+    where an iterative regression would live."""
     from pyspark.sql import Window
 
     from datalake_public_spark.operators.anomaly import robust_anomalies
@@ -2923,8 +2984,10 @@ def event_graph_suite(spark: SparkSession, sf: str) -> DataFrame:
     ring = ring.join(F.broadcast(lo)).select(
         "src", F.coalesce("nxt", F.col("m")).alias("dst")
     )
+    with _timed_phase("event_graph_suite", "pagerank"):
+        pr_ranks = pagerank(ring)
     pr = (
-        pagerank(ring)
+        pr_ranks
         .agg(
             F.count(F.lit(1)).alias("n_nodes"),
             F.max(F.abs(F.col("rank") - F.lit(1.0))).alias("max_dev"),
@@ -2946,7 +3009,9 @@ def event_graph_suite(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("n_nationkey") - 5).alias("parent"),
         F.col("n_nationkey").alias("child"),
     )
-    hi = hierarchy_paths(chains).select(
+    with _timed_phase("event_graph_suite", "hierarchy"):
+        hi_paths = hierarchy_paths(chains)
+    hi = hi_paths.select(
         F.lit("hierarchy").alias("op"),
         F.col("path").alias("k"),
         F.col("depth").cast("long").alias("n"),
@@ -2974,7 +3039,9 @@ def event_graph_suite(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select(F.col("a.key").alias("src"), F.col("b.key").alias("dst"))
     )
-    lp = label_propagation(cliq, max_iter=4).select(
+    with _timed_phase("event_graph_suite", "labelprop"):
+        lp_labels = label_propagation(cliq, max_iter=4)
+    lp = lp_labels.select(
         F.lit("labelprop").alias("op"),
         F.col("node").cast("string").alias("k"),
         F.col("label").cast("long").alias("n"),
@@ -2999,10 +3066,21 @@ def event_graph_suite(spark: SparkSession, sf: str) -> DataFrame:
             F.col("d").alias("v2"),
         )
     )
-    out = fu
-    for part in (co, pr, hi, lp, an):
-        out = out.unionByName(part)
-    return out
+    return {
+        "funnel": fu,
+        "cohort": co,
+        "pagerank": pr,
+        "hierarchy": hi,
+        "labelprop": lp,
+        "anomaly": an,
+    }
+
+
+# discriminators now emitted inside event_graph_suite_parts — declared
+# for the generated registry table (tools/gen_registry_table.py)
+event_graph_suite.op_tags = (
+    "funnel", "cohort", "pagerank", "hierarchy", "labelprop", "anomaly",
+)
 
 
 def _event_graph_sql() -> str:
@@ -3140,21 +3218,32 @@ def lake_suite(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_orderkey").cast("long").alias("key"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
+    # inline phase map (VERDICT r9 item 5): the lifecycle mutations run
+    # eagerly at plan-build and the built plan is memoized, so the
+    # sweep's re-run protocol can't decompose this entry — the build
+    # times its own phases
+    ENTRY_PHASES.pop("lake_suite", None)
     root = _registry_tmp_root("lake_suite_")
     t = ManifestTable(f"{root}/t")
-    t.append_batch(base.filter(F.col("key") % 3 == 0), "b0")  # v0
-    t.append_batch(base.filter(F.col("key") % 3 == 1), "b1")  # v1
+    with _timed_phase("lake_suite", "append"):
+        t.append_batch(base.filter(F.col("key") % 3 == 0), "b0")  # v0
+        t.append_batch(base.filter(F.col("key") % 3 == 1), "b1")  # v1
     upd = base.filter(F.col("key") % 6 == 0).select(
         "key", (F.col("cents") * 2).alias("cents")
     )
     ins = base.filter(F.col("key") % 3 == 2)
-    t.merge(spark, upd.unionByName(ins), ["key"])  # v2
+    with _timed_phase("lake_suite", "merge"):
+        t.merge(spark, upd.unionByName(ins), ["key"])  # v2
     cf = t.read_changes(spark, 1, 2)
-    t.restore(1)  # v3
-    clone = t.clone_to(f"{root}/clone")
+    with _timed_phase("lake_suite", "restore_clone"):
+        t.restore(1)  # v3
+        clone = t.clone_to(f"{root}/clone")
     shard_path = f"{root}/shards"
-    write_training_shards(t.read(spark, 2), shard_path, n_shards=8, id_col="key")
-    shards_back = read_training_shards(spark, shard_path, verify=True)
+    with _timed_phase("lake_suite", "shards"):
+        write_training_shards(
+            t.read(spark, 2), shard_path, n_shards=8, id_col="key"
+        )
+        shards_back = read_training_shards(spark, shard_path, verify=True)
 
     # --- round-6 concurrency + vacuum ops (VERDICT r5 item 4: the
     # adviser-bug territory was concurrent commits and vacuum ownership;
@@ -3165,29 +3254,31 @@ def lake_suite(spark: SparkSession, sf: str) -> DataFrame:
     # between, B's stale-parent commit MUST raise CommitConflict, and
     # B's optimistic retry (append_retrying) must land on the new head.
     # Final state = the full base frame, DuckDB-recomputable.
-    ct = ManifestTable(f"{root}/conflict")
-    ct.append_batch(base.filter(F.col("key") % 3 == 0), "c0")  # v0
-    df_b = base.filter(F.col("key") % 3 == 2)
-    staged_b = ct._stage_files(df_b)  # B snapshots the world at v0
-    ct.append(base.filter(F.col("key") % 3 == 1))  # A lands v1
-    try:
-        ct._commit(  # B replays its stale-parent commit attempt
-            list(ct.snapshot(0).files) + staged_b, "append", 0
-        )
-        raise RuntimeError(
-            "lake_suite[conflict]: stale-parent commit did not conflict"
-        )
-    except CommitConflict:
-        pass
-    ct.append_retrying(df_b, _staged=staged_b)  # re-base lands v2
+    with _timed_phase("lake_suite", "conflict"):
+        ct = ManifestTable(f"{root}/conflict")
+        ct.append_batch(base.filter(F.col("key") % 3 == 0), "c0")  # v0
+        df_b = base.filter(F.col("key") % 3 == 2)
+        staged_b = ct._stage_files(df_b)  # B snapshots the world at v0
+        ct.append(base.filter(F.col("key") % 3 == 1))  # A lands v1
+        try:
+            ct._commit(  # B replays its stale-parent commit attempt
+                list(ct.snapshot(0).files) + staged_b, "append", 0
+            )
+            raise RuntimeError(
+                "lake_suite[conflict]: stale-parent commit did not conflict"
+            )
+        except CommitConflict:
+            pass
+        ct.append_retrying(df_b, _staged=staged_b)  # re-base lands v2
 
     # op='vacuum': overwrite rewrites every file, vacuum(1) must delete
     # the unreferenced ones and drop old manifests; head stays readable.
-    vt = ManifestTable(f"{root}/vac")
-    vt.append_batch(base.filter(F.col("key") % 3 == 0), "v0")
-    vt.append(base.filter(F.col("key") % 3 == 1))
-    vt.overwrite(base.filter(F.col("key") % 2 == 0))
-    vac_deleted = vt.vacuum(retain_versions=1)
+    with _timed_phase("lake_suite", "vacuum"):
+        vt = ManifestTable(f"{root}/vac")
+        vt.append_batch(base.filter(F.col("key") % 3 == 0), "v0")
+        vt.append(base.filter(F.col("key") % 3 == 1))
+        vt.overwrite(base.filter(F.col("key") % 2 == 0))
+        vac_deleted = vt.vacuum(retain_versions=1)
     if not vac_deleted:
         raise RuntimeError(
             "lake_suite[vacuum]: overwrite left nothing to vacuum"

@@ -38,10 +38,24 @@ def release_local_checkpoint(df: DataFrame) -> None:
     API for "unpersist the RDD behind this checkpoint"), so the failure
     mode to guard is API drift across Spark versions: a failure here is
     counted and warned once per process rather than swallowed, because
-    a silent no-op reinstates the leak this module exists to fix."""
+    a silent no-op reinstates the leak this module exists to fix.
+
+    The frame need not BE the checkpoint node: callers legitimately hand
+    back thin wrappers over one (``checkpointed.select(...)`` plans as a
+    ``Project`` over the ``LogicalRDD``), so resolution walks down
+    single-child wrapper nodes until it reaches the ``LogicalRDD``. A
+    node with zero or multiple children before a ``LogicalRDD`` is found
+    means the frame does not sit on exactly one checkpoint — that is
+    counted as a resolution failure, same as API drift."""
     global release_failures, _warned
     try:
-        df._jdf.queryExecution().logical().rdd().unpersist(False)
+        rdd = _resolve_checkpoint_rdd(df._jdf.queryExecution().logical())
+        if rdd is None:
+            _record_failure(
+                RuntimeError("no LogicalRDD under single-child wrappers")
+            )
+        else:
+            rdd.unpersist(False)
     except (AttributeError, TypeError) as exc:
         _record_failure(exc)
     except Exception as exc:  # Py4JError and friends (no hard py4j import)
@@ -49,6 +63,24 @@ def release_local_checkpoint(df: DataFrame) -> None:
             _record_failure(exc)
         else:
             raise
+
+
+def _resolve_checkpoint_rdd(jplan):
+    """Walk a JVM logical plan down single-child wrapper nodes
+    (Project, SubqueryAlias, Filter, …) to the ``LogicalRDD`` a
+    localCheckpoint materialized, and return its RDD — or ``None`` if
+    the walk hits a leaf/multi-child node first (no unambiguous
+    checkpoint to free). Depth-capped defensively; real wrapper chains
+    here are 1–2 nodes."""
+    node = jplan
+    for _ in range(16):
+        if node.getClass().getSimpleName() == "LogicalRDD":
+            return node.rdd()
+        children = node.children()
+        if children.size() != 1:
+            return None
+        node = children.apply(0)
+    return None
 
 
 def _record_failure(exc: Exception) -> None:

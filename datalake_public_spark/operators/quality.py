@@ -102,7 +102,14 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    cols = columns or df.columns
+    cols = columns if columns is not None else df.columns
+    if not cols:
+        # ADVICE r9: reduce() over zero branches raises an obscure
+        # functools TypeError — name the misuse instead.
+        raise ValueError(
+            "profile_table needs at least one column (got an empty "
+            "columns list, or a zero-column DataFrame)"
+        )
     branches = [
         df.select(F.col(c))
         .agg(

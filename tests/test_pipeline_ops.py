@@ -40,6 +40,24 @@ def test_components_without_vertices_only_edge_nodes(spark):
     assert _labels(connected_components(edges)) == {5: 5, 6: 5}
 
 
+def test_components_result_is_releasable(spark):
+    """Regression pin (round 10): connected_components returns a
+    ``Project`` over its final checkpoint (the ``prev`` convergence
+    column is dropped), and caller-side release must still resolve the
+    underlying LogicalRDD — round 9's .select() return broke
+    release_local_checkpoint for every caller (streaming ingest-dedup
+    leaked one checkpoint per micro-batch) until the helper learned to
+    unwrap single-child wrapper nodes."""
+    from datalake_public_spark.operators import iterutils
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], ["src", "dst"])
+    labels = connected_components(edges)
+    assert _labels(labels) == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+    before = iterutils.release_failures
+    iterutils.release_local_checkpoint(labels)
+    assert iterutils.release_failures == before
+
+
 def test_split_stable_under_repartition(spark):
     df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
     a = {r.doc_id: r.split for r in assign_split(df, "doc_id").collect()}

@@ -28,6 +28,25 @@ def _plan(spark, df, mode: str = "simple") -> str:
     return df._jdf.queryExecution().explainString(jmode)
 
 
+def _read_schema_field_count(line: str) -> int:
+    """Top-level field count of a formatted-explain ReadSchema line
+    (``ReadSchema: struct<a:bigint,b:struct<x:int,y:int>>`` → 2):
+    commas at angle-bracket depth 0 of the struct payload separate
+    fields; nested struct/map/array types stay inside depth > 0."""
+    payload = line.split("struct<", 1)[1]
+    depth, fields = 0, 1
+    for ch in payload:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            if depth == 0:
+                break
+            depth -= 1
+        elif ch == "," and depth == 0:
+            fields += 1
+    return fields if payload and not payload.startswith(">") else 0
+
+
 def test_q1_pushdown_and_pruning(spark):
     p = _plan(spark, q1_pricing_summary(spark, SF_SMOKE), "formatted")
     # the shipdate filter reaches the parquet scan (row-group skipping)
@@ -150,8 +169,12 @@ def test_profile_table_per_column_branches_no_expand(spark):
     assert p.count("Scan parquet") == n_cols
     f = _plan(spark, profile_orders(spark, SF_SMOKE), "formatted")
     reads = [l for l in f.splitlines() if "ReadSchema" in l]
-    # every branch's scan is pruned to its single profiled column
-    assert all(l.count(":") <= 2 for l in reads), reads
+    # every branch's scan is pruned to its single profiled column —
+    # parse the struct<...> payload and count TOP-LEVEL fields (commas
+    # at angle-bracket depth 0), so a nested struct/map column type
+    # would not false-fail the way the old colon-count heuristic did
+    # (ADVICE r9)
+    assert all(_read_schema_field_count(l) == 1 for l in reads), reads
 
 
 def test_minhash_lsh_plan_shape(spark):

@@ -65,3 +65,15 @@ def test_profile_table_stats(spark):
     assert (got["v"].n_nonnull, got["v"].n_distinct) == (3, 2)
     assert (got["k"].min_value, got["k"].max_value) == ("1", "3")
     assert (got["s"].min_value, got["s"].max_value) == ("a", "b")
+
+
+def test_profile_table_empty_columns_raises(spark):
+    """ADVICE r9: zero profiled columns must raise a named ValueError,
+    not functools.reduce's obscure TypeError."""
+    import pytest
+
+    from datalake_public_spark.operators.quality import profile_table
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="at least one column"):
+        profile_table(df, columns=[])

@@ -27,8 +27,10 @@ state (release_entry_memory between reps, the same slate every entry
 starts from), and record ``spark_s_band`` [min, max] + the raw rep list
 (VERDICT r8 item 4: simhash/components drifted ±15-20% at ×100 inside
 claimed bands — publish the band instead of proving it in prose each
-round). The headline ``spark_s`` stays the FIRST, fully-comparable
-measurement; the compare/oracle phases run once.
+round). Since round 10 the headline ``spark_s`` of a banded entry is
+the BAND MIN (min-of-reps, same reasoning as bench.py — rep 1 runs in
+the sweep's dirtiest JVM state and lands at the band max); rep 1 is
+kept as ``spark_s_rep1``. The compare/oracle phases run once.
 
 Each result row carries a phase split — ``spark_s`` (plan build +
 toArrow collect), ``oracle_s`` (DuckDB execute + fetch), ``compare_s``
@@ -413,9 +415,18 @@ def oracle_cached(con, name: str, sql: str, fix_sig: str):
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".oracle_cache",
     )
+    # ADVICE r9: only honor the legacy root when it actually HOLDS
+    # entries — an empty dir (aborted run's mkdir) would otherwise
+    # permanently shadow the repo-resident default on this host.
+    def _has_entries(d: str) -> bool:
+        try:
+            return any(os.scandir(d))
+        except OSError:
+            return False
+
     cache_root = os.environ.get(
         "SWEEP_ORACLE_CACHE",
-        legacy_root if os.path.isdir(legacy_root) else repo_root,
+        legacy_root if _has_entries(legacy_root) else repo_root,
     )
     if cache_root == "0":
         return con.execute(sql).fetch_arrow_table(), False
@@ -464,13 +475,31 @@ def derived_sub_blocks(sf_dir: str) -> int:
     established rungs (20k vectors → 16, 200k → 512, both matching every
     committed artifact's coverage note), rounded to a power of two.
     SWEEP_COSINE_SUB_BLOCKS stays as an explicit override."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
     try:
         import pyarrow.parquet as _pq
 
-        n = _pq.ParquetFile(
-            os.path.join(sf_dir, "embeddings.parquet")
-        ).metadata.num_rows
-    except Exception:
+        n = _pq.ParquetFile(emb_path).metadata.num_rows
+    except Exception as exc:
+        # ADVICE r9: a silent fallback to 16 at the ×100 rung would
+        # reintroduce the exact 32× pair blow-up / apparent-hang this
+        # derivation exists to prevent. Unreadable-but-present is an
+        # anomaly worth stopping for; absent just means a tables-only
+        # sweep dir — warn loudly and use the small-rung default.
+        if os.path.exists(emb_path):
+            raise RuntimeError(
+                f"derived_sub_blocks: {emb_path} exists but is unreadable "
+                f"({type(exc).__name__}: {exc}) — refusing to silently "
+                "fall back to 16 sub-blocks; fix the file or set "
+                "SWEEP_COSINE_SUB_BLOCKS explicitly"
+            ) from exc
+        print(
+            f"WARNING: derived_sub_blocks: no embeddings.parquet in "
+            f"{sf_dir}; defaulting to 16 sub-blocks (fine at ≤×10 scale, "
+            "32× too few at ×100)",
+            file=sys.stderr,
+            flush=True,
+        )
         return 16
     b = 16.0 * (max(n, 1) / 20000.0) ** 1.5
     return max(1, 2 ** round(math.log2(max(b, 1.0))))
@@ -490,6 +519,7 @@ def main() -> None:
         band_reps = int(sys.argv[sys.argv.index("--band-reps") + 1])
 
     from datalake_public_spark import EngineConfig, get_spark
+    from datalake_public_spark import driver_registry as DR
     from datalake_public_spark.driver_registry import FINAL_REGISTRY
     from tests.oracle_harness import assert_types_match, duck_connection
 
@@ -642,29 +672,58 @@ def main() -> None:
         5.0–36.9 s across same-code runs (round 9) — so one sample
         localizes nothing; the min is the reproducible number and the
         judge-facing regression signal."""
-        if name != "tpch_breadth" or results[name].get("verdict") == "fail":
+        if results.get(name, {}).get("verdict") == "fail":
             return
-        try:
-            from datalake_public_spark.driver_registry import (
-                tpch_breadth_parts,
-            )
-
-            ops = {}
-            for _rep in range(2):
-                for op, df in tpch_breadth_parts(spark, sf_dir).items():
-                    t_op = time.time()
-                    df.toArrow()
-                    dt = round(time.time() - t_op, 1)
-                    ops[op] = min(ops.get(op, dt), dt)
-            results[name]["op_spark_s"] = ops
-        except Exception as e:  # instrumentation must never fail the row
-            results[name]["op_spark_s_err"] = str(e)[:200]
+        # Entries whose parts are (re)runnable sub-plans: min-of-2 per
+        # op. Entries whose cost is paid eagerly at plan-build
+        # (dedup_components' checkpointed CC rounds, lake_suite's
+        # memoized mutation lifecycle) can't be decomposed by re-running
+        # — their builds time themselves (DR.ENTRY_PHASES), single-rep
+        # but decomposing the exact run the headline measured; marked
+        # op_timing="inline" so a reader weighs them accordingly.
+        parts_fns = {
+            "tpch_breadth": DR.tpch_breadth_parts,
+            "event_graph_suite": DR.event_graph_suite_parts,
+        }
+        if name in parts_fns:
+            try:
+                ops = {}
+                for _rep in range(2):
+                    # a part whose rounds run eagerly at build (the
+                    # event_graph iterative tier) self-times its build
+                    # into ENTRY_PHASES — fold that into the op's number
+                    DR.ENTRY_PHASES.pop(name, None)
+                    parts = parts_fns[name](spark, sf_dir)
+                    builds = DR.ENTRY_PHASES.get(name, {})
+                    for op, df in parts.items():
+                        t_op = time.time()
+                        df.toArrow()
+                        dt = round(
+                            time.time() - t_op + builds.get(op, 0.0), 1
+                        )
+                        ops[op] = min(ops.get(op, dt), dt)
+                results[name]["op_spark_s"] = ops
+            except Exception as e:  # instrumentation must never fail the row
+                results[name]["op_spark_s_err"] = str(e)[:200]
+        elif name in DR.ENTRY_PHASES:
+            results[name]["op_spark_s"] = dict(DR.ENTRY_PHASES[name])
+            results[name]["op_timing"] = "inline"
 
     def maybe_band(name: str) -> None:
         """Re-measure the spark phase of a --band entry from the same
         cleared-cache slate every entry starts from, and publish the
-        [min, max] band (VERDICT r8 item 4). The recorded spark_s stays
-        rep 1 — the position-comparable number."""
+        [min, max] band (VERDICT r8 item 4).
+
+        HEADLINE RULE (VERDICT r9 item 3): for banded entries the
+        recorded ``spark_s`` is the BAND MIN — the same min-of-reps
+        reasoning bench.py uses. Rep 1 runs in the dirtiest JVM state of
+        the sweep (whatever the previous entry left in code cache / GC
+        history) and empirically lands at the band MAX: in round 9 a
+        real 7 s connected-components improvement was invisible because
+        same-code rep-1 spread was 47.8–72.1 s. The rep-1 number stays
+        published as ``spark_s_rep1`` for position-comparability with
+        pre-r10 artifacts; round-over-round claims quote the band
+        floor."""
         if name not in band_entries or "spark_s" not in results.get(
             name, {}
         ):
@@ -677,11 +736,23 @@ def main() -> None:
                 t_rep = time.time()
                 fn(spark, sf_dir).toArrow()
                 times.append(round(time.time() - t_rep, 1))
+                # an inline-instrumented entry (dedup_components) re-times
+                # its phases each rep — min-merge so the op map follows
+                # the same min-of-reps rule as the headline
+                rep_ops = DR.ENTRY_PHASES.get(name)
+                if rep_ops and results[name].get("op_timing") == "inline":
+                    prev = results[name].get("op_spark_s", {})
+                    results[name]["op_spark_s"] = {
+                        op: min(prev.get(op, v), v)
+                        for op, v in rep_ops.items()
+                    }
         except Exception as e:
             results[name]["spark_s_band_err"] = str(e)[:200]
             return
         results[name]["spark_s_band"] = [min(times), max(times)]
         results[name]["spark_s_reps"] = times
+        results[name]["spark_s_rep1"] = times[0]
+        results[name]["spark_s"] = min(times)
 
     def post_entry(name: str) -> None:
         maybe_phase_split(name)
