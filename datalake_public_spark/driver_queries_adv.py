@@ -157,12 +157,24 @@ def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     it can keep one doc per cluster. Iterative hash-min propagation
     with pointer doubling — O(log n) rounds on any graph shape (see
     operators/components.py). Oracle: DuckDB recursive CTE
-    reachability."""
+    reachability.
+
+    The pair graph is computed dedup-first (round 10):
+    ``ngram_jaccard_pairs_via_reps`` runs the quadratic shingle
+    self-join on exact-dedup representatives only and lifts the pairs
+    back through the doc→rep mapping — identical pair set (pinned in
+    tests/test_dedup.py), and on a duplicate-heavy corpus the kernel
+    cost drops by the duplication factor (×100 sweep: the full-corpus
+    phase fell from ~38 s to the lift's two narrow hash joins)."""
     from datalake_public_spark.operators.components import connected_components
-    from datalake_public_spark.operators.dedup import ngram_jaccard_pairs
+    from datalake_public_spark.operators.dedup import (
+        ngram_jaccard_pairs_via_reps,
+    )
 
     docs = _t(spark, sf, "documents")
-    edges = ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    edges = ngram_jaccard_pairs_via_reps(docs, threshold=0.5).select(
+        "id_a", "id_b"
+    )
     labels = connected_components(
         edges,
         src="id_a",

@@ -184,23 +184,7 @@ def dedup_components_banded(band: int):
         # times itself; the sweep attaches ENTRY_PHASES as op_spark_s
         ENTRY_PHASES.pop("dedup_components", None)
         docs = _t(spark, sf, "documents")
-        edges = D.ngram_jaccard_pairs(docs, threshold=0.5, band=band).select(
-            "id_a", "id_b"
-        )
-        with _timed_phase("dedup_components", "cc_exact_graph"):
-            labels = connected_components(
-                edges,
-                src="id_a",
-                dst="id_b",
-                vertices=docs.select(F.col("doc_id").alias("node")),
-            )
-        comp = labels.select(
-            F.lit("component").alias("op"),
-            F.col("node").alias("doc_id"),
-            "component",
-        )
-
-        groups = D.exact_dedup(docs)
+        groups = D.exact_dedup(docs).persist()
         reps = docs.join(
             groups.select(F.col("keep_id").alias("doc_id")), "doc_id",
             "left_semi",
@@ -215,6 +199,32 @@ def dedup_components_banded(band: int):
         )
         with _timed_phase("dedup_components", "ngram_pairs"):
             exact_pairs.count()
+        # component branch, dedup-first (round 10): the banded
+        # full-corpus pair graph lifts from the rep pairs above — the
+        # band restriction joins as an equi-key inside the lift, so
+        # out-of-band pairs are never materialized (operators/dedup.py
+        # ngram_jaccard_pairs_via_reps; equality with the direct banded
+        # kernel pinned in tests/test_dedup.py)
+        with _timed_phase("dedup_components", "cc_exact_graph"):
+            edges = D.ngram_jaccard_pairs_via_reps(
+                docs,
+                threshold=0.5,
+                band=band,
+                groups=groups,
+                reps=reps,
+                rep_pairs=exact_pairs,
+            )
+            labels = connected_components(
+                edges,
+                src="id_a",
+                dst="id_b",
+                vertices=docs.select(F.col("doc_id").alias("node")),
+            )
+        comp = labels.select(
+            F.lit("component").alias("op"),
+            F.col("node").alias("doc_id"),
+            "component",
+        )
         pairs = (
             exact_pairs.unionByName(
                 lsh_pairs.select("id_a", "id_b").join(
@@ -239,7 +249,7 @@ def dedup_components_banded(band: int):
             F.lit(None).cast("long").alias("component"),
         )
         return D._adopt_caches(
-            comp.unionByName(surv), reps, lsh_pairs, exact_pairs
+            comp.unionByName(surv), reps, lsh_pairs, exact_pairs, groups
         )
 
     return q

@@ -2284,7 +2284,6 @@ def dedup_components_corpus(spark: SparkSession, sf: str) -> DataFrame:
     recall being 1 (VERDICT r3 'what's wrong' #1). The production LSH
     plan still executes in full; a recall regression is caught by the
     minhash entry's invariant row + the pytest recall guard."""
-    from datalake_public_spark.driver_queries_adv import dedup_components
     from datalake_public_spark.operators import dedup as D
     from datalake_public_spark.operators.components import (
         connected_components,
@@ -2294,12 +2293,10 @@ def dedup_components_corpus(spark: SparkSession, sf: str) -> DataFrame:
     # at plan-build (localCheckpoint per round), so the sweep's re-run
     # protocol can't decompose this entry — the build times itself
     ENTRY_PHASES.pop("dedup_components", None)
-    with _timed_phase("dedup_components", "cc_exact_graph"):
-        comp = dedup_components(spark, sf).select(
-            F.lit("component").alias("op"), "doc_id", "component"
-        )
     docs = _t(spark, sf, "documents")
-    groups = D.exact_dedup(docs)
+    # groups feeds reps AND the component branch's doc→rep mapping —
+    # persist or the md5 groupBy re-scans the corpus per consumer
+    groups = D.exact_dedup(docs).persist()
     # reps feeds four consumers (both pair generators, the vertex set,
     # the final survivor semi-join) — persist or every branch rescans
     # the corpus and re-runs the exact-dedup shuffle
@@ -2309,10 +2306,10 @@ def dedup_components_corpus(spark: SparkSession, sf: str) -> DataFrame:
     with _timed_phase("dedup_components", "exact_prepass"):
         reps.count()
     lsh_pairs = D.minhash_lsh_pairs(reps, threshold=0.5)
-    # exact_pairs feeds TWO consumers (the union and the collision-guard
-    # semi-join below) — persist or the quadratic baseline recomputes
-    # per branch (measured +160s at the ×10 sweep; the multi-branch
-    # convention)
+    # exact_pairs feeds THREE consumers (the union, the collision-guard
+    # semi-join below, and the component branch's lift) — persist or the
+    # quadratic baseline recomputes per branch (measured +160s at the
+    # ×10 sweep; the multi-branch convention)
     exact_pairs = (
         D.ngram_jaccard_pairs(reps, threshold=0.5)
         .select("id_a", "id_b")
@@ -2320,6 +2317,29 @@ def dedup_components_corpus(spark: SparkSession, sf: str) -> DataFrame:
     )
     with _timed_phase("dedup_components", "ngram_pairs"):
         exact_pairs.count()
+    # component branch, dedup-first (round 10): the full-corpus pair
+    # graph lifts from the rep-level pairs already computed above
+    # (identical pair set — pinned; operators/dedup.py
+    # ngram_jaccard_pairs_via_reps), so the quadratic shingle self-join
+    # over the whole corpus disappears from this entry entirely
+    with _timed_phase("dedup_components", "cc_exact_graph"):
+        full_edges = D.ngram_jaccard_pairs_via_reps(
+            docs,
+            threshold=0.5,
+            groups=groups,
+            reps=reps,
+            rep_pairs=exact_pairs,
+        )
+        comp = connected_components(
+            full_edges,
+            src="id_a",
+            dst="id_b",
+            vertices=docs.select(F.col("doc_id").alias("node")),
+        ).select(
+            F.lit("component").alias("op"),
+            F.col("node").alias("doc_id"),
+            "component",
+        )
     # LSH edges are admitted only when the exact baseline agrees on the
     # id pair (left-semi): the LSH verify scores crc32-HASHED shingles,
     # so a collision could otherwise push a just-below-threshold pair
@@ -2352,7 +2372,7 @@ def dedup_components_corpus(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("long").alias("component"),
     )
     return D._adopt_caches(
-        comp.unionByName(surv), reps, lsh_pairs, exact_pairs
+        comp.unionByName(surv), reps, lsh_pairs, exact_pairs, groups
     )
 
 

@@ -167,6 +167,100 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_via_reps(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    band: int | None = None,
+    groups: DataFrame | None = None,
+    reps: DataFrame | None = None,
+    rep_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Same pair set as ``ngram_jaccard_pairs`` computed dedup-first:
+    exact-dedup the corpus, run the shingle kernel + inverted-index
+    self-join on the REPRESENTATIVES only, then lift the rep-level pair
+    graph back through the doc→rep mapping with two narrow hash joins.
+
+    Jaccard is a function of the TEXT pair, so for any two docs it
+    equals the Jaccard of their representatives' texts: cross-group doc
+    pairs qualify iff their rep pair does, and same-group doc pairs are
+    exact duplicates — Jaccard 1 — which qualify iff the shared text
+    has at least one shingle (the kernel emits no pair for shingle-less
+    texts, so sub-``n``-token duplicates must NOT lift to pairs).
+    Equality with the direct kernel is pinned in tests on a corpus with
+    exact-dup groups, shingle-less duplicates, and banding.
+
+    Scale: this is the shape a 100 TB near-dup pass takes — on a
+    replicated-crawl corpus the quadratic shingle self-join runs on the
+    unique texts (often 10-100× smaller), and the full-corpus work is
+    one md5 groupBy plus two hash joins whose output is the pair list
+    itself. ``band`` restriction joins as an equi-key (``a.bd = b.bd``
+    lands in the hash-join key), so banded pair generation never
+    materializes out-of-band pairs. Same content-equivalence contract
+    as ``exact_dedup`` (md5 grouping). ``groups``/``reps``/``rep_pairs``
+    let a caller that already computed them (the dedup_components
+    entries share all three with their survivor branch) skip the
+    recompute; when supplied they MUST match this function's defaults
+    (min-id reps, unbanded rep pairs at the same n/threshold). Output
+    columns ``(id_a, id_b, jaccard)``; ``jaccard`` is omitted when a
+    supplied ``rep_pairs`` has no jaccard column."""
+    check_band(band)
+    if groups is None:
+        groups = exact_dedup(docs, text_col, id_col)
+    mapping = docs.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash")
+    ).join(
+        groups.select("content_hash", F.col("keep_id").alias("rep")),
+        "content_hash",
+    ).select("id", "rep")
+    if reps is None:
+        reps = docs.join(
+            groups.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
+        )
+    if rep_pairs is None:
+        rep_pairs = ngram_jaccard_pairs(
+            reps, text_col, id_col, n=n, threshold=threshold
+        )
+    keep_jaccard = "jaccard" in rep_pairs.columns
+    jac_cols = (["jaccard"] if keep_jaccard else [])
+    sym = rep_pairs.select(
+        F.col("id_a").alias("ra"), F.col("id_b").alias("rb"), *jac_cols
+    ).unionByName(
+        rep_pairs.select(
+            F.col("id_b").alias("ra"), F.col("id_a").alias("rb"), *jac_cols
+        )
+    )
+    # identity edges: a rep pairs with its own duplicates iff its text
+    # shingles at all (Jaccard of identical shingled texts is exactly 1)
+    ident = (
+        reps.select(
+            F.col(id_col).alias("ra"),
+            F.size(_shingle_strings_kernel(n)(F.col(text_col))).alias("n_sh"),
+        )
+        .filter(F.col("n_sh") > 0)
+        .select("ra", F.col("ra").alias("rb"))
+    )
+    if keep_jaccard:
+        ident = ident.withColumn("jaccard", F.lit(1.0))
+    e_rep = sym.unionByName(ident)
+    ma = mapping.select(F.col("id").alias("id_a"), F.col("rep").alias("ra"))
+    mb = mapping.select(F.col("id").alias("id_b"), F.col("rep").alias("rb"))
+    join_b = ["rb"]
+    if band is not None:
+        ma = ma.withColumn("bd", F.expr(f"id_a DIV {int(band)}"))
+        mb = mb.withColumn("bd", F.expr(f"id_b DIV {int(band)}"))
+        join_b = ["rb", "bd"]
+    return (
+        ma.join(e_rep, "ra")
+        .join(mb, join_b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", *jac_cols)
+    )
+
+
 def contamination_check(
     corpus: DataFrame,
     benchmark: DataFrame,

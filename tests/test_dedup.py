@@ -969,3 +969,69 @@ WHERE round({cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.35
     ).fetchall()
     assert len(want) > 0
     assert got == want  # tuple equality on raw doubles — bit-level
+
+
+def _pair_rows(df):
+    cols = df.columns
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_via_reps_pairs_equal_direct_kernel(spark):
+    """``ngram_jaccard_pairs_via_reps`` must produce the exact pair set
+    (ids AND jaccard values) of the direct inverted-index kernel on a
+    hostile corpus: exact-dup groups with non-adjacent ids, shingle-less
+    (< n tokens) duplicates that must NOT pair, near-dups across groups,
+    and a disconnected doc — with and without banding."""
+    rows = [
+        (1, "the quick brown fox jumps"),
+        (2, "the quick brown fox jumps"),   # exact dup of 1
+        (7, "the quick brown fox jumps"),   # exact dup of 1, far id
+        (3, "the quick brown fox leaps"),   # near-dup of the group
+        (8, "the quick brown fox leaps"),   # exact dup of 3
+        (4, "xy"),                          # < n tokens: no shingles
+        (5, "xy"),                          # shingle-less exact dup: NO pair
+        (6, "completely different words here altogether"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for band in (None, 4):
+        want = _pair_rows(
+            dedup.ngram_jaccard_pairs(docs, threshold=0.5, band=band)
+        )
+        got = _pair_rows(
+            dedup.ngram_jaccard_pairs_via_reps(docs, threshold=0.5, band=band)
+        )
+        assert got == want, f"band={band}: {got} != {want}"
+        # the scenario is non-vacuous: pairs exist, and the shingle-less
+        # dup group contributes none
+        assert len(want) > 0
+        assert not any(a in (4, 5) or b in (4, 5) for a, b, _ in want)
+
+
+def test_via_reps_accepts_precomputed_frames(spark):
+    """The entries share groups/reps/rep_pairs with their survivor
+    branch — supplying them must yield the same pairs as recomputing,
+    and a rep_pairs without a jaccard column drops it from the output."""
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (9, "alpha beta gamma delta"),
+        (2, "alpha beta gamma epsilon"),
+        (3, "unrelated text entirely here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = dedup.exact_dedup(docs)
+    reps = docs.join(
+        groups.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    rep_pairs = dedup.ngram_jaccard_pairs(reps, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    got = dedup.ngram_jaccard_pairs_via_reps(
+        docs, threshold=0.5, groups=groups, reps=reps, rep_pairs=rep_pairs
+    )
+    assert got.columns == ["id_a", "id_b"]
+    want = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert {(r.id_a, r.id_b) for r in got.collect()} == want
+    assert len(want) > 0
