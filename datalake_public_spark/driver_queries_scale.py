@@ -63,10 +63,23 @@ def dedup_ngram_fuzzy_banded(band: int):
     def q(spark: SparkSession, sf: str) -> DataFrame:
         docs = _t(spark, sf, "documents")
         none_bool = F.lit(None).cast("boolean")
-        within_lo = D.ngram_jaccard_pairs(
+        # dedup-first (round 10): the banded pair set lifts from the
+        # exact-dedup representatives' pairs — same ids AND jaccard
+        # values as the direct kernel (operators/dedup.py
+        # ngram_jaccard_pairs_via_reps, pinned), with the quadratic
+        # shingle self-join running on unique texts only; the minhash
+        # fuzzy join below remains the entry's full-corpus LSH workout
+        from datalake_public_spark.driver_registry import (
+            ENTRY_PHASES,
+            _timed_phase,
+        )
+
+        ENTRY_PHASES.pop("dedup_ngram_jaccard", None)
+        within_lo = D.ngram_jaccard_pairs_via_reps(
             docs, threshold=0.45, band=band
         ).persist()
-        within_lo.count()
+        with _timed_phase("dedup_ngram_jaccard", "within_pairs"):
+            within_lo.count()
         within = within_lo.filter(F.col("jaccard") >= 0.5)
         w_rows = within.select(
             F.lit("within").alias("op"), "id_a", "id_b", "jaccard",
@@ -81,7 +94,8 @@ def dedup_ngram_fuzzy_banded(band: int):
             )
             .persist()
         )
-        fuzzy.count()
+        with _timed_phase("dedup_ngram_jaccard", "fuzzy_minhash"):
+            fuzzy.count()
 
         def _cross_parity(pairs):
             return pairs.filter(

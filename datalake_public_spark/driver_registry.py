@@ -3260,8 +3260,16 @@ def lake_suite(spark: SparkSession, sf: str) -> DataFrame:
         clone = t.clone_to(f"{root}/clone")
     shard_path = f"{root}/shards"
     with _timed_phase("lake_suite", "shards"):
+        # shard count = executor width: the shard contract is one
+        # internally-sorted file per shard, so the sort+write
+        # parallelism IS n_shards — 8 shards left 24 of 32 cores idle
+        # through the 15M-row ×100 write (round 10 phase map). The
+        # (count, checksum) oracle row is shard-count-independent.
         write_training_shards(
-            t.read(spark, 2), shard_path, n_shards=8, id_col="key"
+            t.read(spark, 2),
+            shard_path,
+            n_shards=int(spark.sparkContext.defaultParallelism),
+            id_col="key",
         )
         shards_back = read_training_shards(spark, shard_path, verify=True)
 

@@ -208,8 +208,18 @@ def ngram_jaccard_pairs_via_reps(
     columns ``(id_a, id_b, jaccard)``; ``jaccard`` is omitted when a
     supplied ``rep_pairs`` has no jaccard column."""
     check_band(band)
+    # self-computed frames persist before multi-branch reuse (the file
+    # convention): groups feeds the mapping AND the rep semi-join, reps
+    # feeds the pair kernel AND the identity-edge kernel, rep_pairs
+    # feeds both directions of the symmetric union — unpersisted, each
+    # consumer re-runs the corpus scan / md5 shuffle (measured ~3× the
+    # lift's cost at the ×100 rung). Caller-supplied frames are left to
+    # the caller's cache discipline; self-computed ones are adopted on
+    # the output for ``release_caches``.
+    own: list[DataFrame] = []
     if groups is None:
-        groups = exact_dedup(docs, text_col, id_col)
+        groups = exact_dedup(docs, text_col, id_col).persist()
+        own.append(groups)
     mapping = docs.select(
         F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash")
     ).join(
@@ -219,11 +229,13 @@ def ngram_jaccard_pairs_via_reps(
     if reps is None:
         reps = docs.join(
             groups.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
-        )
+        ).persist()
+        own.append(reps)
     if rep_pairs is None:
         rep_pairs = ngram_jaccard_pairs(
             reps, text_col, id_col, n=n, threshold=threshold
-        )
+        ).persist()
+        own.append(rep_pairs)
     keep_jaccard = "jaccard" in rep_pairs.columns
     jac_cols = (["jaccard"] if keep_jaccard else [])
     sym = rep_pairs.select(
@@ -253,11 +265,12 @@ def ngram_jaccard_pairs_via_reps(
         ma = ma.withColumn("bd", F.expr(f"id_a DIV {int(band)}"))
         mb = mb.withColumn("bd", F.expr(f"id_b DIV {int(band)}"))
         join_b = ["rb", "bd"]
-    return (
+    return _adopt_caches(
         ma.join(e_rep, "ra")
         .join(mb, join_b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", *jac_cols)
+        .select("id_a", "id_b", *jac_cols),
+        *own,
     )
 
 
