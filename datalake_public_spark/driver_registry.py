@@ -1843,8 +1843,16 @@ def vocab_familiarity(spark: SparkSession, sf: str) -> DataFrame:
     # and silently rewrites its physical plan (observed breaking the
     # vocab plan-shape test); the bm25 persists below are safe — their
     # plans embed the per-process index root.
+    # inline phases (round 10): only the EAGER pieces are decomposable —
+    # the api vocab collect here and the bm25 index build below; the
+    # familiarity / sql-surface / scoring branches run inside the
+    # entry's one final action (headline minus phases)
+    ENTRY_PHASES.pop("vocab_top_tokens", None)
     api_df = vocab_top_tokens(spark, sf)
-    api_vocab_local = spark.createDataFrame(api_df.collect(), api_df.schema)
+    with _timed_phase("vocab_top_tokens", "api_vocab_collect"):
+        api_vocab_local = spark.createDataFrame(
+            api_df.collect(), api_df.schema
+        )
     vocab = api_vocab_local.select(
         F.lit("vocab").alias("op"),
         F.col("token").alias("key"),
@@ -1917,7 +1925,8 @@ def vocab_familiarity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     qdf = spark.createDataFrame(list(DRIVER_QUERIES), "query_id int, qtext string")
-    idx_root = _bm25_index_root(spark, sf)
+    with _timed_phase("vocab_top_tokens", "bm25_index_build"):
+        idx_root = _bm25_index_root(spark, sf)
     tf_ckpt = spark.read.parquet(f"{idx_root}/tf").drop("batch", "bucket")
     # the 40-ROW results persist lazily (not collected): both scoring
     # paths and the exceptAll legs then materialize inside the entry's
