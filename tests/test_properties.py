@@ -299,3 +299,36 @@ def test_bm25_matches_independent_reference(spark, docs, qidx):
         r.doc_id: r.score for r in bm25_topk(sdf, q, k=len(docs) + 1).collect()
     }
     assert got == _bm25_reference(docs, qidx)
+
+
+# duplicate-heavy corpora from a tiny vocabulary: exact-dup groups form
+# naturally (small sample space), near-dups are common, and short texts
+# (< n tokens → shingle-less) appear — the hostile surface for the
+# dedup-first lift
+DUP_DOCS = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=0, max_size=6).map(" ".join),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(docs=DUP_DOCS, band=st.sampled_from([None, 3, 7]))
+@SET
+def test_via_reps_equals_direct_kernel_property(spark, docs, band):
+    """`ngram_jaccard_pairs_via_reps` must reproduce the direct
+    inverted-index kernel's EXACT (id_a, id_b, jaccard) set on ANY
+    corpus and banding — the lift is load-bearing for three driver
+    entries (round 10), so the crafted-corpus pin gets a generative
+    twin. Non-sequential ids exercise group membership that does not
+    follow id order."""
+    from datalake_public_spark.operators import dedup as D
+
+    rows = [(i * 3 + 1, t) for i, t in enumerate(docs)]  # sparse ids
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    direct = D.ngram_jaccard_pairs(df, threshold=0.5, band=band)
+    want = {(r.id_a, r.id_b, r.jaccard) for r in direct.collect()}
+    D.release_caches(direct)
+    lifted = D.ngram_jaccard_pairs_via_reps(df, threshold=0.5, band=band)
+    got = {(r.id_a, r.id_b, r.jaccard) for r in lifted.collect()}
+    D.release_caches(lifted)
+    assert got == want
