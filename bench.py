@@ -176,10 +176,27 @@ def main() -> None:
             return extra[name](spark, sf_dir)
         return registry[name].spark(spark, sf_dir)
 
+    # host-speed calibration (round 11 — VERDICT r10 item 1): fixed
+    # code-stable probes before and after the timed reps, published as
+    # `canary` so a cross-round total delta can be read against the
+    # measured host ratio (r10's host drifted 10-25% with steal at 0%
+    # and every row inflated — incl. the pure-scan q1, +81%)
+    from tools.host_canary import host_canary
+
+    canary: dict[str, dict] = {}
+    try:
+        canary["start"] = host_canary(spark)
+    except Exception as e:
+        canary["start"] = {"err": str(e)[:200]}
+
     samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
     for _rep in range(reps):
         for name in HEADLINE:
             samples[name].append(run_noop(build(name)))
+    try:
+        canary["end"] = host_canary(spark)
+    except Exception as e:
+        canary["end"] = {"err": str(e)[:200]}
     timings = {n: round(min(ts), 3) for n, ts in samples.items()}
     # band columns (round-6, VERDICT r5 item 8): the r5 band study
     # measured 11-38% per-query spread on idle runs of this box, so a
@@ -254,6 +271,7 @@ def main() -> None:
                 "extensions": {
                     n: t for n, t in timings.items() if n in EXTENSIONS
                 },
+                "canary": canary,
             }
         )
     )

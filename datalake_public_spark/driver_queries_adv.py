@@ -169,18 +169,23 @@ def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     from datalake_public_spark.operators.components import connected_components
     from datalake_public_spark.operators.dedup import (
         ngram_jaccard_pairs_via_reps,
+        release_caches,
     )
 
     docs = _t(spark, sf, "documents")
-    edges = ngram_jaccard_pairs_via_reps(docs, threshold=0.5).select(
-        "id_a", "id_b"
-    )
+    # no .select here: it would detach _graft_caches and orphan the
+    # three frames the lift persisted (ADVICE r10); connected_components
+    # reads only id_a/id_b regardless of extra columns
+    edges = ngram_jaccard_pairs_via_reps(docs, threshold=0.5)
     labels = connected_components(
         edges,
         src="id_a",
         dst="id_b",
         vertices=docs.select(F.col("doc_id").alias("node")),
     )
+    # connected_components is eager (checkpointed rounds) and returns a
+    # re-checkpointed frame, so the lift's internal persists are done
+    release_caches(edges)
     return labels.select(F.col("node").alias("doc_id"), "component")
 
 

@@ -295,7 +295,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.simhash_clusters(_t(spark, sf, "documents"), max_hamming=3)
+    """SimHash near-dup pairs, dedup-first (round 11): the half-key
+    blocking + Hamming kernel runs on exact-dedup representatives only
+    and the pair graph lifts through the doc→rep mapping — identical
+    pair set (pinned in tests/test_dedup.py). The minhash fuzzy-join
+    entry keeps its kernel full-corpus, so at-scale kernel exercise is
+    preserved per kernel family."""
+    return dedup.simhash_clusters_via_reps(
+        _t(spark, sf, "documents"), max_hamming=3
+    )
 
 
 def simhash_pairs_sql(band: int | None = None) -> str:

@@ -36,7 +36,9 @@ from datalake_public_spark.operators import dedup as D
 
 def dedup_simhash_banded(band: int):
     def q(spark: SparkSession, sf: str) -> DataFrame:
-        return D.simhash_clusters(
+        # dedup-first lift (round 11), banding at lift time as a doc-id
+        # equi-key — same pair set as the direct banded kernel (pinned)
+        return D.simhash_clusters_via_reps(
             _t(spark, sf, "documents"), max_hamming=3, band=band
         )
 
@@ -206,6 +208,10 @@ def dedup_components_banded(band: int):
         with _timed_phase("dedup_components", "exact_prepass"):
             reps.count()
         lsh_pairs = D.minhash_lsh_pairs(reps, threshold=0.5)
+        # rep_pairs for the lift MUST be UNBANDED (the band applies to
+        # DOC ids at lift time, not rep ids — via_reps validates the
+        # column shape and documents this contract); the band kwarg
+        # below is the only banding in this entry
         exact_pairs = (
             D.ngram_jaccard_pairs(reps, threshold=0.5)
             .select("id_a", "id_b")

@@ -87,6 +87,67 @@ def check_band(band: int | None) -> int | None:
     return band
 
 
+def _rep_lift_inputs(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    groups: DataFrame | None,
+    reps: DataFrame | None,
+    own: list[DataFrame],
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The exact-dedup groups, representative docs, and doc→rep mapping
+    every dedup-first pair lift shares (Jaccard, simhash). Self-computed
+    frames persist before multi-branch reuse (groups feeds the mapping
+    AND the rep semi-join; reps feeds the pair kernel AND the
+    identity-edge source — unpersisted, each consumer re-runs the corpus
+    scan / md5 shuffle, measured ~3× the lift's cost at ×100) and are
+    appended to ``own`` for cache adoption; caller-supplied frames are
+    left to the caller's cache discipline."""
+    if groups is None:
+        groups = exact_dedup(docs, text_col, id_col).persist()
+        own.append(groups)
+    mapping = docs.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash")
+    ).join(
+        groups.select("content_hash", F.col("keep_id").alias("rep")),
+        "content_hash",
+    ).select("id", "rep")
+    if reps is None:
+        reps = docs.join(
+            groups.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
+        ).persist()
+        own.append(reps)
+    return groups, reps, mapping
+
+
+def _lift_rep_pairs(
+    mapping: DataFrame,
+    e_rep: DataFrame,
+    value_cols: list[str],
+    band: int | None,
+) -> DataFrame:
+    """Lift a symmetric rep-level edge list ``(ra, rb, *value_cols)`` to
+    the full-corpus doc pair set through the doc→rep ``mapping`` — two
+    narrow hash joins whose output IS the pair list. ``band`` (doc-id
+    DIV band) joins as an equi-key, so banded lifting never materializes
+    out-of-band pairs. Each doc maps to exactly one rep and ``e_rep``
+    holds each rep edge once per direction, so ``id_a < id_b`` keeps
+    exactly one row per doc pair — no distinct needed."""
+    ma = mapping.select(F.col("id").alias("id_a"), F.col("rep").alias("ra"))
+    mb = mapping.select(F.col("id").alias("id_b"), F.col("rep").alias("rb"))
+    join_b = ["rb"]
+    if band is not None:
+        ma = ma.withColumn("bd", F.expr(f"id_a DIV {int(band)}"))
+        mb = mb.withColumn("bd", F.expr(f"id_b DIV {int(band)}"))
+        join_b = ["rb", "bd"]
+    return (
+        ma.join(e_rep, "ra")
+        .join(mb, join_b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", *value_cols)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -204,33 +265,29 @@ def ngram_jaccard_pairs_via_reps(
     let a caller that already computed them (the dedup_components
     entries share all three with their survivor branch) skip the
     recompute; when supplied they MUST match this function's defaults
-    (min-id reps, unbanded rep pairs at the same n/threshold). Output
-    columns ``(id_a, id_b, jaccard)``; ``jaccard`` is omitted when a
-    supplied ``rep_pairs`` has no jaccard column."""
+    (min-id reps, UNBANDED rep pairs at the same n/threshold — banding
+    is applied here at lift time, so a pre-banded ``rep_pairs`` would
+    silently drop cross-group pairs whose DOC ids share a band even
+    though their REP ids don't). The column guard below catches the
+    most likely misuse shape (a banded generator's extra column or a
+    renamed pair frame); the n/threshold/unbanded contract itself is
+    not recomputable from the frame and stays a documented requirement.
+    Output columns ``(id_a, id_b, jaccard)``; ``jaccard`` is omitted
+    when a supplied ``rep_pairs`` has no jaccard column."""
     check_band(band)
-    # self-computed frames persist before multi-branch reuse (the file
-    # convention): groups feeds the mapping AND the rep semi-join, reps
-    # feeds the pair kernel AND the identity-edge kernel, rep_pairs
-    # feeds both directions of the symmetric union — unpersisted, each
-    # consumer re-runs the corpus scan / md5 shuffle (measured ~3× the
-    # lift's cost at the ×100 rung). Caller-supplied frames are left to
-    # the caller's cache discipline; self-computed ones are adopted on
-    # the output for ``release_caches``.
+    if rep_pairs is not None and list(rep_pairs.columns) not in (
+        ["id_a", "id_b"],
+        ["id_a", "id_b", "jaccard"],
+    ):
+        raise ValueError(
+            "caller-supplied rep_pairs must have columns exactly "
+            "(id_a, id_b[, jaccard]) and be generated UNBANDED at the "
+            f"same n/threshold; got {rep_pairs.columns}"
+        )
     own: list[DataFrame] = []
-    if groups is None:
-        groups = exact_dedup(docs, text_col, id_col).persist()
-        own.append(groups)
-    mapping = docs.select(
-        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash")
-    ).join(
-        groups.select("content_hash", F.col("keep_id").alias("rep")),
-        "content_hash",
-    ).select("id", "rep")
-    if reps is None:
-        reps = docs.join(
-            groups.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
-        ).persist()
-        own.append(reps)
+    groups, reps, mapping = _rep_lift_inputs(
+        docs, text_col, id_col, groups, reps, own
+    )
     if rep_pairs is None:
         rep_pairs = ngram_jaccard_pairs(
             reps, text_col, id_col, n=n, threshold=threshold
@@ -258,20 +315,7 @@ def ngram_jaccard_pairs_via_reps(
     if keep_jaccard:
         ident = ident.withColumn("jaccard", F.lit(1.0))
     e_rep = sym.unionByName(ident)
-    ma = mapping.select(F.col("id").alias("id_a"), F.col("rep").alias("ra"))
-    mb = mapping.select(F.col("id").alias("id_b"), F.col("rep").alias("rb"))
-    join_b = ["rb"]
-    if band is not None:
-        ma = ma.withColumn("bd", F.expr(f"id_a DIV {int(band)}"))
-        mb = mb.withColumn("bd", F.expr(f"id_b DIV {int(band)}"))
-        join_b = ["rb", "bd"]
-    return _adopt_caches(
-        ma.join(e_rep, "ra")
-        .join(mb, join_b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", *jac_cols),
-        *own,
-    )
+    return _adopt_caches(_lift_rep_pairs(mapping, e_rep, jac_cols, band), *own)
 
 
 def contamination_check(
@@ -871,6 +915,75 @@ def simhash_clusters(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def simhash_clusters_via_reps(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+    band: int | None = None,
+    groups: DataFrame | None = None,
+    reps: DataFrame | None = None,
+    rep_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Same pair set as ``simhash_clusters`` computed dedup-first — the
+    round-10 pair-graph lift (see ``ngram_jaccard_pairs_via_reps``)
+    applied to the simhash kernel: exact-dedup the corpus, run the
+    half-key blocking + Hamming verification on the REPRESENTATIVES
+    only, lift the rep pair graph through the doc→rep mapping.
+
+    Simhash is a function of the TEXT, so a doc pair's fingerprints —
+    hence half keys AND Hamming distance — equal its representatives':
+    candidate-generation equivalence is exact, not just verification.
+    Unlike the Jaccard lift there is NO shingle-less exclusion: two
+    identical texts always share a fingerprint, collide on both 16-bit
+    half keys, and verify at Hamming 0 ≤ max_hamming, so same-group
+    (exact-duplicate) pairs lift UNconditionally with ``hamming = 0``.
+    Equality with the direct kernel is pinned in tests on a corpus with
+    exact-dup groups and banding on/off.
+
+    Scale: same shape as the Jaccard lift — the quadratic half-key
+    self-join shrinks by the corpus duplication factor; full-corpus work
+    is one md5 groupBy plus two output-sized hash joins. ``band`` (doc-id
+    DIV band) joins as an equi-key at lift time. Caller-supplied frames
+    MUST match this function's defaults (min-id reps, UNBANDED rep pairs
+    at the same max_hamming)."""
+    check_band(band)
+    if rep_pairs is not None and list(rep_pairs.columns) != [
+        "id_a",
+        "id_b",
+        "hamming",
+    ]:
+        raise ValueError(
+            "caller-supplied rep_pairs must have columns exactly "
+            "(id_a, id_b, hamming) and be generated UNBANDED at the "
+            f"same max_hamming; got {rep_pairs.columns}"
+        )
+    own: list[DataFrame] = []
+    groups, reps, mapping = _rep_lift_inputs(
+        docs, text_col, id_col, groups, reps, own
+    )
+    if rep_pairs is None:
+        rep_pairs = simhash_clusters(
+            reps, text_col, id_col, max_hamming=max_hamming
+        ).persist()
+        own.append(rep_pairs)
+    sym = rep_pairs.select(
+        F.col("id_a").alias("ra"), F.col("id_b").alias("rb"), "hamming"
+    ).unionByName(
+        rep_pairs.select(
+            F.col("id_b").alias("ra"), F.col("id_a").alias("rb"), "hamming"
+        )
+    )
+    ident = reps.select(
+        F.col(id_col).alias("ra"),
+        F.col(id_col).alias("rb"),
+        F.lit(0).alias("hamming"),
+    )
+    e_rep = sym.unionByName(ident)
+    return _adopt_caches(_lift_rep_pairs(mapping, e_rep, ["hamming"], band), *own)
 
 
 def embedding_neardup_pairs(

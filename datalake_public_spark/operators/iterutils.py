@@ -42,11 +42,15 @@ def release_local_checkpoint(df: DataFrame) -> None:
 
     The frame need not BE the checkpoint node: callers legitimately hand
     back thin wrappers over one (``checkpointed.select(...)`` plans as a
-    ``Project`` over the ``LogicalRDD``), so resolution walks down
-    single-child wrapper nodes until it reaches the ``LogicalRDD``. A
-    node with zero or multiple children before a ``LogicalRDD`` is found
-    means the frame does not sit on exactly one checkpoint — that is
-    counted as a resolution failure, same as API drift."""
+    ``Project`` over the ``LogicalRDD``), so resolution walks down a
+    WHITELIST of thin wrapper nodes (Project / SubqueryAlias / Filter)
+    until it reaches the ``LogicalRDD``. Any other node — including
+    single-child but non-thin nodes like Aggregate, Sort, or Window,
+    whose result is a *derived* frame that may still share the
+    checkpoint with other consumers — counts as a resolution failure,
+    same as API drift. Releasing through a derived frame would
+    unpersist a block other plans still need, and localCheckpoint
+    blocks are not recomputable."""
     global release_failures, _warned
     try:
         rdd = _resolve_checkpoint_rdd(df._jdf.queryExecution().logical())
@@ -65,17 +69,29 @@ def release_local_checkpoint(df: DataFrame) -> None:
             raise
 
 
+# Thin wrappers a checkpoint release may walk through: these reshape or
+# restrict the SAME rows the LogicalRDD holds and are what
+# `checkpointed.select/filter/alias(...)` plan as. Aggregate / Sort /
+# Window / Generate etc. produce DERIVED frames and are deliberately
+# excluded — releasing through one could free a block other consumers
+# of the underlying checkpoint still reference.
+_RELEASE_WRAPPER_NODES = frozenset({"Project", "SubqueryAlias", "Filter"})
+
+
 def _resolve_checkpoint_rdd(jplan):
-    """Walk a JVM logical plan down single-child wrapper nodes
-    (Project, SubqueryAlias, Filter, …) to the ``LogicalRDD`` a
+    """Walk a JVM logical plan down whitelisted thin wrapper nodes
+    (Project, SubqueryAlias, Filter) to the ``LogicalRDD`` a
     localCheckpoint materialized, and return its RDD — or ``None`` if
-    the walk hits a leaf/multi-child node first (no unambiguous
-    checkpoint to free). Depth-capped defensively; real wrapper chains
-    here are 1–2 nodes."""
+    the walk hits any other node first (no unambiguous checkpoint to
+    free). Depth-capped defensively; real wrapper chains here are 1–2
+    nodes."""
     node = jplan
     for _ in range(16):
-        if node.getClass().getSimpleName() == "LogicalRDD":
+        name = node.getClass().getSimpleName()
+        if name == "LogicalRDD":
             return node.rdd()
+        if name not in _RELEASE_WRAPPER_NODES:
+            return None
         children = node.children()
         if children.size() != 1:
             return None

@@ -97,7 +97,15 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     as the Expand shape paid. Per branch only that column's map-side
     distinct values shuffle. For 100 TB profiling swap
     ``F.countDistinct`` for ``F.approx_count_distinct`` — the branch
-    shuffle drops to one sketch per task."""
+    shuffle drops to one sketch per task.
+
+    Behavior change (round 10, kept intentionally): ``columns=[]`` now
+    raises ``ValueError``. Before round 10 an empty list was falsy and
+    fell through to profiling ALL columns (``columns or df.columns``);
+    an explicit empty selection is treated as caller error rather than
+    a silent profile-everything, because the all-columns scan is the
+    expensive path. Pass ``columns=None`` (the default) to profile all
+    columns."""
     from functools import reduce
 
     from pyspark.sql import functions as F

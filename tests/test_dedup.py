@@ -1035,3 +1035,53 @@ def test_via_reps_accepts_precomputed_frames(spark):
     }
     assert {(r.id_a, r.id_b) for r in got.collect()} == want
     assert len(want) > 0
+
+
+def test_via_reps_rejects_malformed_rep_pairs(spark):
+    """ADVICE r10: a caller-supplied rep_pairs with the wrong column
+    shape (a banded generator's extra column, a renamed frame) must fail
+    loudly instead of silently producing a wrong pair set."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    bad = spark.createDataFrame(
+        [(1, 2, 0)], "id_a long, id_b long, bd long"
+    )
+    with pytest.raises(ValueError, match="rep_pairs"):
+        dedup.ngram_jaccard_pairs_via_reps(docs, rep_pairs=bad)
+    with pytest.raises(ValueError, match="rep_pairs"):
+        dedup.simhash_clusters_via_reps(docs, rep_pairs=bad)
+
+
+def test_simhash_via_reps_pairs_equal_direct_kernel(spark):
+    """``simhash_clusters_via_reps`` must produce the exact
+    (id_a, id_b, hamming) set of the direct half-key kernel on a hostile
+    corpus: exact-dup groups with non-adjacent ids (which lift
+    UNconditionally at hamming 0 — no shingle-gate here, unlike the
+    Jaccard lift), short texts, near-dups, and a loner — with and
+    without banding."""
+    rows = [
+        (1, "the quick brown fox jumps"),
+        (2, "the quick brown fox jumps"),   # exact dup of 1
+        (7, "the quick brown fox jumps"),   # exact dup of 1, far id
+        (3, "the quick brown fox leaps"),   # near text (may or may not pair)
+        (8, "the quick brown fox leaps"),   # exact dup of 3
+        (4, "xy"),                          # short text
+        (5, "xy"),                          # short exact dup: MUST pair (h=0)
+        (6, "completely different words here altogether"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for band in (None, 4):
+        want = _pair_rows(dedup.simhash_clusters(docs, max_hamming=3, band=band))
+        got = _pair_rows(
+            dedup.simhash_clusters_via_reps(docs, max_hamming=3, band=band)
+        )
+        assert got == want, f"band={band}: {got} != {want}"
+        assert len(want) > 0
+    # non-vacuity: the short exact-dup group DOES pair under simhash
+    # (the contract divergence from the Jaccard lift's shingle gate)
+    unbanded = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_clusters_via_reps(docs, max_hamming=3).collect()
+    }
+    assert (4, 5) in unbanded

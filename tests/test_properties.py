@@ -332,3 +332,24 @@ def test_via_reps_equals_direct_kernel_property(spark, docs, band):
     got = {(r.id_a, r.id_b, r.jaccard) for r in lifted.collect()}
     D.release_caches(lifted)
     assert got == want
+
+
+@given(docs=DUP_DOCS, band=st.sampled_from([None, 3, 7]))
+@SET
+def test_simhash_via_reps_equals_direct_kernel_property(spark, docs, band):
+    """`simhash_clusters_via_reps` must reproduce the direct half-key
+    blocking + Hamming kernel's EXACT (id_a, id_b, hamming) set on ANY
+    corpus and banding (round 11 — the simhash twin of the Jaccard lift
+    pin above). The tiny vocabulary makes exact-dup groups — whose pairs
+    lift UNconditionally at hamming 0, unlike the Jaccard lift's
+    shingle-gate — the dominant case."""
+    from datalake_public_spark.operators import dedup as D
+
+    rows = [(i * 3 + 1, t) for i, t in enumerate(docs)]  # sparse ids
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    direct = D.simhash_clusters(df, max_hamming=3, band=band)
+    want = {(r.id_a, r.id_b, r.hamming) for r in direct.collect()}
+    lifted = D.simhash_clusters_via_reps(df, max_hamming=3, band=band)
+    got = {(r.id_a, r.id_b, r.hamming) for r in lifted.collect()}
+    D.release_caches(lifted)
+    assert got == want

@@ -523,3 +523,15 @@ def test_derived_sub_blocks_reproduces_established_rungs():
     assert at(2_000) == 1          # tiny corpus: full within-label pairs
     # missing/unreadable fixture falls back to the historical default
     assert scale_sweep.derived_sub_blocks("/nonexistent_dir_xyz") == 16
+
+
+def test_host_canary_shape_and_sanity(spark):
+    """The calibration canary (round 11 — VERDICT r10 item 1) must
+    return both probe timings as positive floats. The probe CODE is
+    frozen (a changed canary can't calibrate across rounds) — this pin
+    is shape-only by design so legitimate host speed never fails CI."""
+    from tools.host_canary import host_canary
+
+    c = host_canary(spark)
+    assert set(c) == {"codegen_s", "shuffle_s"}
+    assert all(isinstance(v, float) and v > 0 for v in c.values())

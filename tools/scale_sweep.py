@@ -37,6 +37,13 @@ toArrow collect), ``oracle_s`` (DuckDB execute + fetch), ``compare_s``
 (Arrow/pandas canonicalize + multiset equality) — so a super-linear
 total decomposes into engine vs evidence-harness cost instead of being
 read as an engine scale problem.
+
+Since round 11 the artifact carries a ``canary`` block: the fixed
+host-speed probes of tools/host_canary.py timed at sweep start / middle
+/ end (``--only`` merges add ``only_*`` keys instead of overwriting the
+full run's calibration). Read unbanded round-over-round deltas against
+the canary ratio before calling them regressions — round 10's host
+drifted 10-25% mid-session with steal at 0%.
 """
 
 from __future__ import annotations
@@ -532,11 +539,30 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     prior_wall = 0.0
+    canary: dict[str, dict] = {}
     if only is not None and os.path.exists(out_path):
         prior = json.load(open(out_path))
         results = prior.get("results", {})
         prior_wall = prior.get("wall_s", 0.0)
+        # an --only merge keeps the full run's canary and adds its own
+        # calls under merge-prefixed keys, so partial-run host state
+        # never silently replaces the full run's calibration
+        canary = prior.get("canary", {})
     t_start = time.time()
+
+    # host-speed calibration (VERDICT r10 item 1): fixed code-stable
+    # probes at sweep start / middle / end, published in the JSON, so
+    # cross-round deltas on unbanded entries can be read against the
+    # measured host ratio instead of an assumed-stable box
+    from tools.host_canary import host_canary
+
+    def run_canary(label: str) -> None:
+        key = label if only is None else f"only_{label}"
+        try:
+            canary[key] = host_canary(spark)
+            print(f"canary[{key}] {canary[key]}", flush=True)
+        except Exception as e:  # calibration must never fail the sweep
+            canary[key] = {"err": str(e)[:200]}
 
     def flush() -> None:
         verdicts = [r["verdict"] for r in results.values()]
@@ -547,6 +573,7 @@ def main() -> None:
             "float_tolerant": verdicts.count("float_tolerant"),
             "fail": verdicts.count("fail"),
             "wall_s": round(prior_wall + time.time() - t_start, 1),
+            "canary": canary,
             "results": results,
         }
         with open(out_path, "w") as f:
@@ -758,9 +785,12 @@ def main() -> None:
         maybe_phase_split(name)
         maybe_band(name)
 
-    for name, spec in FINAL_REGISTRY.items():
-        if only is not None and name not in only:
-            continue
+    todo = [n for n in FINAL_REGISTRY if only is None or n in only]
+    run_canary("start")
+    for idx, name in enumerate(todo):
+        spec = FINAL_REGISTRY[name]
+        if idx == (len(todo) + 1) // 2 and len(todo) > 2:
+            run_canary("mid")
         print(f"-> {name}", flush=True)
         t0 = time.time()
         spark_fn, oracle_sql = spec.spark, spec.oracle
@@ -853,6 +883,7 @@ def main() -> None:
         except Exception:
             pass
 
+    run_canary("end")
     flush()
     print(
         json.dumps(
