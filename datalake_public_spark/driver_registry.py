@@ -1843,10 +1843,15 @@ def vocab_familiarity(spark: SparkSession, sf: str) -> DataFrame:
     # and silently rewrites its physical plan (observed breaking the
     # vocab plan-shape test); the bm25 persists below are safe — their
     # plans embed the per-process index root.
-    # inline phases (round 10): only the EAGER pieces are decomposable —
-    # the api vocab collect here and the bm25 index build below; the
-    # familiarity / sql-surface / scoring branches run inside the
-    # entry's one final action (headline minus phases)
+    # inline phases (round 10, extended round 11 — VERDICT r10 item 3:
+    # the ~29 s lazy remainder was the largest unmapped surface at ×100).
+    # Every branch now materializes inside its own timed phase
+    # (persist + count), so op_spark_s covers ~all of the entry's time;
+    # the final action reads persisted branches. Price: the branches no
+    # longer overlap inside one action (measured ~3 s at ×10 in r8) —
+    # accepted for localization, decision note in NOTES_r11. The
+    # persists are bounded by the entry memo (one set per session+sf),
+    # same discipline as the bm25 pair below.
     ENTRY_PHASES.pop("vocab_top_tokens", None)
     api_df = vocab_top_tokens(spark, sf)
     with _timed_phase("vocab_top_tokens", "api_vocab_collect"):
@@ -1868,7 +1873,9 @@ def vocab_familiarity(spark: SparkSession, sf: str) -> DataFrame:
         "n_oov",
         "oov_frac",
         "familiarity",
-    )
+    ).persist()
+    with _timed_phase("vocab_top_tokens", "familiarity"):
+        fam.count()
     # round-6 (VERDICT r5 item 6): the pure-SQL consumption surface
     # (plans/sql_surface.py — the reference-shaped model; its users
     # speak dbt/Athena SQL) gets driver evidence. The same vocab query
@@ -1901,7 +1908,14 @@ def vocab_familiarity(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("int").alias("n_oov"),
         F.lit(None).cast("double").alias("oov_frac"),
         F.lit(None).cast("double").alias("familiarity"),
-    )
+    ).persist()
+    # this phase IS the deliberate recompute: the view path must build
+    # the vocab from the raw table through spark.sql exactly as a
+    # dbt/Athena-style user would — sharing the api path's tokenized
+    # input would make the API ≡ SQL-surface check compare a plan to
+    # itself (round-11 decision; VERDICT r10 item 3)
+    with _timed_phase("vocab_top_tokens", "sql_surface_view"):
+        surface.count()
     # round 7: BM25 top-k retrieval (operators/retrieval.py) — exact
     # integer scoring (log-free probabilistic idf), so scores AND ranks
     # are oracle-pinned bit-for-bit; key packs query|doc, n = fixed-point
@@ -1928,12 +1942,12 @@ def vocab_familiarity(spark: SparkSession, sf: str) -> DataFrame:
     with _timed_phase("vocab_top_tokens", "bm25_index_build"):
         idx_root = _bm25_index_root(spark, sf)
     tf_ckpt = spark.read.parquet(f"{idx_root}/tf").drop("batch", "bucket")
-    # the 40-ROW results persist lazily (not collected): both scoring
-    # paths and the exceptAll legs then materialize inside the entry's
-    # single final action, where their independent stages OVERLAP across
-    # cores — eager sequential collects measured ~3 s slower at ×10. The
-    # entry memo above bounds the persists to one pair per (session, sf)
-    # (ADVICE r7's leak was per-call persists + per-call index rebuilds).
+    # the 40-ROW results persist here and materialize inside the
+    # bm25_dual_scoring phase below (round 11: phased localization beats
+    # the ~3 s of cross-branch stage overlap one big final action bought
+    # — VERDICT r10 item 3). The entry memo above bounds the persists to
+    # one set per (session, sf) (ADVICE r7's leak was per-call persists
+    # + per-call index rebuilds).
     bm25_inline = bm25_score_tf(tf_ckpt, qdf, k=10).persist()
     bm25 = bm25_inline.select(
         F.lit("bm25").alias("op"),
@@ -1961,7 +1975,9 @@ def vocab_familiarity(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("int").alias("n_oov"),
         F.lit(None).cast("double").alias("oov_frac"),
         F.lit(None).cast("double").alias("familiarity"),
-    )
+    ).persist()
+    with _timed_phase("vocab_top_tokens", "bm25_dual_scoring"):
+        pre_row.count()  # materializes both scorings + the exceptAll legs
     return (
         vocab.unionByName(fam)
         .unionByName(surface)

@@ -43,11 +43,13 @@ def host_canary(spark) -> dict[str, float]:
     """Time the two fixed probes on ``spark`` and return
     ``{"codegen_s": ..., "shuffle_s": ...}`` (seconds, 2 decimals).
 
-    Each probe runs TWICE and reports the MIN: the first execution of a
-    probe in a fresh JVM pays codegen/JIT compilation (measured 4.1 s
-    vs 0.14 s steady-state for the codegen probe), and the canary must
-    measure HOST speed, not JVM warm-up state — min-of-2 is the
-    steady-state number at every call position."""
+    Each probe runs once UNTIMED (warm-up), then twice timed, reporting
+    the MIN of the timed runs: the first executions of a probe in a
+    fresh JVM pay codegen + C2 JIT compilation (measured 4.1 s cold,
+    0.6 s after one rep, 0.11-0.14 s steady-state for the codegen
+    probe), and the canary must measure HOST speed, not JVM warm-up
+    state — otherwise the sweep-start call reads as a slow host by
+    construction."""
 
     def _codegen():
         spark.range(100_000_000).selectExpr("sum(id * 2 + 1)").collect()
@@ -62,7 +64,21 @@ def host_canary(spark) -> dict[str, float]:
             .collect()
         )
 
-    def _min2(fn) -> float:
+    def _steady(fn) -> float:
+        # adaptive warm-up: run untimed until two consecutive runs agree
+        # within 15% (C2 tiered compilation keeps shaving the first few
+        # runs: 4.1 → 0.6 → 0.23 → 0.12 s measured), capped at 5 runs so
+        # a genuinely noisy host can't stall the sweep; then time 2 runs
+        # and report the min — the steady-state number at every call
+        # position, start included.
+        prev = None
+        for _ in range(5):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            if prev is not None and abs(dt - prev) <= 0.15 * min(dt, prev):
+                break
+            prev = dt
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
@@ -70,4 +86,4 @@ def host_canary(spark) -> dict[str, float]:
             best = min(best, time.perf_counter() - t0)
         return round(best, 2)
 
-    return {"codegen_s": _min2(_codegen), "shuffle_s": _min2(_shuffle)}
+    return {"codegen_s": _steady(_codegen), "shuffle_s": _steady(_shuffle)}

@@ -22,9 +22,12 @@ after a harness-limit fix (e.g. driver.maxResultSize) without paying
 the full sweep again.
 
 ``--band``: for the named entries, re-run the SPARK phase (plan build +
-toArrow) ``--band-reps`` times total, each rep from a cleared-cache
-state (release_entry_memory between reps, the same slate every entry
-starts from), and record ``spark_s_band`` [min, max] + the raw rep list
+toArrow) at least ``--band-reps`` times total — extending until the
+last two reps agree within 10% or ``SWEEP_BAND_MAX_REPS`` (default 6)
+is hit (round 11: a fixed cap truncated still-declining reps) — each
+rep from a cleared-cache state (release_entry_memory between reps, the
+same slate every entry starts from), and record ``spark_s_band``
+[min, max] + the raw rep list
 (VERDICT r8 item 4: simhash/components drifted ±15-20% at ×100 inside
 claimed bands — publish the band instead of proving it in prose each
 round). Since round 10 the headline ``spark_s`` of a banded entry is
@@ -757,8 +760,22 @@ def main() -> None:
             return
         fn = bounded[name][0] if name in bounded else FINAL_REGISTRY[name].spark
         times = [results[name]["spark_s"]]
+        # convergence extension (VERDICT r10 item 5): tpch_breadth's reps
+        # were still DECLINING at the fixed cap (74.9 → 65.6 → 55.7), so
+        # its "floor" was a truncation. Keep adding reps past band_reps
+        # until the last two agree within 10% (either direction), capped
+        # at SWEEP_BAND_MAX_REPS total — the cap is the documented
+        # fixed-budget rule for entries that never settle.
+        max_reps = int(os.environ.get("SWEEP_BAND_MAX_REPS", "6"))
+
+        def converged() -> bool:
+            if len(times) < max(2, band_reps):
+                return False
+            a, b = times[-2], times[-1]
+            return abs(a - b) <= 0.10 * max(min(a, b), 0.1)
+
         try:
-            for _ in range(max(0, band_reps - 1)):
+            while len(times) < max_reps and not converged():
                 release_entry_memory()
                 t_rep = time.time()
                 fn(spark, sf_dir).toArrow()
@@ -779,6 +796,7 @@ def main() -> None:
         results[name]["spark_s_band"] = [min(times), max(times)]
         results[name]["spark_s_reps"] = times
         results[name]["spark_s_rep1"] = times[0]
+        results[name]["spark_s_band_converged"] = converged()
         results[name]["spark_s"] = min(times)
 
     def post_entry(name: str) -> None:
