@@ -1286,9 +1286,19 @@ def similarity_ann(spark: SparkSession, sf: str) -> DataFrame:
         quantize_embeddings,
     )
 
+    # inline phases (round 11 — the last big memoized entry with no op
+    # map; banding can't apply here, the band rep would time the memo
+    # hit). Each op's invariant row materializes in its own timed phase;
+    # the exact brute-force baseline persists FIRST — it feeds all four
+    # recall checks, and unpersisted each branch re-ran the full
+    # brute-force matmul inside the one final action. The persists are
+    # bounded by the entry memo (one set per session+sf).
+    ENTRY_PHASES.pop("similarity_ann", None)
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    exact = brute_force_topk(queries, emb, k=10)
+    exact = brute_force_topk(queries, emb, k=10).persist()
+    with _timed_phase("similarity_ann", "exact_baseline"):
+        exact.count()
     lsh = lsh_topk(queries, emb, k=10, n_planes=8, dim=64)
     ivf = ivf_topk(queries, emb, k=10, n_cells=16, n_probe=4)
     deq = quantize_embeddings(emb).select(
@@ -1296,13 +1306,16 @@ def similarity_ann(spark: SparkSession, sf: str) -> DataFrame:
     )
     quant = brute_force_topk(deq.filter(F.col("vec_id") < 8), deq, k=10)
     index_root = _registry_tmp_root("ivf_driver_idx_")
-    build_ivf_index(emb, index_root, n_cells=16)
+    with _timed_phase("similarity_ann", "ivf_index_build"):
+        build_ivf_index(emb, index_root, n_cells=16)
     pre = ivf_topk_prebuilt(queries, emb, index_root, k=10, n_probe=4)
     keys = ["query_id", "match_id", "rk"]
-    a, b = ivf.select(*keys), pre.select(*keys)
-    n_diff = a.exceptAll(b).unionByName(b.exceptAll(a)).agg(
-        F.count(F.lit(1)).alias("nd")
-    )
+    # ivf feeds its own invariant row AND the prebuilt≡inline equality
+    # legs — persist so the prebuilt phase doesn't re-run the inline IVF
+    ivf = ivf.persist()
+    n_diff = ivf.select(*keys).exceptAll(pre.select(*keys)).unionByName(
+        pre.select(*keys).exceptAll(ivf.select(*keys))
+    ).agg(F.count(F.lit(1)).alias("nd"))
     pre_row = (
         _ann_invariants(pre, exact, "ivf_prebuilt", 30)
         .crossJoin(n_diff)  # 1×1 aggregate pair — bounded
@@ -1312,11 +1325,21 @@ def similarity_ann(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("recall_ok") & (F.col("nd") == 0)).alias("recall_ok"),
             "depth_ok",
         )
-    )
+    ).persist()
+    lsh_row = _ann_invariants(lsh, exact, "lsh", 20).persist()
+    with _timed_phase("similarity_ann", "lsh"):
+        lsh_row.count()
+    ivf_row = _ann_invariants(ivf, exact, "ivf", 30).persist()
+    with _timed_phase("similarity_ann", "ivf"):
+        ivf_row.count()
+    int8_row = _ann_invariants(quant, exact, "int8", 80).persist()
+    with _timed_phase("similarity_ann", "int8_quant"):
+        int8_row.count()
+    with _timed_phase("similarity_ann", "ivf_prebuilt"):
+        pre_row.count()
     return (
-        _ann_invariants(lsh, exact, "lsh", 20)
-        .unionByName(_ann_invariants(ivf, exact, "ivf", 30))
-        .unionByName(_ann_invariants(quant, exact, "int8", 80))
+        lsh_row.unionByName(ivf_row)
+        .unionByName(int8_row)
         .unionByName(pre_row)
     )
 

@@ -62,6 +62,40 @@ def purge_stream_tmp_dirs() -> int:
 atexit.register(purge_stream_tmp_dirs)
 
 
+def unload_state_stores(spark: SparkSession) -> bool:
+    """Drop every state-store provider map this JVM still holds from
+    TERMINATED streaming queries; returns True if unloaded.
+
+    In local mode ``StateStore.loadedProviders`` retains each stateful
+    query's full per-partition state maps after the query stops — the
+    maintenance thread only unloads providers another executor claimed,
+    which never happens in one JVM. Repeated availableNow drains
+    therefore accumulate dead state until heap death (round 11: a ×100
+    sweep OOMed in ``SessionWindowStateStoreSaveExec`` on the session
+    window's THIRD same-process drain; measured ~38 MB retained per
+    sf0.1 drain surviving gc+clearCache, freed exactly by this call —
+    the streaming twin of the r9 checkpoint leak). A drained
+    availableNow query never resumes and its temp checkpoint is already
+    deleted, so its providers are unreachable-by-design dead weight.
+
+    Skipped (returns False) while any streaming query is active — a
+    live query's providers would be reloaded from its checkpoint on the
+    next micro-batch (correct but wasteful, and for a temp-checkpoint
+    drain in flight the reload could race its own cleanup). Reaches the
+    JVM singleton directly (no public PySpark surface); failures are
+    swallowed — this is a leak valve, not a correctness gate."""
+    try:
+        if spark.streams.active:
+            return False
+        getattr(
+            spark.sparkContext._jvm,
+            "org.apache.spark.sql.execution.streaming.state.StateStore",
+        ).stop()
+        return True
+    except Exception:
+        return False
+
+
 def _default_timeout_s() -> int:
     """Drain-timeout default, env-tunable (``DLPS_STREAM_DRAIN_TIMEOUT_S``).
 
@@ -221,6 +255,12 @@ def run_available_now(
         # for post-mortem; purge_stream_tmp_dirs() collects them later.
         if ok:
             _remove_owned(owned_ckpt)
+            if owned_ckpt is not None:
+                # temp-checkpoint drain: its state-store provider maps
+                # are unreachable dead weight now (see unload_state_stores
+                # — the round-11 OOM class); caller-supplied checkpoints
+                # may resume, so their providers stay warm
+                unload_state_stores(spark)
     return fetch()
 
 
@@ -277,6 +317,8 @@ def run_available_now_many(
         if ok:
             for c in owned_ckpts:
                 _remove_owned(c)
+            if spark is not None and any(c is not None for c in owned_ckpts):
+                unload_state_stores(spark)  # see run_available_now
     return [fetch() for fetch in fetches]
 
 
@@ -324,6 +366,8 @@ def write_fanout_available_now(
         q.stop()
         if ok:
             _remove_owned(owned_ckpt)
+            if owned_ckpt is not None:
+                unload_state_stores(df.sparkSession)  # see run_available_now
 
 
 def write_table_available_now(
@@ -366,6 +410,8 @@ def write_table_available_now(
         q.stop()
         if ok:
             _remove_owned(owned_ckpt)
+            if owned_ckpt is not None:
+                unload_state_stores(df.sparkSession)  # see run_available_now
 
 
 def write_available_now(
@@ -402,3 +448,5 @@ def write_available_now(
         q.stop()
         if ok:
             _remove_owned(owned_ckpt)
+            if owned_ckpt is not None:
+                unload_state_stores(df.sparkSession)  # see run_available_now

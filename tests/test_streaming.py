@@ -332,3 +332,27 @@ def test_drain_checkpoint_hygiene(spark, tmp_path, monkeypatch):
         checkpoint_dir=str(mine),
     )
     assert mine.exists(), "caller-owned checkpoint dir was removed"
+
+
+def test_drain_unloads_state_store_providers(spark):
+    """Round 11: terminated availableNow queries must not leave their
+    state-store provider maps loaded in the JVM — in local mode nothing
+    else ever unloads them, and repeated drains of a stateful query
+    accumulate full per-partition state copies until heap death (the
+    ×100 sweep OOMed in SessionWindowStateStoreSaveExec on a same-process
+    re-drain). After a temp-checkpoint drain of a stateful plan, the
+    session-window query's providers must be gone from the JVM registry;
+    results across repeated drains stay identical."""
+    jvm = spark.sparkContext._jvm
+    store = getattr(
+        jvm, "org.apache.spark.sql.execution.streaming.state.StateStore"
+    )
+    first = run_available_now(session_window_agg(events_stream(spark, SF)))
+    n1 = first.count()
+    assert not store.isMaintenanceRunning(), (
+        "state store maintenance still running after the drain — "
+        "providers were not unloaded"
+    )
+    # and a fresh drain after the unload is unaffected
+    n2 = run_available_now(session_window_agg(events_stream(spark, SF))).count()
+    assert n2 == n1 > 0

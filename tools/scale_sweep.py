@@ -673,9 +673,16 @@ def main() -> None:
         try:
             from datalake_public_spark.streaming.runner import (
                 purge_stream_tmp_dirs,
+                unload_state_stores,
             )
 
             purge_stream_tmp_dirs()
+            # round 11: terminated queries' state-store provider maps
+            # otherwise accumulate across entries/reps until heap death
+            # (the ×100 sweep OOMed in the session-window state store on
+            # a band rep). The runner unloads after its own temp-ckpt
+            # drains; this covers caller-supplied-checkpoint paths too.
+            unload_state_stores(spark)
         except Exception:
             pass
         gc.collect()
