@@ -1297,8 +1297,6 @@ def similarity_ann(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     exact = brute_force_topk(queries, emb, k=10).persist()
-    with _timed_phase("similarity_ann", "exact_baseline"):
-        exact.count()
     lsh = lsh_topk(queries, emb, k=10, n_planes=8, dim=64)
     ivf = ivf_topk(queries, emb, k=10, n_cells=16, n_probe=4)
     deq = quantize_embeddings(emb).select(
@@ -1329,13 +1327,17 @@ def similarity_ann(spark: SparkSession, sf: str) -> DataFrame:
     lsh_row = _ann_invariants(lsh, exact, "lsh", 20).persist()
     ivf_row = _ann_invariants(ivf, exact, "ivf", 30).persist()
     int8_row = _ann_invariants(quant, exact, "int8", 80).persist()
-    # materialize the three independent ANN rows CONCURRENTLY, each in
-    # its own timed phase (jobs from separate threads interleave on the
-    # scheduler — sequential counts forfeited ~7 s of cross-branch
-    # overlap at ×100; same second-cut as vocab_top_tokens). pre_row
-    # runs AFTER the group: its equality legs read the persisted inline
-    # ivf, which ivf_row's phase materializes — racing it would compute
-    # the IVF plan twice.
+    # materialize ALL row branches CONCURRENTLY, each in its own timed
+    # phase (third cut, A-B measured at ×100 warm: the old single-action
+    # shape ran 22.0-24.1 s; sequential phases 27.5; a partial thread
+    # group with exact/prebuilt sequential 27.2-29.8 — every sequential
+    # segment forfeits overlap that idle cores give for free). Threads
+    # racing the shared persisted frames (exact, ivf) may compute one
+    # redundantly — exactly what the old shape did for ALL of them, and
+    # the persist de-dupes every later read. Phase times are per-branch
+    # walls including any shared work a branch happened to compute
+    # first; they sum to more than the entry (op_timing "inline", read
+    # like event_graph_suite's map).
     import threading
 
     def _timed_count(op, frame):
@@ -1347,11 +1349,14 @@ def similarity_ann(spark: SparkSession, sf: str) -> DataFrame:
         t.start()
         return t
 
-    group = [("lsh", lsh_row), ("ivf", ivf_row), ("int8_quant", int8_row)]
+    group = [
+        ("lsh", lsh_row),
+        ("ivf", ivf_row),
+        ("int8_quant", int8_row),
+        ("ivf_prebuilt", pre_row),
+    ]
     for t in [_timed_count(op, fr) for op, fr in group]:
         t.join()
-    with _timed_phase("similarity_ann", "ivf_prebuilt"):
-        pre_row.count()
     return (
         lsh_row.unionByName(ivf_row)
         .unionByName(int8_row)
