@@ -1873,7 +1873,6 @@ def vocab_familiarity(spark: SparkSession, sf: str) -> DataFrame:
     Both sides are integer counts and exact half-up ratios, so the oracle
     reproduces them bit-for-bit (a float log-prob LM would be
     engine-divergent; see corpus_familiarity docstring)."""
-    from datalake_public_spark.driver_queries_llm import vocab_top_tokens
     from datalake_public_spark.operators.text import corpus_familiarity
 
     # the api-path vocab result is 200 rows by construction (LIMIT 200):
@@ -1896,7 +1895,27 @@ def vocab_familiarity(spark: SparkSession, sf: str) -> DataFrame:
     # persists are bounded by the entry memo (one set per session+sf),
     # same discipline as the bm25 pair below.
     ENTRY_PHASES.pop("vocab_top_tokens", None)
-    api_df = vocab_top_tokens(spark, sf)
+    # ONE corpus tokenization shared by the api-vocab branch and BOTH of
+    # corpus_familiarity's consumers (its vocab build + per-doc scoring)
+    # — round 11: the entry tokenized the 500k-doc corpus four times
+    # (api, familiarity ×2, view re-run); now twice (tok + the view
+    # path, whose recompute is deliberate — see the NOTE below). The
+    # persist is unpersisted after the branch group materializes, so no
+    # scan-prefix plan lingers in the CacheManager for later entries to
+    # silently match (the r8 vocab-plan hazard).
+    from datalake_public_spark.functions import text_funcs as _T
+
+    docs0 = _t(spark, sf, "documents")
+    tok = docs0.select(
+        F.col("doc_id"), _T.tokens("text").alias("toks")
+    ).persist()
+    api_df = (
+        tok.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(200)
+    )
     with _timed_phase("vocab_top_tokens", "api_vocab_collect"):
         api_vocab_local = spark.createDataFrame(
             api_df.collect(), api_df.schema
@@ -1909,7 +1928,7 @@ def vocab_familiarity(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("double").alias("oov_frac"),
         F.lit(None).cast("double").alias("familiarity"),
     )
-    fam = corpus_familiarity(_t(spark, sf, "documents")).select(
+    fam = corpus_familiarity(docs0, tokens_df=tok).select(
         F.lit("doc").alias("op"),
         F.col("doc_id").cast("string").alias("key"),
         F.col("n_tokens").cast("long").alias("n"),
@@ -2042,6 +2061,10 @@ def vocab_familiarity(spark: SparkSession, sf: str) -> DataFrame:
     ]
     for t in [_timed_count(op, fr) for op, fr in branches]:
         t.join()
+    # every consumer of the shared tokenization is materialized (api
+    # collected, fam persisted+counted) — drop it so no scan-prefix
+    # plan lingers in the CacheManager for later same-session builds
+    tok.unpersist()
     return (
         vocab.unionByName(fam)
         .unionByName(surface)

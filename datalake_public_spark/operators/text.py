@@ -371,6 +371,7 @@ def corpus_familiarity(
     id_col: str = "doc_id",
     *,
     vocab_k: int = 256,
+    tokens_df: DataFrame | None = None,
 ) -> DataFrame:
     """Unigram corpus-familiarity signals: score each document against
     the corpus's own top-``vocab_k`` vocabulary — ``oov_frac`` (fraction
@@ -384,18 +385,31 @@ def corpus_familiarity(
     Scale: the vocabulary is a two-phase aggregate + bounded top-k
     (TakeOrdered) and BROADCASTS (≤ vocab_k rows); the per-doc side is
     explode → map-side broadcast join → partial agg, so the shuffle
-    carries ~one row per doc per partition, never the token stream."""
+    carries ~one row per doc per partition, never the token stream.
+
+    ``tokens_df``: an optional pre-tokenized frame
+    ``(id_col, toks: array<string>)`` — this operator consumes the
+    corpus tokenization TWICE (vocabulary build + per-doc scoring), so
+    a caller that already tokenized (the vocab driver entry shares one
+    persisted tokenization across its api-vocab and familiarity
+    branches) halves the scan work by passing it in. The tokens MUST be
+    ``T.tokens(text_col)`` output; caller owns the cache lifecycle."""
     from datalake_public_spark.functions.arith import int_ratio_half_up
 
-    toks = T.tokens(text_col)
+    if tokens_df is None:
+        tokens_df = docs.select(
+            F.col(id_col), T.tokens(text_col).alias("toks")
+        )
     vocab = (
-        docs.select(F.explode(toks).alias("token"))
+        tokens_df.select(F.explode("toks").alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("tok_count"))
         .orderBy(F.desc("tok_count"), F.asc("token"))
         .limit(vocab_k)
     )
-    exploded = docs.select(F.col(id_col), F.explode_outer(toks).alias("token"))
+    exploded = tokens_df.select(
+        F.col(id_col), F.explode_outer("toks").alias("token")
+    )
     joined = exploded.join(F.broadcast(vocab), "token", "left")
     n_tokens = F.count("token")
     n_oov = F.sum(
