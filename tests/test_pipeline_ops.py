@@ -337,6 +337,22 @@ def test_corpus_familiarity_signals(spark):
     assert out[2].familiarity == 3.0
     assert out[3].n_oov == 4 and out[3].oov_frac == 1.0 and out[3].familiarity == 0.0
 
+    # the pre-tokenized fast path (round 11: the vocab entry shares one
+    # tokenization across branches) must be row-identical to the
+    # self-tokenizing path — same tokens function, same everything
+    from pyspark.sql import functions as F
+
+    from datalake_public_spark.functions import text_funcs as T
+
+    tok = docs.select(F.col("doc_id"), T.tokens("text").alias("toks"))
+    via_tok = {
+        r.doc_id: r
+        for r in corpus_familiarity(docs, vocab_k=2, tokens_df=tok).collect()
+    }
+    assert {k: tuple(v) for k, v in via_tok.items()} == {
+        k: tuple(v) for k, v in out.items()
+    }
+
 
 def test_chunk_documents_windows(spark):
     """chunk_documents: sliding token windows with overlap — boundaries,
