@@ -52,22 +52,32 @@ KEY_OFFSET = 10_000_000
 
 
 def replicate_table(src_path: str, dst_path: str, keys: list[str], n: int) -> int:
+    """Stream replicas through one ParquetWriter (round 11): the ×1000
+    rung would otherwise hold the whole output table in memory (~60 GB
+    for lineitem). One row group per replica — byte-identical values,
+    same schema; readers don't care about row-group boundaries."""
     t = pq.read_table(src_path)
     if not keys or n <= 1:
-        out = t  # fixed dims (region/nation) copy verbatim, unreplicated
-    else:
-        parts = [t]
-        for i in range(1, n):
-            cols = []
-            for name in t.schema.names:
-                col = t.column(name)
-                if name in keys:
-                    col = pc.add(col, pa.scalar(i * KEY_OFFSET, type=pa.int64()))
-                cols.append(col)
-            parts.append(pa.Table.from_arrays(cols, schema=t.schema))
-        out = pa.concat_tables(parts)
-    pq.write_table(out, dst_path)
-    return out.num_rows
+        pq.write_table(t, dst_path)
+        return t.num_rows
+    rows = 0
+    with pq.ParquetWriter(dst_path, t.schema) as w:
+        for i in range(n):
+            if i == 0:
+                part = t
+            else:
+                cols = []
+                for name in t.schema.names:
+                    col = t.column(name)
+                    if name in keys:
+                        col = pc.add(
+                            col, pa.scalar(i * KEY_OFFSET, type=pa.int64())
+                        )
+                    cols.append(col)
+                part = pa.Table.from_arrays(cols, schema=t.schema)
+            w.write_table(part)
+            rows += part.num_rows
+    return rows
 
 
 def main() -> None:
