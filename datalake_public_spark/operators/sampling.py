@@ -16,20 +16,51 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# Knuth's multiplicative hash constant (2^32 / golden ratio); max key id
-# ~2^32 keeps key*KNUTH < 2^63 — overflow-free in int64 on both engines.
+# Knuth's multiplicative hash constant (2^32 / golden ratio).
 KNUTH = 2654435761
 M32 = 2**32
+_M16 = 2**16
+
+# The hash is (key * KNUTH) mod 2^32 — which mathematically depends only
+# on key mod 2^32, but the naive int64 product overflows once
+# key > (2^63-1)/KNUTH ≈ 3.47e9 (Spark ANSI raises ARITHMETIC_OVERFLOW;
+# DuckDB silently promotes to hugeint — a cross-engine divergence on top
+# of the crash). Found at the ×1000 rung (round 11): replicated doc_ids
+# reach 1e10, exactly the id range a 100 TB corpus carries. Fix: 16-bit
+# hi/lo decomposition of key mod 2^32 —
+#   (k32·K) mod 2^32 = (lo·K mod 2^32 + (hi·K mod 2^16)·2^16) mod 2^32
+# with every intermediate ≤ 65535·KNUTH ≈ 1.7e14 — overflow-free for the
+# FULL nonnegative int64 key range in both engines, and bucket-identical
+# to the old formula wherever it didn't overflow (pinned in tests).
 
 
 def split_bucket(key: Column | str, n_buckets: int = 100) -> Column:
-    """Deterministic [0, n_buckets) bucket from an integer key."""
-    k = F.col(key) if isinstance(key, str) else key
-    return (k * F.lit(KNUTH)) % F.lit(M32) % F.lit(n_buckets)
+    """Deterministic [0, n_buckets) bucket from an integer key —
+    overflow-free modular multiply, valid for any nonnegative int64."""
+    k = (F.col(key) if isinstance(key, str) else key).cast("long") % F.lit(
+        M32
+    )
+    # shiftright/bitwiseAND keep the lanes integer-typed end to end (a
+    # `/` here would detour through double — exact below 2^53, but a
+    # needless type divergence from the SQL twin's integer `//`)
+    lo = k.bitwiseAND(F.lit(_M16 - 1))
+    hi = F.shiftright(k, 16)
+    mixed = (
+        (lo * F.lit(KNUTH)) % F.lit(M32)
+        + ((hi * F.lit(KNUTH)) % F.lit(_M16)) * F.lit(_M16)
+    ) % F.lit(M32)
+    return mixed % F.lit(n_buckets)
 
 
 def split_bucket_sql(key: str, n_buckets: int = 100) -> str:
-    return f"(({key} * {KNUTH}) % {M32}) % {n_buckets}"
+    k32 = f"({key} % {M32})"
+    lo = f"({k32} % {_M16})"
+    hi = f"({k32} // {_M16})"
+    mixed = (
+        f"((({lo} * {KNUTH}) % {M32}) + (({hi} * {KNUTH}) % {_M16}) * {_M16})"
+        f" % {M32}"
+    )
+    return f"(({mixed}) % {n_buckets})"
 
 
 def assign_split(

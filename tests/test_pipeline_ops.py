@@ -72,6 +72,58 @@ def test_split_stable_under_repartition(spark):
     assert 0.75 < train / n < 0.85
 
 
+def test_split_bucket_full_int64_range(spark):
+    """Round 11 (found at the ×1000 rung): the naive (key*KNUTH)%2^32
+    overflows int64 once key > ~3.47e9 — Spark ANSI crashes while
+    DuckDB silently promotes to hugeint, a cross-engine divergence on
+    exactly the id range a 100 TB corpus carries. The hi/lo-decomposed
+    hash must (a) reproduce the OLD formula's buckets wherever it
+    didn't overflow, (b) agree with exact big-int modular arithmetic —
+    and with the DuckDB SQL twin — over the full int64 id range."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from datalake_public_spark.operators.sampling import (
+        KNUTH,
+        M32,
+        split_bucket,
+        split_bucket_sql,
+    )
+
+    keys = [0, 1, 7, 65535, 65536, 150_000, 999_999_937,
+            2_147_483_647, 3_474_749_660,          # old-formula max range
+            3_474_749_661, 4_294_967_296, 9_999_999_999,
+            10_000_150_000, 2**62 + 12345]         # past it
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    got = {
+        r.doc_id: r.b
+        for r in df.select("doc_id", split_bucket("doc_id").alias("b")).collect()
+    }
+    # (b) exact big-int reference, full range
+    for k in keys:
+        assert got[k] == ((k % M32) * KNUTH) % M32 % 100, k
+    # (a) old formula where it could not overflow
+    old_safe = [k for k in keys if k * KNUTH < 2**63]
+    old_got = {
+        r.doc_id: r.b
+        for r in df.filter(F.col("doc_id").isin(old_safe)).select(
+            "doc_id",
+            ((F.col("doc_id") * F.lit(KNUTH)) % F.lit(M32) % F.lit(100)).alias("b"),
+        ).collect()
+    }
+    for k in old_safe:
+        assert got[k] == old_got[k], k
+    # SQL twin agrees over the same keys (DuckDB)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(k,) for k in keys])
+    for k, b in con.execute(
+        f"SELECT doc_id, {split_bucket_sql('doc_id')} FROM t"
+    ).fetchall():
+        assert got[k] == b, k
+
+
 def test_pack_sequences_layout(spark):
     # tokens: 1000, 1500, 600, 2048, 1 → exclusive cumsum 0,1000,2500,3100,5148
     # bins (ctx 2048):                    0,   0,    1,   1,    2
