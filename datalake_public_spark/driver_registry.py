@@ -110,6 +110,49 @@ class _timed_phase:
         return False
 
 
+def _count_branches_concurrently(entry: str, branches) -> None:
+    """Materialize independent branch frames from CONCURRENT threads,
+    each `.count()` inside its own `_timed_phase(entry, op)` — the shared
+    shape behind vocab_top_tokens' and similarity_ann's inline phase maps
+    (jobs submitted from separate threads interleave on the scheduler, so
+    the entry keeps the cross-branch stage overlap a single final action
+    bought; phase times are per-branch walls and sum to MORE than the
+    entry — op_timing "inline", read like event_graph_suite's map).
+
+    Round 12 (ADVICE r11 ×2): threads are ``pyspark.InheritableThread``
+    — raw ``threading.Thread`` did not inherit Spark local properties,
+    so job-group scoping/cancellation applied to the entry missed the
+    branch jobs (and raw threads break under py4j pinned-thread mode) —
+    and a branch's exception now fails the ENTRY after all threads
+    join, instead of being swallowed (the thread died, ``join()``
+    returned normally, and the failed branch still recorded a phase
+    timing as if it had succeeded)."""
+    from pyspark import InheritableThread
+
+    errors: list[tuple[str, BaseException]] = []
+
+    def _spawn(op, frame):
+        def run():
+            try:
+                with _timed_phase(entry, op):
+                    frame.count()
+            except BaseException as e:  # re-raised below, not swallowed
+                errors.append((op, e))
+
+        t = InheritableThread(target=run, name=f"{entry}-{op}")
+        t.start()
+        return t
+
+    for t in [_spawn(op, fr) for op, fr in branches]:
+        t.join()
+    if errors:
+        op, err = errors[0]
+        raise RuntimeError(
+            f"branch '{op}' of entry '{entry}' failed during concurrent "
+            f"materialization ({len(errors)} branch(es) failed)"
+        ) from err
+
+
 def _memoize_eager_entry(fn):
     """Cache the built plan per (entry, session, sf) for entries whose
     plan construction performs eager side-effect writes."""
@@ -1337,26 +1380,17 @@ def similarity_ann(spark: SparkSession, sf: str) -> DataFrame:
     # the persist de-dupes every later read. Phase times are per-branch
     # walls including any shared work a branch happened to compute
     # first; they sum to more than the entry (op_timing "inline", read
-    # like event_graph_suite's map).
-    import threading
-
-    def _timed_count(op, frame):
-        def run():
-            with _timed_phase("similarity_ann", op):
-                frame.count()
-
-        t = threading.Thread(target=run, name=f"ann-{op}")
-        t.start()
-        return t
-
-    group = [
-        ("lsh", lsh_row),
-        ("ivf", ivf_row),
-        ("int8_quant", int8_row),
-        ("ivf_prebuilt", pre_row),
-    ]
-    for t in [_timed_count(op, fr) for op, fr in group]:
-        t.join()
+    # like event_graph_suite's map). Threading semantics (inheritable
+    # locals, branch failures fail the entry): _count_branches_concurrently.
+    _count_branches_concurrently(
+        "similarity_ann",
+        [
+            ("lsh", lsh_row),
+            ("ivf", ivf_row),
+            ("int8_quant", int8_row),
+            ("ivf_prebuilt", pre_row),
+        ],
+    )
     return (
         lsh_row.unionByName(ivf_row)
         .unionByName(int8_row)
@@ -2038,29 +2072,17 @@ def vocab_familiarity(spark: SparkSession, sf: str) -> DataFrame:
     # in its own timed phase (round 11, second cut): the first phased
     # version counted them sequentially, which localized the cost but
     # forfeited the cross-branch stage overlap the old single final
-    # action bought (×100 entry 51.7 → 60.9 s). Jobs submitted from
-    # separate threads interleave on the scheduler, so the entry keeps
-    # the overlap; each phase time is that branch's own wall (they sum
-    # to MORE than the entry — op_timing stays "inline", same reading as
-    # event_graph_suite's map).
-    import threading
-
-    def _timed_count(op, frame):
-        def run():
-            with _timed_phase("vocab_top_tokens", op):
-                frame.count()
-
-        t = threading.Thread(target=run, name=f"vocab-{op}")
-        t.start()
-        return t
-
-    branches = [
-        ("familiarity", fam),
-        ("sql_surface_view", surface),
-        ("bm25_dual_scoring", pre_row),  # both scorings + exceptAll legs
-    ]
-    for t in [_timed_count(op, fr) for op, fr in branches]:
-        t.join()
+    # action bought (×100 entry 51.7 → 60.9 s). Threading semantics
+    # (inheritable locals, branch failures fail the entry):
+    # _count_branches_concurrently.
+    _count_branches_concurrently(
+        "vocab_top_tokens",
+        [
+            ("familiarity", fam),
+            ("sql_surface_view", surface),
+            ("bm25_dual_scoring", pre_row),  # both scorings + exceptAll legs
+        ],
+    )
     # every consumer of the shared tokenization is materialized (api
     # collected, fam persisted+counted) — drop it so no scan-prefix
     # plan lingers in the CacheManager for later same-session builds

@@ -32,35 +32,55 @@ _M16 = 2**16
 # with every intermediate ≤ 65535·KNUTH ≈ 1.7e14 — overflow-free for the
 # FULL nonnegative int64 key range in both engines, and bucket-identical
 # to the old formula wherever it didn't overflow (pinned in tests).
+#
+# Round 12 (ADVICE r11): the key is pmod-reduced first, so NEGATIVE keys
+# are well-defined and engine-identical too — Spark's `%` follows the
+# dividend sign and its bitwiseAND/shiftright act on two's-complement
+# bits, while DuckDB's `%`/`//` follow different conventions; without
+# the pmod a negative id silently produced engine-DIVERGENT buckets.
+# pmod(k, 2^32) == k % 2^32 for k >= 0, so nonnegative behavior (and
+# every pinned bucket) is unchanged. The same mix now also backs
+# sample_priority, which until round 12 still carried the bare
+# (k*KNUTH) % 2^32 overflow this block describes.
+
+
+def _knuth32(key: Column | str) -> Column:
+    """(key · KNUTH) mod 2^32 as an overflow-free Catalyst expression,
+    defined for the FULL int64 key range (negatives via pmod)."""
+    k = F.pmod(
+        (F.col(key) if isinstance(key, str) else key).cast("long"),
+        F.lit(M32),
+    )
+    # shiftright/bitwiseAND keep the lanes integer-typed end to end (a
+    # `/` here would detour through double — exact below 2^53, but a
+    # needless type divergence from the SQL twin's integer `//`); both
+    # are bit-exact to % / // because k is nonnegative after the pmod
+    lo = k.bitwiseAND(F.lit(_M16 - 1))
+    hi = F.shiftright(k, 16)
+    return (
+        (lo * F.lit(KNUTH)) % F.lit(M32)
+        + ((hi * F.lit(KNUTH)) % F.lit(_M16)) * F.lit(_M16)
+    ) % F.lit(M32)
+
+
+def _knuth32_sql(key: str) -> str:
+    k32 = f"((({key} % {M32}) + {M32}) % {M32})"
+    lo = f"({k32} % {_M16})"
+    hi = f"({k32} // {_M16})"
+    return (
+        f"(((({lo} * {KNUTH}) % {M32}) + (({hi} * {KNUTH}) % {_M16}) * {_M16})"
+        f" % {M32})"
+    )
 
 
 def split_bucket(key: Column | str, n_buckets: int = 100) -> Column:
     """Deterministic [0, n_buckets) bucket from an integer key —
-    overflow-free modular multiply, valid for any nonnegative int64."""
-    k = (F.col(key) if isinstance(key, str) else key).cast("long") % F.lit(
-        M32
-    )
-    # shiftright/bitwiseAND keep the lanes integer-typed end to end (a
-    # `/` here would detour through double — exact below 2^53, but a
-    # needless type divergence from the SQL twin's integer `//`)
-    lo = k.bitwiseAND(F.lit(_M16 - 1))
-    hi = F.shiftright(k, 16)
-    mixed = (
-        (lo * F.lit(KNUTH)) % F.lit(M32)
-        + ((hi * F.lit(KNUTH)) % F.lit(_M16)) * F.lit(_M16)
-    ) % F.lit(M32)
-    return mixed % F.lit(n_buckets)
+    overflow-free modular multiply, valid for any int64."""
+    return _knuth32(key) % F.lit(n_buckets)
 
 
 def split_bucket_sql(key: str, n_buckets: int = 100) -> str:
-    k32 = f"({key} % {M32})"
-    lo = f"({k32} % {_M16})"
-    hi = f"({k32} // {_M16})"
-    mixed = (
-        f"((({lo} * {KNUTH}) % {M32}) + (({hi} * {KNUTH}) % {_M16}) * {_M16})"
-        f" % {M32}"
-    )
-    return f"(({mixed}) % {n_buckets})"
+    return f"(({_knuth32_sql(key)}) % {n_buckets})"
 
 
 def assign_split(
@@ -117,20 +137,23 @@ def sample_priority(key: Column | str, weight: Column | str) -> Column:
 
     Efraimidis–Spirakis sampling keeps the k rows with the largest
     ``u^(1/w)`` — monotone-equivalent to ``ln(u)/w``, which avoids ``pow``.
-    ``u = ((key*KNUTH) mod 2^32 + 0.5) / 2^32`` is exact IEEE arithmetic
+    ``u = ((key·KNUTH) mod 2^32 + 0.5) / 2^32`` is exact IEEE arithmetic
     (integer + 0.5, divided by a power of two), so Spark and the DuckDB
     oracle compute bit-identical ``u``; priorities then differ at most in
     the last ulp of ``ln``, far below the inter-row gaps that decide
-    membership.
+    membership. The modular multiply is the shared overflow-free
+    ``_knuth32`` mix (round 12 — this site kept the bare ``k*KNUTH``
+    product after split_bucket's r11 fix, so it crashed/diverged on the
+    same > 3.47e9 id range; values are unchanged wherever the old form
+    worked, pinned in tests).
     """
-    k = F.col(key) if isinstance(key, str) else key
     w = F.col(weight) if isinstance(weight, str) else weight
-    u = ((k * F.lit(KNUTH)) % F.lit(M32) + F.lit(0.5)) / F.lit(float(M32))
+    u = (_knuth32(key) + F.lit(0.5)) / F.lit(float(M32))
     return F.ln(u) / w
 
 
 def sample_priority_sql(key: str, weight: str) -> str:
-    return f"ln((({key} * {KNUTH}) % {M32} + 0.5) / {float(M32)}) / {weight}"
+    return f"ln(({_knuth32_sql(key)} + 0.5) / {float(M32)}) / {weight}"
 
 
 def weighted_sample(

@@ -81,14 +81,29 @@ def unload_state_stores(spark: SparkSession) -> bool:
     Skipped (returns False) while any streaming query is active — a
     live query's providers would be reloaded from its checkpoint on the
     next micro-batch (correct but wasteful, and for a temp-checkpoint
-    drain in flight the reload could race its own cleanup). Reaches the
-    JVM singleton directly (no public PySpark surface); failures are
-    swallowed — this is a leak valve, not a correctness gate."""
+    drain in flight the reload could race its own cleanup).
+    ``StateStore.stop()`` is JVM-GLOBAL, so the active check covers more
+    than the calling session (ADVICE r11): the JVM companion's default
+    and thread-active sessions are probed too — which reaches the root
+    session from any of its ``newSession()`` clones, the common
+    multi-session stack. Sessions that are neither (a clone active only
+    on another thread) are NOT enumerable — Spark keeps no JVM-global
+    query registry — so a deployment running concurrent stateful
+    streams across such sessions must coordinate its own unloads; the
+    cost of a miss is a checkpoint reload on that query's next
+    micro-batch, not data loss. Reaches the JVM singleton directly (no
+    public PySpark surface); failures are swallowed — this is a leak
+    valve, not a correctness gate."""
     try:
         if spark.streams.active:
             return False
+        jvm = spark.sparkContext._jvm
+        companion = getattr(jvm, "org.apache.spark.sql.classic.SparkSession")
+        for opt in (companion.getDefaultSession(), companion.getActiveSession()):
+            if opt.isDefined() and len(opt.get().streams().active()) > 0:
+                return False
         getattr(
-            spark.sparkContext._jvm,
+            jvm,
             "org.apache.spark.sql.execution.streaming.state.StateStore",
         ).stop()
         return True

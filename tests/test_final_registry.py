@@ -162,3 +162,32 @@ def test_generated_registry_table_is_current():
         text=True,
     )
     assert r.returncode == 0, r.stderr
+
+
+def test_count_branches_concurrently_propagates_failures(spark):
+    """ADVICE r11: a branch thread's exception must fail the entry after
+    all threads join — not vanish while the phase map records a timing
+    as if the branch had succeeded."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from datalake_public_spark.driver_registry import (
+        ENTRY_PHASES,
+        _count_branches_concurrently,
+    )
+
+    good = spark.range(10)
+    # raise_error must sit in a FILTER: a count() prunes projected
+    # columns, so a select-ed raise_error would never evaluate
+    bad = spark.range(1).filter(
+        F.raise_error(F.lit("branch boom")).cast("boolean")
+    )
+    ENTRY_PHASES.pop("__test_entry__", None)
+    with pytest.raises(RuntimeError, match="branch 'boom' of entry"):
+        _count_branches_concurrently(
+            "__test_entry__", [("fine", good), ("boom", bad)]
+        )
+    # the healthy branch still recorded its phase
+    assert "fine" in ENTRY_PHASES.get("__test_entry__", {})
+    ENTRY_PHASES.pop("__test_entry__", None)

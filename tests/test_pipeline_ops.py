@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from datalake_public_spark.operators.components import connected_components
@@ -122,6 +124,99 @@ def test_split_bucket_full_int64_range(spark):
         f"SELECT doc_id, {split_bucket_sql('doc_id')} FROM t"
     ).fetchall():
         assert got[k] == b, k
+
+
+def test_split_bucket_negative_keys_engine_identical(spark):
+    """Round 12 (ADVICE r11): without the pmod reduction, Spark's
+    two's-complement bitwiseAND/shiftright and DuckDB's sign-following
+    % / // produced silently DIVERGENT buckets for negative keys. Both
+    twins must now agree with exact big-int pmod arithmetic — and with
+    each other — on negative ids, and stay unchanged for nonnegative."""
+    import duckdb
+
+    from datalake_public_spark.operators.sampling import (
+        KNUTH,
+        M32,
+        split_bucket,
+        split_bucket_sql,
+    )
+
+    keys = [-1, -7, -65536, -999_999_937, -3_474_749_661,
+            -(2**62 + 12345), -(2**63), 0, 1, 9_999_999_999]
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    got = {
+        r.doc_id: r.b
+        for r in df.select("doc_id", split_bucket("doc_id").alias("b")).collect()
+    }
+    for k in keys:
+        assert got[k] == ((k % M32) * KNUTH) % M32 % 100, k  # python % is pmod
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(k,) for k in keys])
+    for k, b in con.execute(
+        f"SELECT doc_id, {split_bucket_sql('doc_id')} FROM t"
+    ).fetchall():
+        assert got[k] == b, k
+
+
+def test_sample_priority_full_int64_range(spark):
+    """Round 12: sample_priority kept the bare (key·KNUTH) product after
+    split_bucket's r11 overflow fix — same crash/divergence class past
+    key ≈ 3.47e9. The shared _knuth32 mix must (a) reproduce the old
+    priorities exactly where the old product fit in int64, (b) run (and
+    match the DuckDB twin bit-for-bit) over the full int64 range
+    including negatives."""
+    import math
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from datalake_public_spark.operators.sampling import (
+        KNUTH,
+        M32,
+        sample_priority,
+        sample_priority_sql,
+    )
+
+    keys = [0, 1, 7, 65536, 999_999_937, 3_474_749_660,
+            3_474_749_661, 9_999_999_999, 2**62 + 12345, -5, -999_999_937]
+    df = spark.createDataFrame([(k, 2.0) for k in keys], "doc_id long, w double")
+    got = {
+        r.doc_id: r.p
+        for r in df.select(
+            "doc_id", sample_priority("doc_id", "w").alias("p")
+        ).collect()
+    }
+    # (b) big-int reference (math.log ulp-tolerant; membership decisions
+    # depend on inter-row gaps far above 1 ulp)
+    for k in keys:
+        u = (((k % M32) * KNUTH) % M32 + 0.5) / float(M32)
+        assert got[k] == pytest.approx(math.log(u) / 2.0, rel=1e-12), k
+    # (a) old formula where the product fit in int64
+    old_safe = [k for k in keys if 0 <= k * KNUTH < 2**63]
+    old = {
+        r.doc_id: r.p
+        for r in df.filter(F.col("doc_id").isin(old_safe)).select(
+            "doc_id",
+            (
+                F.ln(
+                    ((F.col("doc_id") * F.lit(KNUTH)) % F.lit(M32) + F.lit(0.5))
+                    / F.lit(float(M32))
+                )
+                / F.col("w")
+            ).alias("p"),
+        ).collect()
+    }
+    for k in old_safe:
+        assert got[k] == old[k], k  # bit-identical, same expression tree
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, w DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(k, 2.0) for k in keys])
+    for k, p in con.execute(
+        f"SELECT doc_id, {sample_priority_sql('doc_id', 'w')} FROM t"
+    ).fetchall():
+        assert got[k] == pytest.approx(p, rel=1e-12), k
 
 
 def test_pack_sequences_layout(spark):

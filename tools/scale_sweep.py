@@ -773,7 +773,13 @@ def main() -> None:
         # until the last two agree within 10% (either direction), capped
         # at SWEEP_BAND_MAX_REPS total — the cap is the documented
         # fixed-budget rule for entries that never settle.
-        max_reps = int(os.environ.get("SWEEP_BAND_MAX_REPS", "6"))
+        # --band-reps above the env cap raises the cap (ADVICE r11: the
+        # silent clamp ran fewer reps than requested and made converged()
+        # unconditionally False, contradicting the "at least --band-reps
+        # times" contract)
+        max_reps = max(
+            band_reps, int(os.environ.get("SWEEP_BAND_MAX_REPS", "6"))
+        )
 
         def converged() -> bool:
             if len(times) < max(2, band_reps):
