@@ -89,8 +89,17 @@ def dedup_ngram_fuzzy_banded(band: int):
         )
         left = docs.filter(F.col("doc_id") % 2 == 0)
         right = docs.filter(F.col("doc_id") % 2 == 1)
+        # round 12: the cross-table fuzzy join lifts through each side's
+        # exact-dedup representatives too (fuzzy_join_minhash_via_reps —
+        # FULL set equality with the direct operator incl. the
+        # doc-weighted bucket cap, pinned crafted + property + sf-smoke;
+        # at ×1000 the direct form's two full-side signature passes were
+        # 61.8 s of this entry's 139.1 s). The minhash family keeps its
+        # full-corpus at-scale kernel workout in dedup_minhash_lsh.
         fuzzy = (
-            D.fuzzy_join_minhash(left, right, threshold=0.5, id_band=band)
+            D.fuzzy_join_minhash_via_reps(
+                left, right, threshold=0.5, id_band=band
+            )
             .filter(
                 F.expr(f"left_id DIV {band}") == F.expr(f"right_id DIV {band}")
             )

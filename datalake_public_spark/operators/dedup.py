@@ -669,6 +669,158 @@ def fuzzy_join_minhash(
     )
 
 
+def fuzzy_join_minhash_via_reps(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket: int = 200,
+    id_band: int | None = None,
+) -> DataFrame:
+    """Same (left_id, right_id, jaccard) set as ``fuzzy_join_minhash``
+    computed dedup-first: exact-dedup EACH side, run the minhash kernel,
+    LSH banding, and exact-Jaccard verification on the representatives
+    only, then lift the rep-level match graph back through the two
+    doc→rep mappings (round 12 — the cross-table twin of
+    ``ngram_jaccard_pairs_via_reps``; at the ×1000 rung the direct
+    operator's two full-side signature passes were 61.8 s of the
+    139.1 s ``dedup_ngram_jaccard`` row).
+
+    Why the lift is EXACT here (pinned in tests, crafted + property):
+    every stage of the direct operator is a function of the TEXT —
+    signatures (hence band keys and bucket membership), the shingle
+    sets, and Jaccard — so a doc participates in exactly the buckets
+    and verified pairs its representative does. Even the shingle-less
+    filter inside ``minhash_signatures`` lifts (a rep shingles iff its
+    copies do). The one stage that counts DOCS, the ``max_bucket`` cap,
+    is reproduced exactly by weighting each rep's bucket rows with its
+    copy count (per id-band when ``id_band`` is set — the cap keys on
+    (band, key, bd) there, and a rep's copies spread across bands), so
+    capped buckets drop in both formulations identically — unlike the
+    banded driver twin's documented only-adds-pairs concession, this is
+    full equality.
+
+    Scale: the corpus-sized work drops to one md5 groupBy + the narrow
+    count/lift joins per side; the Arrow minhash kernel, the banding
+    explode, and the candidate distinct all run on unique texts. On the
+    replicated-crawl regime (copies ≫ uniques) that is the same
+    1-2×-per-decade asymptotics the within-side lifts measured."""
+    r = num_perm // bands
+    check_band(id_band)
+    bucket_keys = ["band", "key"] + (["bd"] if id_band is not None else [])
+    own: list[DataFrame] = []
+
+    def prep(df, side):
+        rep, rid = f"{side}_rep", f"{side}_id"
+        groups = exact_dedup(df, text_col, id_col).persist()
+        own.append(groups)
+        mapping = (
+            df.select(
+                F.col(id_col).alias(rid),
+                F.md5(F.col(text_col)).alias("content_hash"),
+            )
+            .join(
+                groups.select("content_hash", F.col("keep_id").alias(rep)),
+                "content_hash",
+            )
+            .select(rid, rep)
+        )
+        reps = df.join(
+            groups.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
+        )
+        sigs = minhash_signatures(
+            reps, text_col, id_col, shingle_n=shingle_n, num_perm=num_perm
+        ).persist()
+        own.append(sigs)
+        sigs.count()  # materialize before multi-branch reuse
+        banded = sigs.select(
+            F.col("id").alias(rep),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.xxhash64(F.slice("sig", b * r + 1, r)).alias("key"),
+                    ),
+                )
+            ).alias("bk"),
+        ).select(rep, "bk.band", "bk.key")
+        # doc-multiplicity weights: bucket sizes must count DOCS (the
+        # direct semantics), not reps — per (rep, bd) when id-banded,
+        # since the cap keys on bd there and copies spread across bands
+        if id_band is None:
+            counts = groups.select(
+                F.col("keep_id").alias(rep), F.col("n_copies").alias("n_docs")
+            )
+        else:
+            mapping = mapping.withColumn(
+                "bd", F.expr(f"{rid} DIV {int(id_band)}")
+            )
+            counts = mapping.groupBy(rep, "bd").agg(
+                F.count(F.lit(1)).alias("n_docs")
+            )
+        wb = banded.join(counts, rep)
+        sizes = wb.groupBy(*bucket_keys).agg(F.sum("n_docs").alias("n"))
+        ok = sizes.filter(F.col("n") <= max_bucket).select(*bucket_keys)
+        surviving = wb.join(ok, bucket_keys, "left_semi").select(
+            rep, *bucket_keys
+        )
+        return mapping, sigs, surviving
+
+    mapping_l, sigs_l, surv_l = prep(left, "left")
+    mapping_r, sigs_r, surv_r = prep(right, "right")
+    cand_cols = ["left_rep", "right_rep"] + (
+        ["bd"] if id_band is not None else []
+    )
+    cand = surv_l.join(surv_r, bucket_keys).select(*cand_cols).distinct()
+    from datalake_public_spark.functions.arith import int_ratio_half_up
+
+    if id_band is not None:
+        cand = cand.persist()  # feeds the rep-pair distinct AND the lift
+        own.append(cand)
+        rep_pairs = cand.select("left_rep", "right_rep").distinct()
+    else:
+        rep_pairs = cand
+    sh_l = sigs_l.select(F.col("id").alias("left_rep"), F.col("shingles").alias("sh_l"))
+    sh_r = sigs_r.select(F.col("id").alias("right_rep"), F.col("shingles").alias("sh_r"))
+    verified = (
+        rep_pairs.join(sh_l, "left_rep")
+        .join(sh_r, "right_rep")
+        .withColumn(
+            "jaccard",
+            int_ratio_half_up(
+                F.size(F.array_intersect("sh_l", "sh_r")),
+                F.size(F.array_union("sh_l", "sh_r")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_rep", "right_rep", "jaccard")
+    )
+    # lift: each doc maps to exactly one rep (and one bd), and the
+    # candidate frame is distinct, so every (left_id, right_id) emits
+    # exactly once — the direct operator's distinct-candidate contract
+    if id_band is not None:
+        out = (
+            cand.join(verified, ["left_rep", "right_rep"])
+            .join(mapping_l, ["left_rep", "bd"])
+            .join(mapping_r, ["right_rep", "bd"])
+            .select("left_id", "right_id", "jaccard")
+        )
+    else:
+        out = (
+            verified.join(mapping_l, "left_rep")
+            .join(mapping_r, "right_rep")
+            .select("left_id", "right_id", "jaccard")
+        )
+    return _adopt_caches(out, *own)
+
+
 def near_dedup_pipeline(
     docs: DataFrame,
     text_col: str = "text",

@@ -200,7 +200,12 @@ def _score_and_rank(
     )
 
 
-def _compute_tf(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _compute_tf(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    tokens_df: DataFrame | None = None,
+) -> DataFrame:
     """scan → tokenize → explode → map-side-combined groupBy: the one
     corpus-sized pass every BM25 path shares.
 
@@ -209,12 +214,25 @@ def _compute_tf(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     fewer splits than cores (14 splits on 32 cores at the ×100 rung —
     widening cut bm25_build_index 24.6 → 8.2 s, round 9; the r8 attempt
     on the WRITE side of the same build measured a wash, NOTES_r9). At
-    100 TB the scan yields thousands of splits and widen no-ops."""
+    100 TB the scan yields thousands of splits and widen no-ops.
+
+    ``tokens_df``: optional pre-tokenized ``(id_col, toks)`` frame —
+    same contract as ``corpus_familiarity``'s (round 12: a caller that
+    already holds the corpus tokenization, e.g. one shared persisted
+    pass feeding several consumers, skips the scan+tokenize here; the
+    tokens MUST be ``T.tokens(text_col)`` output, caller owns the cache
+    lifecycle). Widening is skipped for a supplied frame — a persisted
+    input already has compute-width partitioning from its own build."""
     from datalake_public_spark.sources.readers import widen_for_compute
 
-    toks = widen_for_compute(docs.select(id_col, text_col)).select(
-        F.col(id_col).alias("doc_id"), T.tokens(text_col).alias("toks")
-    )
+    if tokens_df is not None:
+        toks = tokens_df.select(
+            F.col(id_col).alias("doc_id"), F.col("toks")
+        )
+    else:
+        toks = widen_for_compute(docs.select(id_col, text_col)).select(
+            F.col(id_col).alias("doc_id"), T.tokens(text_col).alias("toks")
+        )
     return (
         toks.select(
             "doc_id",
@@ -280,6 +298,7 @@ def bm25_build_index(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_df: DataFrame | None = None,
 ) -> None:
     """Materialize the BM25 index (tf / dfreq / stats) as parquet under
     ``index_root`` — the query-many regime's answer to the inline path's
@@ -293,8 +312,16 @@ def bm25_build_index(
     tf persists across the build's three consumers (the bucketed write,
     dfreq, stats), so the corpus is scanned and tokenized exactly ONCE;
     the cache is dropped before returning. The extension path instead
-    derives from the parquet read-back (it must see ALL batches)."""
-    tf = _compute_tf(docs, text_col, id_col).persist()
+    derives from the parquet read-back (it must see ALL batches).
+
+    ``tokens_df``: optional pre-tokenized corpus (``_compute_tf``'s
+    contract) — the index stays buildable standalone (default None);
+    a caller sharing one corpus tokenization across consumers (the
+    vocab driver entry) passes it to skip this build's scan+tokenize
+    (round 12 — the build was the entry's last non-deliberate
+    re-tokenization; prebuilt ≡ inline equality is unaffected because
+    tokenization was identical code on both sides all along)."""
+    tf = _compute_tf(docs, text_col, id_col, tokens_df=tokens_df).persist()
     try:
         _write_tf_frame(tf, index_root, "base")
         _write_derived(tf, index_root)

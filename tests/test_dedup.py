@@ -1085,3 +1085,82 @@ def test_simhash_via_reps_pairs_equal_direct_kernel(spark):
         for r in dedup.simhash_clusters_via_reps(docs, max_hamming=3).collect()
     }
     assert (4, 5) in unbanded
+
+
+def _fuzzy_pairs(fn, left, right, **kw):
+    out = fn(left, right, threshold=0.5, **kw)
+    got = sorted((r.left_id, r.right_id, r.jaccard) for r in out.collect())
+    dedup.release_caches(out)
+    return got
+
+
+def test_fuzzy_join_via_reps_equals_direct_crafted(spark):
+    """Round 12: the cross-table dedup-first lift must reproduce the
+    direct fuzzy_join_minhash's EXACT (left_id, right_id, jaccard) set
+    on a hostile corpus — exact-dup groups within each side, identical
+    texts ACROSS sides, shingle-less (< n tokens) duplicates, and
+    non-sequential ids — with and without the id_band boundedness key."""
+    s1 = "the quick brown fox jumps over the lazy dog near the river bank"
+    s2 = "machine learning models require large clean corpora with diverse sources"
+    s3 = s1.replace("river", "canal")
+    short = "too short"  # shingle-less at n=3: never pairs, even with itself
+    left = spark.createDataFrame(
+        [(2, s1), (8, s1), (14, s2), (20, short), (26, short), (32, s3)],
+        "doc_id long, text string",
+    )
+    right = spark.createDataFrame(
+        [(3, s1), (9, s1), (15, s3), (21, short), (27, s2), (33, s2)],
+        "doc_id long, text string",
+    )
+    for id_band in (None, 7):
+        want = _fuzzy_pairs(
+            dedup.fuzzy_join_minhash, left, right, id_band=id_band
+        )
+        got = _fuzzy_pairs(
+            dedup.fuzzy_join_minhash_via_reps, left, right, id_band=id_band
+        )
+        assert got == want, f"id_band={id_band}"
+        if id_band is None:
+            # sanity: the cross-side exact-copy pairs are actually found
+            assert {(g[0], g[1]) for g in got} >= {(2, 3), (8, 9), (2, 9)}
+
+
+def test_fuzzy_join_via_reps_reproduces_bucket_cap(spark):
+    """The ONE stage of the direct operator that counts DOCS rather than
+    texts is the max_bucket cap. The lift reproduces it by weighting rep
+    bucket rows with copy counts — so a bucket pushed over the cap BY
+    COPIES must drop in both formulations (a rep-level count would keep
+    it), and raising the cap must re-admit the same pairs in both."""
+    s1 = "the quick brown fox jumps over the lazy dog near the river bank"
+    # left: 5 copies of s1 → every s1 bucket holds 5 left docs
+    left = spark.createDataFrame(
+        [(i, s1) for i in range(5)], "doc_id long, text string"
+    )
+    right = spark.createDataFrame([(100, s1)], "doc_id long, text string")
+    for cap in (3, 5):
+        want = _fuzzy_pairs(
+            dedup.fuzzy_join_minhash, left, right, max_bucket=cap
+        )
+        got = _fuzzy_pairs(
+            dedup.fuzzy_join_minhash_via_reps, left, right, max_bucket=cap
+        )
+        assert got == want, f"max_bucket={cap}"
+    # and the cap genuinely bound: 3 drops everything, 5 admits the clique
+    assert _fuzzy_pairs(dedup.fuzzy_join_minhash_via_reps, left, right, max_bucket=3) == []
+    assert len(_fuzzy_pairs(dedup.fuzzy_join_minhash_via_reps, left, right, max_bucket=5)) == 5
+
+
+def test_fuzzy_join_via_reps_equals_direct_sf_smoke(spark, docs):
+    """Corpus-scale pin on the driver entry's exact shape: the even/odd
+    halves of the smoke documents table, both unbanded and with the
+    sweep's id_band key."""
+    left = docs.filter(F.col("doc_id") % 2 == 0)
+    right = docs.filter(F.col("doc_id") % 2 == 1)
+    for id_band in (None, 10_000_000):
+        want = _fuzzy_pairs(
+            dedup.fuzzy_join_minhash, left, right, id_band=id_band
+        )
+        got = _fuzzy_pairs(
+            dedup.fuzzy_join_minhash_via_reps, left, right, id_band=id_band
+        )
+        assert got == want and len(got) > 0, f"id_band={id_band}"

@@ -353,3 +353,37 @@ def test_simhash_via_reps_equals_direct_kernel_property(spark, docs, band):
     got = {(r.id_a, r.id_b, r.hamming) for r in lifted.collect()}
     D.release_caches(lifted)
     assert got == want
+
+
+@given(
+    docs=DUP_DOCS,
+    id_band=st.sampled_from([None, 3, 7]),
+    max_bucket=st.sampled_from([2, 200]),
+)
+@SET
+def test_fuzzy_join_via_reps_equals_direct_property(
+    spark, docs, id_band, max_bucket
+):
+    """`fuzzy_join_minhash_via_reps` must reproduce the direct operator's
+    EXACT (left_id, right_id, jaccard) set on ANY corpus split, banding,
+    and bucket cap (round 12 — the cross-table twin of the Jaccard and
+    simhash lift pins above). max_bucket=2 makes the doc-multiplicity
+    cap accounting bind on the generated exact-dup groups; the tiny
+    vocabulary makes cross-side identical texts common."""
+    from datalake_public_spark.operators import dedup as D
+
+    rows = [(i * 3 + 1, t) for i, t in enumerate(docs)]  # sparse ids
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    left = df.filter("doc_id % 2 = 1")
+    right = df.filter("doc_id % 2 = 0")
+    direct = D.fuzzy_join_minhash(
+        left, right, threshold=0.5, id_band=id_band, max_bucket=max_bucket
+    )
+    want = {(r.left_id, r.right_id, r.jaccard) for r in direct.collect()}
+    D.release_caches(direct)
+    lifted = D.fuzzy_join_minhash_via_reps(
+        left, right, threshold=0.5, id_band=id_band, max_bucket=max_bucket
+    )
+    got = {(r.left_id, r.right_id, r.jaccard) for r in lifted.collect()}
+    D.release_caches(lifted)
+    assert got == want

@@ -155,3 +155,35 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-q"]))
+
+
+def test_bm25_build_index_with_tokens_df_identical(spark, tmp_path):
+    """Round 12: an index built from a shared pre-tokenized frame must be
+    byte-for-byte equivalent to the standalone build — identical tf rows,
+    dfreq, stats, and therefore identical prebuilt top-k."""
+    from pyspark.sql import functions as F
+
+    from datalake_public_spark.functions import text_funcs as T
+    from datalake_public_spark.operators.retrieval import (
+        DRIVER_QUERIES,
+        bm25_build_index,
+        bm25_topk_prebuilt,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(300)
+    )
+    tok = docs.select(F.col("doc_id"), T.tokens("text").alias("toks"))
+    r_std, r_tok = str(tmp_path / "std"), str(tmp_path / "tok")
+    bm25_build_index(docs, r_std)
+    bm25_build_index(docs, r_tok, tokens_df=tok)
+    for part in ("tf", "dfreq", "stats"):
+        a = spark.read.parquet(f"{r_std}/{part}")
+        b = spark.read.parquet(f"{r_tok}/{part}")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, part
+    qdf = spark.createDataFrame(list(DRIVER_QUERIES), "query_id int, qtext string")
+    a = sorted(map(tuple, bm25_topk_prebuilt(spark, r_std, qdf, k=10).collect()))
+    b = sorted(map(tuple, bm25_topk_prebuilt(spark, r_tok, qdf, k=10).collect()))
+    assert a == b and len(a) > 0
