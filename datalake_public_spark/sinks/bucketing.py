@@ -22,6 +22,7 @@ import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed_table(
@@ -38,9 +39,22 @@ def write_bucketed_table(
     Sorting within buckets additionally enables shuffle-AND-sort-free
     sort-merge joins. Bucket metadata lives in the session catalog, so
     readers must go through ``spark.table(name)``; a plain path read
-    would lose the layout information."""
-    writer = df.write.mode("overwrite").option("path", path).bucketBy(
-        n_buckets, *bucket_cols
+    would lose the layout information.
+
+    The input is repartitioned on the bucket columns into ``n_buckets``
+    partitions first (round 12): ``repartition`` and ``bucketBy`` share
+    the Murmur3 hash, so each write task then holds exactly ONE bucket
+    and writes ONE file per bucket. Without it every scan task writes a
+    file into every bucket (tasks × buckets files — 2,048 at the ×100
+    rung, ~6k at ×1000), and Spark honors the ``sortBy`` layout only
+    for single-file buckets, so multi-file buckets silently re-sort on
+    every read — the layout's whole point lost. The repartition IS the
+    ingest-time shuffle this table exists to pay once."""
+    writer = (
+        df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+        .write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
     )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -56,10 +56,39 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     BAND = int(os.environ.get("SWEEP_ID_BAND", "10000000"))
+
+    # q5 spill lever (VERDICT r11 item 3): q5 was the rung's ONE
+    # superlinear row (17× across the ×100→×1000 decade — the 6-table
+    # shuffle working set exceeds page cache and the single local disk
+    # becomes the bottleneck). The bucketed variant reads orders/lineitem
+    # co-bucketed+sorted on the order key, so the fact join is
+    # Exchange-free: the shuffle is paid ONCE at ingest (prepare_s below,
+    # amortized across every fact-join query of the deployment) instead
+    # of inside every q5. Build is OUTSIDE the timed reps by design.
+    bucket_dir = os.environ.get("DLPS_SCALE3_BUCKET_DIR", "/tmp/scale3_buckets")
+    bucket_state: dict = {}
+
+    def prepare_buckets(spark, sf):
+        from datalake_public_spark.sinks.bucketing import (
+            materialize_fact_buckets,
+        )
+
+        bucket_state["names"] = materialize_fact_buckets(
+            spark, sf, bucket_dir, n_buckets=64
+        )
+
+    def q5_bucketed(spark, sf):
+        from datalake_public_spark.sinks.bucketing import (
+            q5_regional_revenue_bucketed,
+        )
+
+        return q5_regional_revenue_bucketed(spark, sf, *bucket_state["names"])
+
     entries: dict = {
         "q1_pricing_summary": DR.FINAL_REGISTRY["q1_pricing_summary"].spark,
         "q3_top_orders": DR.FINAL_REGISTRY["q3_top_orders"].spark,
         "q5_regional_revenue": DR.FINAL_REGISTRY["q5_regional_revenue"].spark,
+        "q5_regional_revenue_bucketed": q5_bucketed,
         "dedup_exact": DR.FINAL_REGISTRY["dedup_exact"].spark,
         "dedup_minhash_lsh": DR.FINAL_REGISTRY["dedup_minhash_lsh"].spark,
         "dedup_components": dedup_components_banded(BAND),
@@ -95,6 +124,8 @@ def main() -> None:
                 indent=1,
             )
 
+    prepares = {"q5_regional_revenue_bucketed": prepare_buckets}
+
     names = list(entries)
     for idx, name in enumerate(names):
         if idx == len(names) // 2:
@@ -102,7 +133,12 @@ def main() -> None:
             print("canary[mid]", canary["mid"], flush=True)
         fn = entries[name]
         times: list[float] = []
+        prep_s = None
         try:
+            if name in prepares:
+                t0 = time.time()
+                prepares[name](spark, sf_dir)
+                prep_s = round(time.time() - t0, 1)
             for _ in range(reps):
                 spark.catalog.clearCache()
                 DR.ENTRY_PHASES.pop(name, None)
@@ -116,6 +152,10 @@ def main() -> None:
                 "spark_s_reps": times,
                 "rows": n_rows,
             }
+            if prep_s is not None:
+                # one-time ingest cost (bucket materialization), NOT part
+                # of the per-query timing — the layout's whole point
+                results[name]["prepare_s"] = prep_s
             ops = DR.ENTRY_PHASES.get(name)
             if ops:
                 results[name]["op_spark_s"] = dict(ops)
