@@ -1,0 +1,116 @@
+"""Fresh-process rep protocol for MEMOIZED registry entries.
+
+`@_memoize_eager_entry` entries (similarity_ann, vocab_top_tokens,
+lake_suite) cache their built plan per (session, sf): an in-sweep
+`--band` rep would time the memo hit, not the build, so those entries
+publish INLINE phase maps instead of bands (tools/scale_sweep.py).
+That leaves their HEADLINE number a single rep from whatever host/JVM
+window the sweep hit — round 11 committed similarity_ann at 25.8 s
+from a window its own canary flagged ~1.5× slow, while the threaded
+shape measured 19.1–22.3 s warm (VERDICT r11 item 2).
+
+This tool is the missing protocol: time the entry in K FRESH python
+processes (one timed build each — cold JVM, no memo, no sweep
+position), attach the host canary per rep, and MERGE the rep list into
+an existing sweep artifact's row without touching its oracle fields:
+
+    spark_s            = min of reps (the band-min headline rule)
+    spark_s_band       = [min, max]
+    spark_s_reps       = all reps (chronological)
+    band_protocol      = "fresh-process" (distinguishes from in-sweep
+                         cleared-cache bands — fresh reps bound the
+                         KERNEL cost, in-sweep bands bound the
+                         sweep-position cost; see NOTES_r11 §8)
+    canary_per_rep     = [{codegen_s, shuffle_s} ...]
+
+Usage:
+    python tools/fresh_reps.py <entry> <sf_dir> <artifact.json> [reps=3]
+
+Each rep shells out `python tools/fresh_reps.py --one <entry> <sf_dir>`
+which prints one JSON line; the parent collects and merges.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_one(entry: str, sf_dir: str) -> None:
+    from datalake_public_spark import EngineConfig, get_spark
+    from datalake_public_spark import driver_registry as DR
+    from tools.host_canary import host_canary
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        EngineConfig(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    can = host_canary(spark)
+    DR.ENTRY_PHASES.pop(entry, None)
+    t0 = time.time()
+    DR.FINAL_REGISTRY[entry].spark(spark, sf_dir).toArrow()
+    spark_s = round(time.time() - t0, 1)
+    print(
+        "FRESH_REP "
+        + json.dumps(
+            {
+                "spark_s": spark_s,
+                "canary": can,
+                "op_spark_s": DR.ENTRY_PHASES.get(entry),
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+def main() -> None:
+    if sys.argv[1] == "--one":
+        run_one(sys.argv[2], sys.argv[3])
+        return
+    entry, sf_dir, artifact = sys.argv[1], sys.argv[2], sys.argv[3]
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    rep_rows: list[dict] = []
+    for i in range(reps):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", entry, sf_dir],
+            capture_output=True,
+            text=True,
+            env=os.environ,
+        )
+        lines = [l for l in out.stdout.splitlines() if l.startswith("FRESH_REP ")]
+        if not lines:
+            sys.stderr.write(out.stdout[-2000:] + out.stderr[-2000:])
+            raise SystemExit(f"rep {i + 1} produced no FRESH_REP line")
+        rep_rows.append(json.loads(lines[-1][len("FRESH_REP "):]))
+        print(f"rep {i + 1}/{reps}: {rep_rows[-1]['spark_s']} s", flush=True)
+    times = [r["spark_s"] for r in rep_rows]
+    doc = json.load(open(artifact))
+    row = doc["results"][entry]
+    row["spark_s"] = min(times)
+    row["spark_s_band"] = [min(times), max(times)]
+    row["spark_s_reps"] = times
+    row["band_protocol"] = (
+        "fresh-process (memoized entry — in-sweep banding would time the "
+        "memo hit; fresh reps bound kernel cost, not sweep position)"
+    )
+    row["canary_per_rep"] = [r["canary"] for r in rep_rows]
+    ops = [r["op_spark_s"] for r in rep_rows if r.get("op_spark_s")]
+    if ops:
+        row["op_spark_s"] = {
+            op: min(o.get(op, v) for o in ops) for op, v in ops[0].items()
+        }
+        row["op_timing"] = "inline"
+    with open(artifact, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(f"{entry}: merged reps {times} into {artifact}")
+
+
+if __name__ == "__main__":
+    main()
