@@ -48,6 +48,15 @@ def main() -> None:
         dedup_simhash_banded,
     )
     from tools.host_canary import host_canary
+    from tools.hostinfo import page_cache_gb
+
+    def canary_with_cache(spark) -> dict:
+        # page_cache_gb sits beside the frozen CPU probes: scan-bound
+        # rows read disk when the 17 GB corpus exceeds what's cached
+        # (the r11-warm vs r12-cold vintage difference, see hostinfo)
+        c = host_canary(spark)
+        c["page_cache_gb"] = page_cache_gb()
+        return c
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
@@ -103,7 +112,7 @@ def main() -> None:
     }
 
     results: dict[str, dict] = {}
-    canary = {"start": host_canary(spark)}
+    canary = {"start": canary_with_cache(spark)}
     print("canary[start]", canary["start"], flush=True)
     t_all = time.time()
 
@@ -129,7 +138,7 @@ def main() -> None:
     names = list(entries)
     for idx, name in enumerate(names):
         if idx == len(names) // 2:
-            canary["mid"] = host_canary(spark)
+            canary["mid"] = canary_with_cache(spark)
             print("canary[mid]", canary["mid"], flush=True)
         fn = entries[name]
         times: list[float] = []
@@ -164,7 +173,7 @@ def main() -> None:
         print(name, results[name], flush=True)
         flush()
 
-    canary["end"] = host_canary(spark)
+    canary["end"] = canary_with_cache(spark)
     print("canary[end]", canary["end"], flush=True)
     flush()
 

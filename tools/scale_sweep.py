@@ -558,11 +558,15 @@ def main() -> None:
     # cross-round deltas on unbanded entries can be read against the
     # measured host ratio instead of an assumed-stable box
     from tools.host_canary import host_canary
+    from tools.hostinfo import page_cache_gb
 
     def run_canary(label: str) -> None:
         key = label if only is None else f"only_{label}"
         try:
             canary[key] = host_canary(spark)
+            # CPU probes are blind to page-cache state (see hostinfo);
+            # record cached GiB so scan-bound deltas are attributable
+            canary[key]["page_cache_gb"] = page_cache_gb()
             print(f"canary[{key}] {canary[key]}", flush=True)
         except Exception as e:  # calibration must never fail the sweep
             canary[key] = {"err": str(e)[:200]}
