@@ -93,9 +93,17 @@ def main() -> None:
 
         return q5_regional_revenue_bucketed(spark, sf, *bucket_state["names"])
 
+    def q3_bucketed(spark, sf):
+        from datalake_public_spark.sinks.bucketing import (
+            q3_top_orders_bucketed,
+        )
+
+        return q3_top_orders_bucketed(spark, sf, *bucket_state["names"])
+
     entries: dict = {
         "q1_pricing_summary": DR.FINAL_REGISTRY["q1_pricing_summary"].spark,
         "q3_top_orders": DR.FINAL_REGISTRY["q3_top_orders"].spark,
+        "q3_top_orders_bucketed": q3_bucketed,
         "q5_regional_revenue": DR.FINAL_REGISTRY["q5_regional_revenue"].spark,
         "q5_regional_revenue_bucketed": q5_bucketed,
         "dedup_exact": DR.FINAL_REGISTRY["dedup_exact"].spark,
@@ -133,7 +141,13 @@ def main() -> None:
                 indent=1,
             )
 
-    prepares = {"q5_regional_revenue_bucketed": prepare_buckets}
+    # build is idempotent (tableExists): the FIRST bucketed entry pays
+    # prepare_s, the second records ~0 — one ingest shuffle amortized
+    # across every fact-join query, which is the layout's argument
+    prepares = {
+        "q3_top_orders_bucketed": prepare_buckets,
+        "q5_regional_revenue_bucketed": prepare_buckets,
+    }
 
     names = list(entries)
     for idx, name in enumerate(names):
