@@ -182,10 +182,18 @@ def main() -> None:
     # measured host ratio (r10's host drifted 10-25% with steal at 0%
     # and every row inflated — incl. the pure-scan q1, +81%)
     from tools.host_canary import host_canary
+    from tools.hostinfo import page_cache_gb
+
+    def _canary(spark) -> dict:
+        # page-cache GiB beside the frozen CPU probes (round 12): the
+        # CPU canary cannot see disk-cold vintages — see tools/hostinfo
+        c = host_canary(spark)
+        c["page_cache_gb"] = page_cache_gb()
+        return c
 
     canary: dict[str, dict] = {}
     try:
-        canary["start"] = host_canary(spark)
+        canary["start"] = _canary(spark)
     except Exception as e:
         canary["start"] = {"err": str(e)[:200]}
 
@@ -194,7 +202,7 @@ def main() -> None:
         for name in HEADLINE:
             samples[name].append(run_noop(build(name)))
     try:
-        canary["end"] = host_canary(spark)
+        canary["end"] = _canary(spark)
     except Exception as e:
         canary["end"] = {"err": str(e)[:200]}
     timings = {n: round(min(ts), 3) for n, ts in samples.items()}
