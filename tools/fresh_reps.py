@@ -93,12 +93,21 @@ def main() -> None:
     times = [r["spark_s"] for r in rep_rows]
     doc = json.load(open(artifact))
     row = doc["results"][entry]
-    row["spark_s"] = min(times)
-    row["spark_s_band"] = [min(times), max(times)]
+    # the sweep's own single build (warm JVM, mid-sweep) is a legitimate
+    # rep of the same kernel — keep it in the band instead of silently
+    # replacing it (fresh processes additionally pay cold-JVM JIT +
+    # Python-worker spin-up inside the timed build, measured ~8 s at
+    # ×100 for similarity_ann: sweep 15.6 vs fresh floor 23.5)
+    sweep_s = row.get("spark_s_sweep", row.get("spark_s"))
+    all_reps = ([sweep_s] if isinstance(sweep_s, (int, float)) else []) + times
+    row["spark_s_sweep"] = sweep_s
+    row["spark_s"] = min(all_reps)
+    row["spark_s_band"] = [min(all_reps), max(all_reps)]
     row["spark_s_reps"] = times
     row["band_protocol"] = (
-        "fresh-process (memoized entry — in-sweep banding would time the "
-        "memo hit; fresh reps bound kernel cost, not sweep position)"
+        "sweep-rep + fresh-process (memoized entry — in-sweep banding "
+        "would time the memo hit; fresh reps bound kernel + cold-start "
+        "cost, the sweep rep bounds the warm-JVM build)"
     )
     row["canary_per_rep"] = [r["canary"] for r in rep_rows]
     ops = [r["op_spark_s"] for r in rep_rows if r.get("op_spark_s")]
