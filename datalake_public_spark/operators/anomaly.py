@@ -19,6 +19,19 @@ Scale: one grouped-agg shuffle (whole-group Arrow batches — the UDAF
 contract) + a broadcast join of the tiny per-group stats; scoring is
 row-local. Ref parity: beyond the reference (quality-monitoring
 extension; composes the R4 gate family).
+
+The exact path is the driver contract — but an exact median requires
+the WHOLE group in one Arrow batch, so a group's memory is O(group
+size): fine at the sweep rungs (×1000 events ≈ 12.5M rows/group,
+~100 MB of float64 per batch), impossible at 100 TB (billions of rows
+per event_type would have to land in a single Python worker). The
+100 TB design is ``method="approx"``: Spark's ``percentile_approx``
+(Greenwald–Khanna sketch — bounded memory, mergeable map-side, pure
+JVM) for the median, then a second sketch pass over |x − median| for
+the MAD. Two linear shuffles of sketches instead of one shuffle of
+whole groups; rank error ≤ n/accuracy (exact element when
+n < accuracy). Same output schema and decision rule, so callers swap
+methods without downstream changes.
 """
 
 from __future__ import annotations
@@ -36,17 +49,48 @@ def robust_anomalies(
     group_cols: list[str],
     *,
     k: float = 3.5,
+    method: str = "exact",
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """All input rows plus (grp_median, grp_mad, robust_score,
     is_anomaly). ``robust_score`` = |x - median| / (MAD * 1.4826),
     NULL when MAD = 0; ``is_anomaly`` is score > k, or any deviation
-    from the median in a MAD-0 group."""
-    from datalake_public_spark.functions.udaf import mad_udaf, median_udaf
+    from the median in a MAD-0 group.
 
-    stats = df.groupBy(*group_cols).agg(
-        median_udaf(value_col).alias("grp_median"),
-        mad_udaf(value_col).alias("grp_mad"),
-    )
+    ``method="exact"`` (default) is the bit-exact DuckDB
+    median()/mad() contract via the Arrow grouped-agg UDAFs — whole
+    groups in memory. ``method="approx"`` is the unbounded-group-size
+    scale path (module docstring): two ``percentile_approx`` sketch
+    passes, rank error ≤ n/``accuracy`` each. Note the exact MAD is
+    median(|x − interpolated median|) while approx interpolates
+    nothing (sketches return actual elements): for odd-sized groups of
+    distinct values with n < accuracy the two methods agree exactly;
+    elsewhere they differ by at most the interpolation gap plus the
+    rank error."""
+    if method not in ("exact", "approx"):
+        raise ValueError(f"method must be 'exact' or 'approx', got {method!r}")
+    if method == "approx":
+        med = df.groupBy(*group_cols).agg(
+            F.percentile_approx(value_col, 0.5, accuracy).alias("grp_median")
+        )
+        stats = (
+            df.join(F.broadcast(med), group_cols)
+            .withColumn(
+                "_absdev", F.abs(F.col(value_col) - F.col("grp_median"))
+            )
+            .groupBy(*group_cols)
+            .agg(
+                F.first("grp_median").alias("grp_median"),
+                F.percentile_approx("_absdev", 0.5, accuracy).alias("grp_mad"),
+            )
+        )
+    else:
+        from datalake_public_spark.functions.udaf import mad_udaf, median_udaf
+
+        stats = df.groupBy(*group_cols).agg(
+            median_udaf(value_col).alias("grp_median"),
+            mad_udaf(value_col).alias("grp_mad"),
+        )
     dev = F.abs(F.col(value_col) - F.col("grp_median"))
     score = F.when(
         F.col("grp_mad") > 0, dev / (F.col("grp_mad") * F.lit(MAD_SIGMA))

@@ -35,6 +35,83 @@ def test_mad_zero_group_flags_any_deviation(spark):
     assert sorted(r.is_anomaly for r in rows) == [False] * 6 + [True]
 
 
+def test_approx_equals_exact_on_odd_distinct_groups(spark):
+    # odd-sized groups of distinct values with n < accuracy: the GK
+    # sketch has rank error 0 and the exact median interpolates
+    # nothing, so the two methods must agree bit-for-bit (and the MAD
+    # pass sees odd-many distinct |x - median| values likewise)
+    rows = [("a", float(v)) for v in [3, 1, 41, 9, 27, 15, 2000]] + [
+        ("b", float(v)) for v in [100, 104, 96, 98, 102, 90, 110, 0.5, -3]
+    ]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    cols = ["grp", "value", "grp_median", "grp_mad", "robust_score", "is_anomaly"]
+    exact = robust_anomalies(df, "value", ["grp"]).select(*cols)
+    approx = robust_anomalies(df, "value", ["grp"], method="approx").select(*cols)
+    key = lambda r: (r.grp, r.value)  # noqa: E731
+    for e, a in zip(
+        sorted(exact.collect(), key=key), sorted(approx.collect(), key=key)
+    ):
+        assert e == a
+
+
+def test_approx_close_to_exact_on_events(spark):
+    # real table: even-sized groups interpolate in the exact path while
+    # the sketch returns actual elements — stats must agree within the
+    # largest adjacent-value gap near the median (sf-smoke groups are
+    # ~100 rows of 2-decimal values, gaps up to ~0.5) and the anomaly
+    # decisions must agree off the threshold boundary
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    cols = ["event_id", "grp_median", "grp_mad", "is_anomaly"]
+    exact = {
+        r.event_id: r
+        for r in robust_anomalies(events, "value", ["event_type"])
+        .select(*cols)
+        .collect()
+    }
+    approx = robust_anomalies(events, "value", ["event_type"], method="approx")
+    n_disagree = 0
+    for r in approx.select(*cols).collect():
+        e = exact[r.event_id]
+        assert abs(r.grp_median - e.grp_median) <= 0.5
+        assert abs(r.grp_mad - e.grp_mad) <= 0.5
+        n_disagree += r.is_anomaly != e.is_anomaly
+    assert n_disagree / len(exact) < 0.005
+
+
+def test_approx_mad_zero_group_flags_any_deviation(spark):
+    # the MAD-0 convention (NULL score, any-deviation flag) is method-
+    # independent; 7 rows (odd) with 6 identical values → both medians
+    # land on 5.0 and both MADs on 0.0
+    df = spark.createDataFrame(
+        [("c", 5.0)] * 6 + [("c", 5.1)], "grp string, value double"
+    )
+    out = robust_anomalies(df, "value", ["grp"], method="approx")
+    rows = out.collect()
+    assert all(r.robust_score is None for r in rows)
+    assert sorted(r.is_anomaly for r in rows) == [False] * 6 + [True]
+
+
+def test_approx_path_stays_jvm_side(spark):
+    # the whole point of method="approx" is no whole-group Arrow
+    # batches: the plan must contain no Python/pandas operator
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    plan = (
+        robust_anomalies(events, "value", ["event_type"], method="approx")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "pandas" not in plan.lower() and "python" not in plan.lower()
+    # and the exact path (the contract) does use the grouped-agg UDAF
+    plan_exact = (
+        robust_anomalies(events, "value", ["event_type"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "pandas" in plan_exact.lower() or "python" in plan_exact.lower()
+
+
 def test_matches_duckdb_median_mad_on_events(spark):
     events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
     out = (

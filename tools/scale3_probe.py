@@ -19,7 +19,20 @@ connected components (dedup_components banded twin), the simhash lift
 twin), broadcast decontamination, Arrow text kernels (text_stats,
 doc_fingerprint), and brute-force cosine (similarity_topk).
 
-Usage: python tools/scale3_probe.py [sf_dir] [out_json] [reps=2]
+Round 12 adds the events/window families the rung was missing —
+``skew_salted_agg`` (two-stage salted aggregation; the salted JOIN
+half is a measured rejection at this rung — see the entries dict),
+``window_suite`` (one-shuffle analytic windows over 150M orders), and
+``event_graph_suite`` (funnel/cohort/anomaly at 100M events plus the
+constant-size graph parts), plus an exact-vs-approx robust-anomaly
+A-B (``anomaly_exact_median`` / ``anomaly_approx_median`` — the
+whole-group Arrow-UDAF contract vs the sketch-based 100 TB path,
+isolated from the suite) — and an ``--only a,b,c`` mode that MERGES
+the named entries' rows into an existing artifact (same convention as
+``scale_sweep.py --only``: the full run's canary is kept, this run's
+canary lands under ``only_*`` keys).
+
+Usage: python tools/scale3_probe.py [sf_dir] [out_json] [reps=2] [--only a,b,c]
 """
 
 from __future__ import annotations
@@ -33,12 +46,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_sf100"
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/SCALE3_r11.json"
+    only: set[str] | None = None
+    argv = list(sys.argv)
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    sf_dir = argv[1] if len(argv) > 1 else "/tmp/scale_sf100"
+    out_path = argv[2] if len(argv) > 2 else "/root/repo/SCALE3_r11.json"
     # default 1 timed rep: each entry additionally pays one full count()
     # pass for row sanity, and a full ×1000 pass across the subset is
     # ~20 min — the canary contextualizes single-rep numbers
-    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    reps = int(argv[3]) if len(argv) > 3 else 1
 
     from datalake_public_spark import EngineConfig, get_spark
     from datalake_public_spark import driver_registry as DR
@@ -100,6 +119,39 @@ def main() -> None:
 
         return q3_top_orders_bucketed(spark, sf, *bucket_state["names"])
 
+    # exact-vs-approx robust anomaly A-B (operators/anomaly.py): the
+    # exact median is the driver contract but needs whole groups in one
+    # Arrow batch (~12.5M rows/group here — the measured price of that
+    # contract at the rung); method="approx" is the 100 TB design (two
+    # JVM sketch passes, bounded memory at any group size). Both
+    # aggregate to per-type counts so the timed region is the
+    # stats+join+score work, not 100M-row egress.
+    def _anomaly(method):
+        def run(spark, sf):
+            from pyspark.sql import functions as F
+
+            from datalake_public_spark.operators.anomaly import (
+                robust_anomalies,
+            )
+
+            ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+            return (
+                robust_anomalies(ev, "value", ["event_type"], method=method)
+                .groupBy("event_type")
+                .agg(
+                    F.first("grp_median").alias("grp_median"),
+                    F.first("grp_mad").alias("grp_mad"),
+                    F.sum(F.col("is_anomaly").cast("long")).alias("n_anom"),
+                )
+            )
+
+        return run
+
+    def _skew_salted_agg(spark, sf):
+        from datalake_public_spark.driver_queries_ext import skew_salted_agg
+
+        return skew_salted_agg(spark, sf)
+
     entries: dict = {
         "q1_pricing_summary": DR.FINAL_REGISTRY["q1_pricing_summary"].spark,
         "q3_top_orders": DR.FINAL_REGISTRY["q3_top_orders"].spark,
@@ -117,29 +169,70 @@ def main() -> None:
         "text_stats": DR.FINAL_REGISTRY["text_stats"].spark,
         "doc_fingerprint": DR.FINAL_REGISTRY["doc_fingerprint"].spark,
         "similarity_topk": DR.FINAL_REGISTRY["similarity_topk"].spark,
+        # round 12: the events/window plan families (the rung had no
+        # events-table entry — 100M events at ×1000). skew_salted_agg =
+        # the two-stage salted aggregation over 100M events (the skew
+        # lever's agg half at the top rung). The registry entry's OTHER
+        # half, skew_salted_join, is a measured rejection at ×1000: its
+        # deliberate ×8 replication of the 150M-row orders side is a
+        # ~40 GB shuffle that exceeded this rung's single-local-disk
+        # budget (92% disk at kill) — and TPC-H orderkeys are uniform,
+        # so the rung has no skew for the replication to pay for; on a
+        # cluster the same replication is the standard hot-key remedy
+        # and the ×10/×100 oracle rungs keep proving its semantics.
+        # window_suite = one-shuffle analytic windows over 150M orders;
+        # event_graph_suite = funnel/cohort/anomaly over 100M events +
+        # the constant-size (verbatim-copied nation-key) graph parts —
+        # its anomaly part deliberately exercises the exact-median
+        # whole-group Arrow UDAF at ~20M rows/group, the known scale
+        # price of the exact contract
+        "skew_salted_agg": _skew_salted_agg,
+        "window_suite": DR.FINAL_REGISTRY["window_suite"].spark,
+        "event_graph_suite": DR.FINAL_REGISTRY["event_graph_suite"].spark,
+        "anomaly_exact_median": _anomaly("exact"),
+        "anomaly_approx_median": _anomaly("approx"),
     }
+    if only is not None:
+        unknown = only - set(entries)
+        if unknown:
+            raise SystemExit(f"--only names not in the probe subset: {unknown}")
+        entries = {k: v for k, v in entries.items() if k in only}
 
     results: dict[str, dict] = {}
-    canary = {"start": canary_with_cache(spark)}
-    print("canary[start]", canary["start"], flush=True)
+    prior: dict = {}
+    if only is not None and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        results = prior.get("results", {})
+    canary = prior.get("canary", {}) if prior else {}
+    ckey = "start" if not prior else "only_start"
+    canary[ckey] = canary_with_cache(spark)
+    print(f"canary[{ckey}]", canary[ckey], flush=True)
     t_all = time.time()
 
     def flush() -> None:
+        if prior:
+            # --only merge: preserve EVERY prior top-level field (incl.
+            # vintage canaries a multi-vintage artifact carries); this
+            # run contributes its rows, its only_* canary keys, and its
+            # own wall clock beside the full run's
+            out = dict(prior)
+            out["results"] = results
+            out["canary"] = canary
+            out["only_wall_s"] = round(time.time() - t_all, 1)
+        else:
+            out = {
+                "sf_dir": sf_dir,
+                "role": "x1000 spark-only rung — noop-sink timing + "
+                "row-count sanity; no oracle (see module docstring); "
+                "min-of-reps",
+                "reps": reps,
+                "wall_s": round(time.time() - t_all, 1),
+                "canary": canary,
+                "results": results,
+            }
         with open(out_path, "w") as f:
-            json.dump(
-                {
-                    "sf_dir": sf_dir,
-                    "role": "x1000 spark-only rung — noop-sink timing + "
-                    "row-count sanity; no oracle (see module docstring); "
-                    "min-of-reps",
-                    "reps": reps,
-                    "wall_s": round(time.time() - t_all, 1),
-                    "canary": canary,
-                    "results": results,
-                },
-                f,
-                indent=1,
-            )
+            json.dump(out, f, indent=1)
 
     # build is idempotent (tableExists): the FIRST bucketed entry pays
     # prepare_s, the second records ~0 — one ingest shuffle amortized
@@ -152,8 +245,9 @@ def main() -> None:
     names = list(entries)
     for idx, name in enumerate(names):
         if idx == len(names) // 2:
-            canary["mid"] = canary_with_cache(spark)
-            print("canary[mid]", canary["mid"], flush=True)
+            mkey = "mid" if not prior else "only_mid"
+            canary[mkey] = canary_with_cache(spark)
+            print(f"canary[{mkey}]", canary[mkey], flush=True)
         fn = entries[name]
         times: list[float] = []
         prep_s = None
@@ -187,8 +281,9 @@ def main() -> None:
         print(name, results[name], flush=True)
         flush()
 
-    canary["end"] = canary_with_cache(spark)
-    print("canary[end]", canary["end"], flush=True)
+    ekey = "end" if not prior else "only_end"
+    canary[ekey] = canary_with_cache(spark)
+    print(f"canary[{ekey}]", canary[ekey], flush=True)
     flush()
 
 
