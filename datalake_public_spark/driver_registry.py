@@ -3237,6 +3237,53 @@ def event_graph_suite_parts(spark: SparkSession, sf: str) -> dict:
             F.col("d").alias("v2"),
         )
     )
+    # round 12: the sketch path faces the oracle too. robust_anomalies
+    # (method="approx") is approximate only past the sketch's
+    # compression threshold — on a per-group input smaller than
+    # `accuracy` the GK rank-error bound floor(n/accuracy) is 0 and
+    # percentile_approx returns exact order statistics. So the op runs
+    # on a deterministic id-band subset trimmed to an ODD count per
+    # group (odd n makes the exact median an element, not an
+    # interpolation — and |x − median| then has odd count too, so the
+    # MAD is likewise an element), which makes the JVM sketch path
+    # HASH-EXACT against DuckDB's median()/mad() of the same subset:
+    # band ≈ n/100 keeps the largest ×100-rung group (~29k rows) far
+    # under accuracy=100_000. The ×1000 probe's anomaly_approx_median
+    # entry exercises the genuinely-approximate full-corpus regime.
+    wsub = Window.partitionBy("event_type").orderBy("event_id")
+    sub = (
+        ev.filter(F.col("event_id") % 100 == 7)
+        .withColumn("rn", F.row_number().over(wsub))
+        .withColumn(
+            "c", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+        )
+        .filter(F.col("rn") <= F.col("c") - (F.lit(1) - F.col("c") % 2))
+        .drop("rn", "c")
+    )
+    aa = (
+        robust_anomalies(
+            sub,
+            "value",
+            ["event_type"],
+            k=3.5,
+            method="approx",
+            accuracy=100_000,
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("is_anomaly").cast("long")).alias("n_anom"),
+            F.first("grp_median").alias("m"),
+            F.first("grp_mad").alias("d"),
+        )
+        .select(
+            F.lit("anomaly_approx").alias("op"),
+            F.col("event_type").alias("k"),
+            F.col("n_anom").cast("long").alias("n"),
+            none_bool.alias("ok"),
+            F.col("m").alias("v"),
+            F.col("d").alias("v2"),
+        )
+    )
     return {
         "funnel": fu,
         "cohort": co,
@@ -3244,6 +3291,7 @@ def event_graph_suite_parts(spark: SparkSession, sf: str) -> dict:
         "hierarchy": hi,
         "labelprop": lp,
         "anomaly": an,
+        "anomaly_approx": aa,
     }
 
 
@@ -3251,7 +3299,20 @@ def event_graph_suite_parts(spark: SparkSession, sf: str) -> dict:
 # for the generated registry table (tools/gen_registry_table.py)
 event_graph_suite.op_tags = (
     "funnel", "cohort", "pagerank", "hierarchy", "labelprop", "anomaly",
+    "anomaly_approx",
 )
+
+
+# the anomaly_approx op's deterministic odd-count id-band subset (see
+# event_graph_suite_parts): inlined twice below (rows side + stats side)
+_ANOM_SUB_SQL = """(
+  SELECT event_id, event_type, value FROM (
+    SELECT event_id, event_type, value,
+           row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS c
+    FROM events WHERE event_id % 100 = 7
+  ) t WHERE rn <= c - (1 - c % 2)
+)"""
 
 
 def _event_graph_sql() -> str:
@@ -3288,6 +3349,18 @@ SELECT 'anomaly', e.event_type,
 FROM events e JOIN (
   SELECT event_type, median(value) AS m, mad(value) AS d
   FROM events GROUP BY 1
+) s USING (event_type)
+GROUP BY e.event_type
+UNION ALL
+SELECT 'anomaly_approx', e.event_type,
+       CAST(sum(CASE WHEN (CASE WHEN s.d > 0
+                 THEN abs(e.value - s.m) / (s.d * 1.4826) > 3.5
+                 ELSE abs(e.value - s.m) > 0 END)
+            THEN 1 ELSE 0 END) AS BIGINT),
+       NULL, any_value(s.m), any_value(s.d)
+FROM {_ANOM_SUB_SQL} e JOIN (
+  SELECT event_type, median(value) AS m, mad(value) AS d
+  FROM {_ANOM_SUB_SQL} GROUP BY 1
 ) s USING (event_type)
 GROUP BY e.event_type
 UNION ALL
