@@ -191,6 +191,16 @@ def main() -> None:
         "event_graph_suite": DR.FINAL_REGISTRY["event_graph_suite"].spark,
         "anomaly_exact_median": _anomaly("exact"),
         "anomaly_approx_median": _anomaly("approx"),
+        # round 12b: the remaining uncovered plan families — the
+        # indexed-similarity stack (LSH/IVF/int8/prebuilt over 2M
+        # vectors; brute-force topk is the existing baseline row) and
+        # the vocab/BM25 retrieval stack (shared tokenization + index
+        # build + dual scoring over 5M docs). Both are
+        # @_memoize_eager_entry: the timed rep IS the build (fresh
+        # session+sf key), same convention as the ×100 sweep's inline
+        # phase maps.
+        "similarity_ann": DR.FINAL_REGISTRY["similarity_ann"].spark,
+        "vocab_top_tokens": DR.FINAL_REGISTRY["vocab_top_tokens"].spark,
     }
     if only is not None:
         unknown = only - set(entries)
