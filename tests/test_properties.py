@@ -387,3 +387,51 @@ def test_fuzzy_join_via_reps_equals_direct_property(
     got = {(r.left_id, r.right_id, r.jaccard) for r in lifted.collect()}
     D.release_caches(lifted)
     assert got == want
+
+
+@given(
+    groups=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=1,
+            max_size=41,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@SET
+def test_anomaly_approx_equals_exact_on_odd_groups_property(spark, groups):
+    """`robust_anomalies(method="approx")` must equal the exact
+    whole-group Arrow-UDAF path bit-for-bit on ANY odd-sized groups
+    with n < accuracy: odd n makes both the median and the MAD exact
+    order statistics (no interpolation) and the GK sketch's rank-error
+    bound floor(n/accuracy) is 0 — the contract behind the
+    driver-oracled event_graph_suite[op=anomaly_approx] (round 12).
+    Duplicates are allowed (equal ranks carry equal values)."""
+    from datalake_public_spark.operators.anomaly import robust_anomalies
+
+    rows = []
+    for g, vals in enumerate(groups):
+        odd = vals if len(vals) % 2 == 1 else vals[:-1]
+        rows += [(f"g{g}", v) for v in odd]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "grp string, value double")
+    cols = ["grp", "value", "grp_median", "grp_mad", "robust_score", "is_anomaly"]
+    key = lambda r: (r.grp, r.value)  # noqa: E731
+    exact = sorted(
+        robust_anomalies(df, "value", ["grp"]).select(*cols).collect(), key=key
+    )
+    approx = sorted(
+        robust_anomalies(df, "value", ["grp"], method="approx")
+        .select(*cols)
+        .collect(),
+        key=key,
+    )
+    assert approx == exact
