@@ -146,11 +146,13 @@ def _count_branches_concurrently(entry: str, branches) -> None:
     for t in [_spawn(op, fr) for op, fr in branches]:
         t.join()
     if errors:
-        op, err = errors[0]
+        # every failed branch is named in the message (ADVICE r12) —
+        # raising only errors[0] lost the other branches' diagnostics
+        detail = "; ".join(f"{op}: {e!r}" for op, e in errors)
         raise RuntimeError(
-            f"branch '{op}' of entry '{entry}' failed during concurrent "
-            f"materialization ({len(errors)} branch(es) failed)"
-        ) from err
+            f"{len(errors)} branch(es) of entry '{entry}' failed during "
+            f"concurrent materialization — {detail}"
+        ) from errors[0][1]
 
 
 def _memoize_eager_entry(fn):
@@ -304,10 +306,20 @@ def window_suite(spark: SparkSession, sf: str) -> DataFrame:
     Scale: ONE hash-partition shuffle on o_custkey serves every function;
     the two sort orders (value-desc for rank/ntile, date for frames) are
     per-partition sorts, no extra exchange. Money flows as integer cents
-    so running/moving sums are order-independent."""
+    so running/moving sums are order-independent. When even that one
+    exchange spills (the ×1000 rung: 150M orders), the layout lever is
+    ``sinks/bucketing.py::window_suite_bucketed`` — the same body over a
+    custkey-bucketed orders table, zero Exchange."""
+    return _window_suite_body(_t(spark, sf, "orders"))
+
+
+def _window_suite_body(orders: DataFrame) -> DataFrame:
+    """The window_suite plan over a caller-supplied orders frame — shared
+    by the parquet-scan driver entry above and the bucketed-layout
+    variant (sinks/bucketing.py), so the two can never drift."""
     from pyspark.sql import Window
 
-    o = _t(spark, sf, "orders").withColumn(
+    o = orders.withColumn(
         "cents", F.round(F.col("o_totalprice") * 100).cast("long")
     )
     wv = Window.partitionBy("o_custkey").orderBy(
@@ -3221,7 +3233,12 @@ def event_graph_suite_parts(spark: SparkSession, sf: str) -> dict:
         none_dbl.alias("v2"),
     )
     an = (
-        robust_anomalies(ev, "value", ["event_type"], k=3.5)
+        # broadcast_stats=True: event_type cardinality is structurally
+        # tiny (a type enum), the bounded-group-count case the hint is
+        # for — keeps the fact side shuffle-free (anomaly.py param doc)
+        robust_anomalies(
+            ev, "value", ["event_type"], k=3.5, broadcast_stats=True
+        )
         .groupBy("event_type")
         .agg(
             F.sum(F.col("is_anomaly").cast("long")).alias("n_anom"),
@@ -3268,6 +3285,7 @@ def event_graph_suite_parts(spark: SparkSession, sf: str) -> dict:
             k=3.5,
             method="approx",
             accuracy=100_000,
+            broadcast_stats=True,
         )
         .groupBy("event_type")
         .agg(

@@ -16,8 +16,10 @@ contract, so the score column is NULL there and ``is_anomaly`` is
 ``value != median``).
 
 Scale: one grouped-agg shuffle (whole-group Arrow batches — the UDAF
-contract) + a broadcast join of the tiny per-group stats; scoring is
-row-local. Ref parity: beyond the reference (quality-monitoring
+contract) + a join of the per-group stats back to the rows (strategy
+AQE-chosen by default; ``broadcast_stats=True`` forces the
+shuffle-free broadcast plan when group cardinality is known-bounded —
+see the parameter doc); scoring is row-local. Ref parity: beyond the reference (quality-monitoring
 extension; composes the R4 gate family).
 
 The exact path is the driver contract — but an exact median requires
@@ -51,6 +53,7 @@ def robust_anomalies(
     k: float = 3.5,
     method: str = "exact",
     accuracy: int = 10_000,
+    broadcast_stats: bool = False,
 ) -> DataFrame:
     """All input rows plus (grp_median, grp_mad, robust_score,
     is_anomaly). ``robust_score`` = |x - median| / (MAD * 1.4826),
@@ -66,15 +69,32 @@ def robust_anomalies(
     nothing (sketches return actual elements): for odd-sized groups of
     distinct values with n < accuracy the two methods agree exactly;
     elsewhere they differ by at most the interpolation gap plus the
-    rank error."""
+    rank error.
+
+    ``broadcast_stats``: the per-group stats frame has one row per
+    GROUP, so its size scales with group cardinality — a scale variable
+    (per-entity anomalies over millions of entities make it a real
+    table). The default (False) therefore attaches no join hint and
+    lets AQE pick the strategy from the stats side's RUNTIME size —
+    small stats still broadcast (AQE's SMJ→BHJ conversion), huge stats
+    shuffle instead of OOMing the executors on a forced build side.
+    Pass True only when the caller KNOWS group cardinality is bounded
+    (e.g. grouping by a low-cardinality type column): the explicit hint
+    then skips the fact side's shuffle write entirely — the plan AQE's
+    conversion cannot reach, because conversion happens after the map
+    stage already wrote shuffle files."""
     if method not in ("exact", "approx"):
         raise ValueError(f"method must be 'exact' or 'approx', got {method!r}")
+
+    def _stats_side(frame: DataFrame):
+        return F.broadcast(frame) if broadcast_stats else frame
+
     if method == "approx":
         med = df.groupBy(*group_cols).agg(
             F.percentile_approx(value_col, 0.5, accuracy).alias("grp_median")
         )
         stats = (
-            df.join(F.broadcast(med), group_cols)
+            df.join(_stats_side(med), group_cols)
             .withColumn(
                 "_absdev", F.abs(F.col(value_col) - F.col("grp_median"))
             )
@@ -96,7 +116,7 @@ def robust_anomalies(
         F.col("grp_mad") > 0, dev / (F.col("grp_mad") * F.lit(MAD_SIGMA))
     )
     return (
-        df.join(F.broadcast(stats), group_cols)
+        df.join(_stats_side(stats), group_cols)
         .withColumn("robust_score", F.round(score, 6))
         .withColumn(
             "is_anomaly",

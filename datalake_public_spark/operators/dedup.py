@@ -1199,7 +1199,7 @@ def embedding_block_cosine_pairs(
     )[block_col]
     schema = f"{block_col} {block_type}, id_a long, id_b long, cos double"
 
-    def kern(pdf: pd.DataFrame):
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
         ids_raw = pdf[id_col].to_numpy()
         order = np.argsort(ids_raw, kind="stable")
         ids = ids_raw[order].astype(np.int64)
@@ -1292,7 +1292,7 @@ def embedding_block_cosine_pairs_bitexact(
         "cos double, __unc boolean"
     )
 
-    def kern(pdf: pd.DataFrame):
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {block_col: [], "id_a": [], "id_b": [], "cos": [], "__unc": []}
         ).astype(

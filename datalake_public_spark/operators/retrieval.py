@@ -226,6 +226,17 @@ def _compute_tf(
     from datalake_public_spark.sources.readers import widen_for_compute
 
     if tokens_df is not None:
+        # the contract above is otherwise enforced only by docstring —
+        # fail loudly on a frame that can't be T.tokens output (ADVICE
+        # r12) instead of a late AnalysisException or a silently
+        # differently-tokenized index
+        missing = {id_col, "toks"} - set(tokens_df.columns)
+        if missing:
+            raise ValueError(
+                f"tokens_df must carry columns ({id_col!r}, 'toks') — "
+                f"the (id, T.tokens(text)) contract; missing: "
+                f"{sorted(missing)}, got {tokens_df.columns}"
+            )
         toks = tokens_df.select(
             F.col(id_col).alias("doc_id"), F.col("toks")
         )

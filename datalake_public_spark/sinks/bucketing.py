@@ -122,6 +122,53 @@ def q3_top_orders_bucketed(
     )
 
 
+def materialize_orders_custkey_buckets(
+    spark: SparkSession,
+    sf_dir: str,
+    base_dir: str,
+    *,
+    n_buckets: int = 64,
+) -> str:
+    """Materialize orders bucketed on o_custkey and sorted within each
+    bucket by (o_custkey, o_orderdate, o_orderkey) — the pre-WINDOW
+    layout, the analytic twin of ``materialize_fact_buckets``' pre-join
+    layout. A bucketed scan reports HashPartitioning(o_custkey), which
+    satisfies ``Window.partitionBy("o_custkey")``'s required clustering,
+    so every per-customer window runs with ZERO Exchange — the one
+    shuffle window_suite pays (and spills, at the ×1000 rung: 150M
+    orders exceed page cache) moves to ingest time, amortized across
+    every per-customer analytic query. The in-bucket sort additionally
+    hands the date-ordered analytic frames their sort order for free
+    (one-file-per-bucket writer guarantee above — multi-file buckets
+    would silently re-sort). Returns the catalog table name."""
+    tag = "".join(
+        c if c.isalnum() else "_"
+        for c in sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    name = f"orders_ckey_bkt_{tag}_{n_buckets}"
+    if not spark.catalog.tableExists(name):
+        write_bucketed_table(
+            spark.read.parquet(f"{sf_dir.rstrip('/')}/orders.parquet"),
+            name,
+            os.path.join(base_dir, name),
+            bucket_cols=("o_custkey",),
+            n_buckets=n_buckets,
+            sort_cols=("o_custkey", "o_orderdate", "o_orderkey"),
+        )
+    return name
+
+
+def window_suite_bucketed(spark: SparkSession, orders_tbl: str) -> "DataFrame":
+    """window_suite over the custkey-bucketed orders layout: identical
+    logical plan and results (shared body — driver_registry.
+    _window_suite_body), but the scan is pre-clustered on o_custkey so
+    the plan has ZERO Exchange (pinned in tests/test_plan_quality.py) —
+    only per-partition sorts remain."""
+    from datalake_public_spark.driver_registry import _window_suite_body
+
+    return _window_suite_body(spark.table(orders_tbl))
+
+
 def q5_regional_revenue_bucketed(
     spark: SparkSession, sf: str, orders_tbl: str, lineitem_tbl: str
 ) -> "DataFrame":

@@ -98,10 +98,30 @@ def unload_state_stores(spark: SparkSession) -> bool:
         if spark.streams.active:
             return False
         jvm = spark.sparkContext._jvm
-        companion = getattr(jvm, "org.apache.spark.sql.classic.SparkSession")
-        for opt in (companion.getDefaultSession(), companion.getActiveSession()):
-            if opt.isDefined() and len(opt.get().streams().active()) > 0:
-                return False
+        # Spark 4 moved the concrete session to ...sql.classic; on a 3.x
+        # runtime that class is absent. Probe in its own try and fall
+        # back to the 3.x companion so a missing class degrades to the
+        # weaker (calling-session-only) active check instead of turning
+        # the whole valve into a permanent no-op (ADVICE r12).
+        companion = None
+        for cls in (
+            "org.apache.spark.sql.classic.SparkSession",
+            "org.apache.spark.sql.SparkSession",
+        ):
+            try:
+                c = getattr(jvm, cls)
+                c.getDefaultSession()  # raises if the class is absent
+                companion = c
+                break
+            except Exception:
+                continue
+        if companion is not None:
+            for opt in (
+                companion.getDefaultSession(),
+                companion.getActiveSession(),
+            ):
+                if opt.isDefined() and len(opt.get().streams().active()) > 0:
+                    return False
         getattr(
             jvm,
             "org.apache.spark.sql.execution.streaming.state.StateStore",

@@ -112,6 +112,37 @@ def test_approx_path_stays_jvm_side(spark):
     assert "pandas" in plan_exact.lower() or "python" in plan_exact.lower()
 
 
+def test_broadcast_stats_hint_is_conditional(spark):
+    # VERDICT r12: the stats frame has one row per GROUP — a scale
+    # variable — so the broadcast hint must be opt-in, not baked in.
+    # Default: no hint anywhere in the plan (AQE picks from runtime
+    # size); broadcast_stats=True: the hint is present (both joins of
+    # the approx path included), and results are regime-independent.
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    for method in ("exact", "approx"):
+        hinted = robust_anomalies(
+            events, "value", ["event_type"], method=method,
+            broadcast_stats=True,
+        )
+        default = robust_anomalies(
+            events, "value", ["event_type"], method=method
+        )
+        qe = lambda d: d._jdf.queryExecution()  # noqa: E731
+        assert "ResolvedHint" in qe(hinted).analyzed().toString()
+        assert "ResolvedHint" not in qe(default).analyzed().toString()
+        assert "broadcast" in qe(hinted).optimizedPlan().toString().lower()
+        assert (
+            "broadcast"
+            not in qe(default).optimizedPlan().toString().lower()
+        )
+        cols = ["event_id", "grp_median", "grp_mad", "robust_score",
+                "is_anomaly"]
+        key = lambda r: r.event_id  # noqa: E731
+        assert sorted(hinted.select(*cols).collect(), key=key) == sorted(
+            default.select(*cols).collect(), key=key
+        )
+
+
 def test_matches_duckdb_median_mad_on_events(spark):
     events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
     out = (

@@ -333,6 +333,34 @@ def test_bucketed_fact_join_no_exchange(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {l_tbl}")
 
 
+def test_bucketed_window_no_exchange(spark, tmp_path):
+    """Custkey-bucketed orders layout (sinks/bucketing.py::
+    materialize_orders_custkey_buckets): the per-customer window suite
+    must run with ZERO Exchange — the bucketed scan's
+    HashPartitioning(o_custkey) satisfies both Window operators'
+    clustering, leaving only per-partition sorts. Results identical to
+    the parquet-scan entry."""
+    from datalake_public_spark.driver_registry import window_suite
+    from datalake_public_spark.sinks.bucketing import (
+        materialize_orders_custkey_buckets,
+        window_suite_bucketed,
+    )
+
+    tbl = materialize_orders_custkey_buckets(
+        spark, SF_SMOKE, str(tmp_path), n_buckets=4
+    )
+    try:
+        df = window_suite_bucketed(spark, tbl)
+        p = _plan(spark, df)
+        assert p.count("Exchange") == 0, p
+        assert p.count("Window") >= 2
+        expect = {tuple(r) for r in window_suite(spark, SF_SMOKE).collect()}
+        got = {tuple(r) for r in df.collect()}
+        assert got == expect
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_corpus_familiarity_broadcasts_vocab(spark):
     """corpus_familiarity: the bounded top-k vocabulary must BROADCAST
     into the exploded token stream (map-side join — the token stream

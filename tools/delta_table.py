@@ -105,15 +105,28 @@ def main() -> None:
             if "spark_s_band" in n
             else "-"
         )
-        rows.append((entry, os_, ns_, raw, norm, band))
+        # shape-change flag (VERDICT r12 item 5): a row-count difference
+        # means the entry's OUTPUT changed between rounds (e.g.
+        # event_graph_suite growing an op tag) — its delta is a
+        # different-work comparison, not a regression signal
+        o_rows, n_rows = o.get("rows"), n.get("rows")
+        shape = (
+            f"shape-change {o_rows}→{n_rows}"
+            if o_rows is not None and n_rows is not None and o_rows != n_rows
+            else "-"
+        )
+        rows.append((entry, os_, ns_, raw, norm, band, shape))
 
     rows.sort(key=lambda r: -abs(r[4]))
-    print("| entry | old s | new s | raw Δ% | canary-norm Δ% | banded |")
-    print("|---|---|---|---|---|---|")
-    for entry, os_, ns_, raw, norm, band in rows:
+    print(
+        "| entry | old s | new s | raw Δ% | canary-norm Δ% | banded "
+        "| shape |"
+    )
+    print("|---|---|---|---|---|---|---|")
+    for entry, os_, ns_, raw, norm, band, shape in rows:
         print(
             f"| {entry} | {os_:.1f} | {ns_:.1f} | {raw:+.0%} "
-            f"| {norm:+.0%} | {band} |"
+            f"| {norm:+.0%} | {band} | {shape} |"
         )
 
 

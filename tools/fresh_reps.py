@@ -112,8 +112,11 @@ def main() -> None:
     row["canary_per_rep"] = [r["canary"] for r in rep_rows]
     ops = [r["op_spark_s"] for r in rep_rows if r.get("op_spark_s")]
     if ops:
+        # union of phase keys across reps (ADVICE r12): a phase recorded
+        # only in a later rep must not be dropped from the merged map
+        keys = sorted({k for o in ops for k in o})
         row["op_spark_s"] = {
-            op: min(o.get(op, v) for o in ops) for op, v in ops[0].items()
+            op: min(o[op] for o in ops if op in o) for op in keys
         }
         row["op_timing"] = "inline"
     with open(artifact, "w") as f:
