@@ -184,7 +184,11 @@ def test_count_branches_concurrently_propagates_failures(spark):
         F.raise_error(F.lit("branch boom")).cast("boolean")
     )
     ENTRY_PHASES.pop("__test_entry__", None)
-    with pytest.raises(RuntimeError, match="branch 'boom' of entry"):
+    # ADVICE r12: the message names EVERY failed branch (op + repr of
+    # its exception), not just errors[0]
+    with pytest.raises(
+        RuntimeError, match=r"of entry '__test_entry__' failed.*boom:"
+    ):
         _count_branches_concurrently(
             "__test_entry__", [("fine", good), ("boom", bad)]
         )
