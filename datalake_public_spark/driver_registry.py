@@ -1118,12 +1118,22 @@ def text_stats(spark: SparkSession, sf: str) -> DataFrame:
         widen_for_compute(docs)
         # tokens bound once (round-4 lesson: a captured tokenize
         # expression re-evaluates per reference/element interpreted —
-        # the repetition n-gram build is quadratic per doc without this)
+        # the repetition n-gram build is quadratic per doc without this),
+        # then every heavy HOF bound once (round-13 staged evaluation:
+        # the unstaged dup_ngram_frac alone rebuilt the gram array
+        # ~9×/row — plans/r13/text_stats_before.txt; ×100 isolated
+        # 28.2 s → see OPTIMIZATION_r13.md)
         .select("doc_id", "text", TF.tokens("text").alias("__toks"))
         .select(
+            "doc_id",
+            "text",
+            *text.signal_stage1_cols(tok_col="__toks", concat=False),
+        )
+        .select("*", *text.gram_count_cols())
+        .select(
             F.col("doc_id"),
-            *text.token_stat_cols(tok_col="__toks"),
-            *text.repetition_cols(tok_col="__toks")[1:],  # n_grams, dup_frac, top_frac
+            *text.token_stat_cols_bound(),
+            *text.repetition_cols_bound()[1:],  # n_grams, dup_frac, top_frac
             *text.pii_count_cols(),
             F.md5(text.redacted_text_col()).alias("redacted_md5"),
         )
@@ -1192,18 +1202,28 @@ def text_lang_quality(spark: SparkSession, sf: str) -> DataFrame:
     # multi-referenced aliases. widen_for_compute is load-bearing too:
     # a small parquet file arrives as ONE split, which serialized the
     # whole corpus onto one core (measured 32.6s → 2.2s at sf0.1).
-    _, _, dup_c, top_c = text.repetition_cols(tok_col="__toks")
+    _, _, dup_c, top_c = text.repetition_cols_bound()
     sig = (
         widen_for_compute(docs)
-        # tokens bound once for the repetition signals (round-4 lesson)
+        # tokens bound once for the repetition signals (round-4 lesson),
+        # then every heavy HOF bound once (round-13 staged evaluation —
+        # see operators/text.signal_stage1_cols; ×100 entry 8.7 s
+        # unstaged)
         .select("*", T.tokens("text").alias("__toks"))
         .select(
+            "doc_id",
+            "text",
+            "n_chars",
+            *text.signal_stage1_cols(tok_col="__toks", langs=True),
+        )
+        .select("*", *text.gram_count_cols())
+        .select(
             F.col("doc_id"),
-            *text.language_cols(),
+            *text.language_cols_bound(),
             F.col("n_chars"),
-            *text.quality_cols(),
+            *text.quality_cols_bound(),
             F.length("text").alias("_len"),
-            F.size(F.col("__toks")).alias("_n_ws"),
+            F.col("__n_toks").alias("_n_ws"),
             dup_c.alias("_dup"),
             top_c.alias("_top"),
         )

@@ -165,6 +165,61 @@ def _simhash_np(texts: list[str]) -> np.ndarray:
     return out
 
 
+def _alnum_run_count_fn(lowered: pd.Series) -> pd.Series:
+    """Count of maximal ``[a-z0-9]+`` runs per ALREADY-LOWERCASED string —
+    the value of ``size(filter(split(s, '[^a-z0-9]+'), t != ''))`` exactly:
+    the regex split's pieces are the maximal alnum runs (leading/trailing/
+    empty pieces are filtered), so counting run starts over the character
+    class is the same number with no regex engine involved.
+
+    Runs on the raw Arrow UTF-8 DATA BUFFER, never materializing
+    per-row Python strings: the class is pure ASCII, and every byte of
+    a multi-byte UTF-8 sequence is >= 0x80, so a byte-level mask is
+    exactly the character-level mask. NULL propagates."""
+    import pyarrow as pa
+
+    arr = pa.Array.from_pandas(lowered, type=pa.large_string())
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    off0 = offsets - offsets[0]
+    buf = arr.buffers()[2]
+    if buf is None or len(buf) == 0:
+        counts = np.zeros(len(arr), dtype=np.int64)
+    else:
+        data = np.frombuffer(buf, dtype=np.uint8)[offsets[0] : offsets[-1]]
+        alnum = ((data >= 97) & (data <= 122)) | ((data >= 48) & (data <= 57))
+        starts = alnum.copy()
+        starts[1:] &= ~alnum[:-1]
+        # a run must start fresh at each string boundary
+        first = off0[:-1][off0[:-1] < len(data)]
+        starts[first] = alnum[first]
+        cs = np.concatenate(([0], np.cumsum(starts)))
+        counts = cs[off0[1:]] - cs[off0[:-1]]
+    out = pd.Series(counts, index=lowered.index, dtype="Int32")
+    out[lowered.isna()] = pd.NA
+    return out
+
+
+def regex_token_count_kernel(lowered_col: Column) -> Column:
+    """Arrow twin of ``size(text_funcs.regex_tokens(col))`` taking the
+    ALREADY-LOWERED text column (``F.lower(col)`` stays in the JVM, so
+    no second lowercase implementation enters the contract).
+
+    Why a kernel for a count: evaluating the regex-split tokenizer
+    (``split(lower(text), '[^a-z0-9]+')``) in the same Spark job as the
+    PII ``regexp_extract_all``/``regexp_replace`` family measured a
+    ~10× pathological slowdown of BOTH (500k docs: n_re alone 0.8 s,
+    PII+md5 alone 1.9 s, together 18.5-26.7 s; separate projections do
+    not help — JVM-global java.util.regex interference, see
+    OPTIMIZATION_r13.md §text_stats). Counting codepoint-class runs in
+    numpy computes the identical value with no java regex at all
+    (equivalence pinned in tests/test_text_kernels.py)."""
+    if "nre" not in _UDF_CACHE:
+        _UDF_CACHE["nre"] = pandas_udf("int")(_alnum_run_count_fn)
+    return _UDF_CACHE["nre"](lowered_col)
+
+
 def _fingerprint256_fn(texts: pd.Series) -> pd.Series:
     # NULL text must stay NULL (the Catalyst spec and the DuckDB oracle
     # both propagate it); only non-null rows enter the kernel

@@ -55,8 +55,23 @@ def language_cols(text_col: str = "text") -> list:
 
 def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Marker-word language heuristic: argmax hits over LANG_MARKERS,
-    alphabetical tie-break, 'und' on zero hits."""
-    return docs.select(F.col(id_col), *language_cols(text_col))
+    alphabetical tie-break, 'und' on zero hits.
+
+    Round-13 staged evaluation: the five marker-filter HOFs bind once,
+    then the argmax CASE chain reads five ints (the unstaged chain
+    re-ran each tokenize+filter ~12×/row — see signal_stage1_cols)."""
+    toks = F.col("__toks")
+    hit_cols = [
+        F.size(F.filter(toks, lambda t: t.isin(*T.LANG_MARKERS[lang]))).alias(
+            f"__hits_{lang}"
+        )
+        for lang in T.LANG_MARKERS
+    ]
+    return (
+        docs.select(F.col(id_col), T.tokens(text_col).alias("__toks"))
+        .select(F.col(id_col), *hit_cols)
+        .select(F.col(id_col), *language_cols_bound())
+    )
 
 
 def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -75,15 +90,24 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     CPU-bound per row, and small-file scans arrive as 1-2 splits that
     serialize it — at 100 TB the widen is a no-op (round-6 perf fix:
     the ×100 headline ran this on 2 of 32 cores)."""
+    toks = F.col("__toks")
     return widen_for_compute(docs).select(
         F.col(id_col),
         F.col("n_chars"),
-        F.col(text_col),
         T.tokens(text_col).alias("__toks"),
     ).select(
         F.col(id_col),
         F.col("n_chars"),
-        *quality_cols(text_col, tok_col="__toks"),
+        # round-13 staged evaluation: the three integer inputs bound once
+        # (the unstaged ratio columns re-evaluated array_distinct/concat_ws
+        # per int_ratio reference — see signal_stage1_cols)
+        F.size(toks).alias("__n_toks"),
+        F.size(F.array_distinct(toks)).alias("__n_uniq"),
+        F.length(F.concat_ws("", toks)).alias("__cs"),
+    ).select(
+        F.col(id_col),
+        F.col("n_chars"),
+        *quality_cols_bound(),
     )
 
 
@@ -132,7 +156,16 @@ def repetition_stats(
     return (
         widen_for_compute(docs)
         .select(F.col(id_col), F.col(text_col), T.tokens(text_col).alias("__toks"))
-        .select(F.col(id_col), *repetition_cols(text_col, n=n, tok_col="__toks"))
+        # round-13 staged evaluation (see signal_stage1_cols): gram array,
+        # modal-token pass and counts each evaluated once per row
+        .select(
+            F.col(id_col),
+            *signal_stage1_cols(
+                text_col, tok_col="__toks", n=n, uniq=False, concat=False
+            ),
+        )
+        .select("*", *gram_count_cols())
+        .select(F.col(id_col), *repetition_cols_bound())
     )
 
 
@@ -190,6 +223,181 @@ def repetition_cols(
     ]
 
 
+# -- staged signal evaluation (round-13 optimization) -----------------------
+#
+# Interpreted HOF expressions (transform / filter / aggregate /
+# array_distinct / array_sort) are CodegenFallback: no whole-stage codegen
+# and no common-subexpression elimination (lambda variables get fresh
+# expr-ids per build, so even canonicalized trees don't unify). A ratio
+# column built from HOF inputs therefore RE-EVALUATES the entire input
+# expression once per textual reference — ``dup_ngram_frac`` alone rebuilt
+# the 2-gram array ~9×/row (int_ratio_half_up references its numerator 2×
+# and denominator ~5×; plan evidence: plans/r13/text_stats_before.txt), and
+# the combined text_stats projection measured 2.2× the SUM of its isolated
+# signal families (allocation amplification; OPTIMIZATION_r13.md §text).
+#
+# The fix is algebraic, not a kernel: bind each heavy HOF result ONCE as a
+# named intermediate column in a staged projection, then compute the final
+# (cheap, integer-attribute) ratio columns from the bound names.
+# CollapseProject keeps the stages separate because the bound aliases are
+# non-cheap and multi-referenced. Values are bit-identical by construction
+# — the same expressions evaluate, just once each (equality additionally
+# pinned in tests/test_text_kernels.py::test_staged_signals_identical).
+
+#: intermediate column names bound by signal_stage1_cols / gram_count_cols
+_STAGE_COLS = (
+    "__n_toks", "__grams", "__best", "__n_uniq", "__cs",
+    "__n_grams", "__n_distinct_grams",
+)
+
+
+def signal_stage1_cols(
+    text_col: str = "text",
+    *,
+    tok_col: str,
+    n: int = 2,
+    langs: bool = False,
+    uniq: bool = True,
+    concat: bool = True,
+) -> list:
+    """Stage-1 heavy intermediates (each HOF exactly once per row):
+    token count, the n-gram array, the modal-token run length, and —
+    for the consumers that need them — the distinct-token count
+    (``uniq``), the token-concat length (``concat``), and the per-
+    language marker-hit counts (``langs``). Bind these in one
+    projection, then ``gram_count_cols`` and the ``*_cols_bound``
+    factories below."""
+    toks = F.col(tok_col)
+    n_toks = F.size(toks)
+    idx = F.when(n_toks >= n, F.sequence(F.lit(1), n_toks - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    parts = lambda i: [F.element_at(toks, i + j) for j in range(n)]  # noqa: E731
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+    acc = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("cur"), F.lit(0).alias("best")
+        ),
+        lambda a, t: F.struct(
+            t.alias("prev"),
+            F.when(t == a.prev, a.cur + 1).otherwise(F.lit(1)).alias("cur"),
+            F.greatest(
+                a.best, F.when(t == a.prev, a.cur + 1).otherwise(F.lit(1))
+            ).alias("best"),
+        ),
+    )
+    out = [
+        n_toks.alias("__n_toks"),
+        grams.alias("__grams"),
+        acc.best.alias("__best"),
+    ]
+    if uniq:
+        out.append(F.size(F.array_distinct(toks)).alias("__n_uniq"))
+    if concat:
+        out.append(F.length(F.concat_ws("", toks)).alias("__cs"))
+    if langs:
+        # identical to T.lang_hits, reading the BOUND token array (the
+        # same tokens(text_col) expression value)
+        for lang in T.LANG_MARKERS:
+            markers = T.LANG_MARKERS[lang]
+            out.append(
+                F.size(F.filter(toks, lambda t: t.isin(*markers))).alias(
+                    f"__hits_{lang}"
+                )
+            )
+    return out
+
+
+def gram_count_cols() -> list:
+    """Stage-2: integer gram counts from the bound ``__grams`` array —
+    its own projection so ``array_distinct`` runs once (referenced once
+    here; the stage-3 ratio references only these cheap ints)."""
+    return [
+        F.size(F.col("__grams")).alias("__n_grams"),
+        F.size(F.array_distinct(F.col("__grams"))).alias("__n_distinct_grams"),
+    ]
+
+
+def token_stat_cols_bound(text_col: str = "text", *, use_arrow: bool = True) -> list:
+    """token_stat_cols twin over the stage-1 intermediates. By default
+    ``n_re_tokens`` comes from the Arrow run-count kernel over
+    JVM-lowered text (``text_kernels.regex_token_count_kernel``) — the
+    java-regex split tokenizer pathologically interferes with the PII
+    regexp family when both run in one job (~10× on both; see the
+    kernel docstring). ``use_arrow=False`` keeps the pure-Catalyst spec
+    expression for oracle review."""
+    if use_arrow:
+        from datalake_public_spark.functions.text_kernels import (
+            regex_token_count_kernel,
+        )
+
+        n_re = regex_token_count_kernel(F.lower(F.col(text_col)))
+    else:
+        n_re = F.size(T.regex_tokens(text_col))
+    return [
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.octet_length(F.col(text_col)).alias("n_bytes"),
+        F.col("__n_toks").alias("n_ws_tokens"),
+        n_re.alias("n_re_tokens"),
+        F.col("__n_uniq").alias("n_uniq_tokens"),
+    ]
+
+
+def repetition_cols_bound() -> list:
+    """repetition_cols twin over the bound intermediates — identical
+    formulas, integer-attribute inputs."""
+    from datalake_public_spark.functions.arith import int_ratio_half_up
+
+    n_grams = F.col("__n_grams")
+    dup_frac = F.coalesce(
+        int_ratio_half_up(n_grams - F.col("__n_distinct_grams"), n_grams, 6),
+        F.lit(0.0),
+    )
+    top_frac = F.coalesce(
+        int_ratio_half_up(F.col("__best"), F.col("__n_toks"), 6), F.lit(0.0)
+    )
+    return [
+        F.col("__n_toks").alias("n_tokens"),
+        n_grams.alias("n_grams"),
+        dup_frac.alias("dup_ngram_frac"),
+        top_frac.alias("top_token_frac"),
+    ]
+
+
+def quality_cols_bound() -> list:
+    """quality_cols twin over the bound intermediates."""
+    from datalake_public_spark.functions.arith import int_ratio_half_up
+
+    n = F.col("__n_toks").cast("long")
+    du = F.col("__n_uniq").cast("long")
+    cs = F.col("__cs").cast("long")
+    p_quality = (
+        F.lit(10) * du + F.lit(10) * n - F.least(F.abs(cs - F.lit(5) * n), F.lit(10) * n)
+    )
+    return [
+        n.cast("int").alias("n_tokens"),
+        int_ratio_half_up(du, n, 4).alias("uniq_ratio"),
+        int_ratio_half_up(cs, n, 4).alias("mean_tok_len"),
+        int_ratio_half_up(p_quality, F.lit(20) * n, 4).alias("quality"),
+    ]
+
+
+def language_cols_bound() -> list:
+    """language_cols twin over the bound ``__hits_<lang>`` counts. The
+    unstaged form re-evaluates each marker-filter ~12× per row (greatest
+    inside every CASE arm); here the CASE chain reads five ints."""
+    hits = {lang: F.col(f"__hits_{lang}") for lang in T.LANG_MARKERS}
+    mx = F.greatest(*hits.values())
+    pred = F.lit("und")
+    for lang in reversed(list(T.LANG_MARKERS)):
+        pred = F.when((hits[lang] == mx) & (mx > 0), F.lit(lang)).otherwise(pred)
+    return [
+        pred.alias("pred_lang"),
+        *[hits[lang].alias(f"hits_{lang}") for lang in T.LANG_MARKERS],
+    ]
+
+
 def doc_signals(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -201,14 +409,22 @@ def doc_signals(
     return (
         widen_for_compute(docs)
         # tokens bound once (round-4 lesson: captured tokenize
-        # expressions re-evaluate per reference/element interpreted)
+        # expressions re-evaluate per reference/element interpreted),
+        # then every heavy HOF bound once (round-13 staged evaluation —
+        # see signal_stage1_cols)
         .select(F.col(id_col), F.col(text_col), T.tokens(text_col).alias("__toks"))
         .select(
             F.col(id_col),
-            *token_stat_cols(text_col, tok_col="__toks"),
-            *repetition_cols(text_col, tok_col="__toks")[1:],  # n_tokens also in quality_cols
-            *quality_cols(text_col, tok_col="__toks"),
-            *language_cols(text_col),
+            F.col(text_col),
+            *signal_stage1_cols(text_col, tok_col="__toks", langs=True),
+        )
+        .select("*", *gram_count_cols())
+        .select(
+            F.col(id_col),
+            *token_stat_cols_bound(text_col),
+            *repetition_cols_bound()[1:],  # n_tokens also in quality_cols
+            *quality_cols_bound(),
+            *language_cols_bound(),
         )
     )
 
@@ -245,22 +461,37 @@ def quality_filter(
     every rule predicate treats NULL as a violation (a filter whose
     purpose is dropping junk must not pass degenerate rows), tagged
     explicitly in the audit view."""
-    reasons = drop_reasons_col(
-        text_col,
+    # tokens bound ONCE in their own stage: the repetition signal reads
+    # the token array per n-gram element, and a captured tokenize
+    # expression re-evaluates per read under interpreted HOFs —
+    # quadratic in document size (the round-4 shingle-plan lesson).
+    # Round 13: every heavy HOF bound once too (signal_stage1_cols), so
+    # each rule's signal is a cheap integer-attribute expression.
+    wide = (
+        widen_for_compute(docs)
+        .select("*", T.tokens(text_col).alias("__toks"))
+        .select(
+            "*",
+            *signal_stage1_cols(
+                text_col, tok_col="__toks", langs=langs is not None
+            ),
+        )
+        .select("*", *gram_count_cols())
+    )
+    rep = repetition_cols_bound()
+    reasons = drop_reasons_from_signals(
+        F.length(F.col(text_col)),
+        F.col("__n_toks"),
+        rep[2],
+        rep[3],
+        quality_cols_bound()[3],
+        language_cols_bound()[0] if langs is not None else F.lit("und"),
         min_chars=min_chars,
         min_tokens=min_tokens,
         max_dup_ngram_frac=max_dup_ngram_frac,
         max_top_token_frac=max_top_token_frac,
         min_quality=min_quality,
         langs=langs,
-        tok_col="__toks",
-    )
-    # tokens bound ONCE in their own stage: the repetition signal reads
-    # the token array per n-gram element, and a captured tokenize
-    # expression re-evaluates per read under interpreted HOFs —
-    # quadratic in document size (the round-4 shingle-plan lesson)
-    wide = widen_for_compute(docs).select(
-        "*", T.tokens(text_col).alias("__toks")
     )
     if with_reasons:
         return wide.select(*docs.columns, reasons.alias("drop_reasons"))

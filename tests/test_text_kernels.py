@@ -146,3 +146,80 @@ def test_normalize_text_matches_duckdb_on_crafted_unicode(spark):
     assert got[4][0] == "too many spaces"
     assert got[5][0] == "lead\ntrail"
     assert got[6][0] is None
+
+
+def test_regex_token_count_kernel_matches_catalyst(spark, frame):
+    """Round-13 kernel: byte-level alnum-run count over JVM-lowered text
+    ≡ size(filter(split(lower(text), '[^a-z0-9]+'), t != '')) — edge
+    cases plus NULL propagation plus the real sf0.001 corpus."""
+    cases = frame.union(
+        spark.createDataFrame(
+            [
+                (100, None),
+                (101, "ABC123 def-456__ghi"),
+                (102, "---"),
+                (103, "é9é9é"),  # non-ASCII separators between digits
+                (104, "K kelvin"),  # U+212A lowers into ASCII 'k'
+            ],
+            "doc_id long, text string",
+        )
+    )
+    both = cases.select(
+        "doc_id",
+        F.size(T.regex_tokens("text")).alias("spec"),
+        K.regex_token_count_kernel(F.lower(F.col("text"))).alias("kernel"),
+    )
+    for r in both.collect():
+        assert r.spec == r.kernel or (
+            r.spec is None and r.kernel is None
+        ), f"doc {r.doc_id}: {r.spec} != {r.kernel}"
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    diff = corpus.select(
+        F.size(T.regex_tokens("text")).alias("spec"),
+        K.regex_token_count_kernel(F.lower(F.col("text"))).alias("kernel"),
+    ).filter("spec IS DISTINCT FROM kernel")
+    assert diff.count() == 0
+
+
+def test_staged_signals_identical(spark):
+    """Round-13 staged signal evaluation (operators/text.py
+    signal_stage1_cols / *_cols_bound): the staged form must produce
+    bit-identical rows to the unstaged column factories on the real
+    corpus — same expressions, evaluated once instead of per textual
+    reference."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from datalake_public_spark.functions import text_funcs as TF
+    from datalake_public_spark.operators import text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wide = docs.select("doc_id", "text", TF.tokens("text").alias("__toks"))
+    unstaged = wide.select(
+        "doc_id",
+        *text.token_stat_cols(tok_col="__toks"),
+        *text.repetition_cols(tok_col="__toks")[1:],
+        *text.quality_cols(tok_col="__toks"),
+        *text.language_cols(),
+    )
+    staged = (
+        wide.select(
+            "doc_id",
+            "text",
+            *text.signal_stage1_cols(tok_col="__toks", langs=True),
+        )
+        .select("*", *text.gram_count_cols())
+        .select(
+            "doc_id",
+            *text.token_stat_cols_bound(use_arrow=False),
+            *text.repetition_cols_bound()[1:],
+            *text.quality_cols_bound(),
+            *text.language_cols_bound(),
+        )
+    )
+    assert staged.columns == unstaged.columns
+    assert [f.dataType for f in staged.schema.fields] == [
+        f.dataType for f in unstaged.schema.fields
+    ]
+    a = sorted(map(tuple, staged.collect()))
+    b = sorted(map(tuple, unstaged.collect()))
+    assert a == b
