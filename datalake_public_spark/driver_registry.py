@@ -1097,23 +1097,54 @@ FROM (
 # --------------------------------------------------------------------------
 
 
-def text_stats(spark: SparkSession, sf: str) -> DataFrame:
+def text_stats(
+    spark: SparkSession, sf: str, *, use_arrow: bool = True
+) -> DataFrame:
     """Per-doc token statistics (char/byte/ws-token/regex-token/distinct
     counts) + Gopher-style repetition signals (dup-2gram fraction, modal
     token mass) + PII counters and the md5 of the PII-redacted text
     (operators/text.redact_pii — the scrub a training pipeline runs
-    before tokenization) in one row per document. All signals are
-    row-local Catalyst expressions, so the merge is ONE projection over
-    ONE scan — the round-2 grain-key join re-read the corpus and
+    before tokenization) in one row per document. One row-local pass
+    over ONE scan — the round-2 grain-key join re-read the corpus and
     shuffled per-doc rows for row-local math (judge-flagged; fixed
     round 3). The redacted-text md5 makes the oracle verify the FULL
-    redacted string, not just match counts."""
+    redacted string, not just match counts.
+
+    Round 13 (optimization): the default path is ONE mapInArrow batch
+    kernel (functions/text_kernels.text_stats_batches) — token/gram/
+    uniq/modal math vectorized on the Arrow buffers, PII via RE2 (the
+    same engine the DuckDB oracle runs; patterns pinned Java≡RE2 since
+    round 2), md5 in C. The JVM path kept two structural costs even
+    after the staged-HOF fix: interpreted HOF passes and a JVM-global
+    java-regex interference (~10× — OPTIMIZATION_r13.md §text_stats).
+    ×100 isolated: 28.2 s unstaged → 8-10 s staged → ~2.5 s kernel;
+    ×1000: 175.1 → 83.6 → ~30 s. ``use_arrow=False`` keeps the staged
+    Catalyst spec path (oracle-reviewable; equality pinned in
+    tests/test_text_kernels.py::test_text_stats_kernel_matches_catalyst
+    on edge cases + real corpora, and both paths face the DuckDB oracle
+    hash at every rung)."""
     from datalake_public_spark.operators import text
     from datalake_public_spark.sources.readers import widen_for_compute
 
     from datalake_public_spark.functions import text_funcs as TF
 
     docs = _t(spark, sf, "documents")
+    if use_arrow:
+        from datalake_public_spark.functions.text_kernels import (
+            TEXT_STATS_KERNEL_SCHEMA,
+            text_stats_batches,
+        )
+
+        return (
+            widen_for_compute(docs)
+            # __lowered computed JVM-side so no second lowercase
+            # implementation enters the n_re_tokens contract
+            .select("doc_id", "text", F.lower(F.col("text")).alias("__lowered"))
+            .mapInArrow(
+                text_stats_batches(text.PII_PATTERNS, text._PII_ORDER),
+                TEXT_STATS_KERNEL_SCHEMA,
+            )
+        )
     return (
         widen_for_compute(docs)
         # tokens bound once (round-4 lesson: a captured tokenize

@@ -220,6 +220,233 @@ def regex_token_count_kernel(lowered_col: Column) -> Column:
     return _UDF_CACHE["nre"](lowered_col)
 
 
+# -- whole-row token/PII statistics kernel (round 13) -----------------------
+#
+# The text_stats driver entry computes 12 per-doc signals. Even with the
+# staged-HOF evaluation (operators/text.py signal_stage1_cols) the JVM
+# path keeps two structural costs: interpreted HOF token/gram passes, and
+# the java-regex PII family whose coexistence with other regex workloads
+# measured a JVM-global ~10× interference (see regex_token_count_kernel).
+# This kernel computes ALL signals in one Arrow batch pass (guide-§4.2
+# shape: Spark does distribution+scan, the batch goes to vectorized
+# native code): token/gram/uniq/modal math on the Arrow buffers via
+# numpy + dictionary_encode, PII via pyarrow's RE2 (the SAME engine the
+# DuckDB oracle twins run, with patterns pinned Java≡RE2-identical since
+# round 2), md5 via hashlib over the redacted buffer. The staged
+# Catalyst form remains the oracle-checkable spec; equality is pinned in
+# tests/test_text_kernels.py on edge cases + real corpora.
+
+#: scale for int_ratio_half_up(…, 6) in the kernel's integer math
+_RATIO6 = 1_000_000
+
+
+def _int_ratio6(numer: np.ndarray, denom: np.ndarray) -> np.ndarray:
+    """functions/arith.int_ratio_half_up(…, digits=6) twin over int64
+    arrays, 0.0 where denom == 0 (the coalesce the callers apply)."""
+    numer = numer.astype(np.int64)
+    denom = denom.astype(np.int64)
+    safe = np.maximum(denom, 1)
+    q = (2 * _RATIO6 * numer + denom) // (2 * safe)
+    return np.where(denom > 0, q / float(_RATIO6), 0.0)
+
+
+def _token_gram_stats(tokens_list) -> tuple:
+    """Per-doc (n_ws_tokens, n_uniq, n_grams, n_dup_grams, modal_best)
+    from an Arrow ListArray of space-split pieces (empties included —
+    filtered here). Exact string identity via dictionary_encode; all
+    per-doc reductions are numpy segment ops, no per-row Python."""
+    n = len(tokens_list)
+    offsets = np.frombuffer(tokens_list.buffers()[1], dtype=np.int32)[
+        tokens_list.offset : tokens_list.offset + n + 1
+    ].astype(np.int64)
+    counts_all = np.diff(offsets)
+    values = tokens_list.flatten()  # honors offset/length
+    import pyarrow.compute as pc
+
+    nonempty = pc.not_equal(values, "").to_numpy(zero_copy_only=False)
+    nonempty = np.asarray(nonempty, dtype=bool)
+    doc_at = np.repeat(np.arange(n, dtype=np.int64), counts_all)[nonempty]
+    codes = np.asarray(
+        pc.dictionary_encode(values).indices.to_numpy(zero_copy_only=False),
+        dtype=np.int64,
+    )[nonempty]
+    n_toks = np.zeros(n, dtype=np.int64)
+    np.add.at(n_toks, np.repeat(np.arange(n, dtype=np.int64), counts_all)[nonempty], 1)
+    n_uniq = np.zeros(n, dtype=np.int64)
+    best = np.zeros(n, dtype=np.int64)
+    n_grams = np.maximum(n_toks - 1, 0)
+    n_dup = np.zeros(n, dtype=np.int64)
+    if len(codes):
+        # distinct tokens + modal multiplicity: sort (doc, code), count
+        # run boundaries / run lengths per doc
+        order = np.lexsort((codes, doc_at))
+        d_s, c_s = doc_at[order], codes[order]
+        new_run = np.empty(len(c_s), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+        run_starts = np.flatnonzero(new_run)
+        np.add.at(n_uniq, d_s[run_starts], 1)
+        run_lens = np.diff(np.append(run_starts, len(c_s)))
+        np.maximum.at(best, d_s[run_starts], run_lens)
+        # 2-gram distinct count: adjacent same-doc pairs in ORIGINAL
+        # token order; pair identity = (code_i, code_{i+1})
+        adj = doc_at[1:] == doc_at[:-1]
+        if adj.any():
+            K = int(codes.max()) + 1
+            gdoc = doc_at[:-1][adj]
+            gkey = codes[:-1][adj] * K + codes[1:][adj]
+            gorder = np.lexsort((gkey, gdoc))
+            gd, gk = gdoc[gorder], gkey[gorder]
+            gnew = np.empty(len(gk), dtype=bool)
+            gnew[0] = True
+            gnew[1:] = (gd[1:] != gd[:-1]) | (gk[1:] != gk[:-1])
+            n_distinct = np.zeros(n, dtype=np.int64)
+            np.add.at(n_distinct, gd[np.flatnonzero(gnew)], 1)
+            n_dup = n_grams - n_distinct
+    return n_toks, n_uniq, n_grams, n_dup, best
+
+
+def _md5_hex_per_row(arr) -> list:
+    """md5 hexdigest of each string's UTF-8 bytes, None for null — reads
+    the Arrow data buffer directly (no per-row Python strings)."""
+    import hashlib
+
+    n = len(arr)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    buf = arr.buffers()[2]
+    mv = memoryview(buf) if buf is not None else memoryview(b"")
+    valid = np.ones(n, dtype=bool)
+    if arr.null_count:
+        import pyarrow.compute as pc
+
+        valid = np.asarray(
+            pc.is_valid(arr).to_numpy(zero_copy_only=False), dtype=bool
+        )
+    out: list = [None] * n
+    md5 = hashlib.md5
+    for i in range(n):
+        if valid[i]:
+            out[i] = md5(mv[offsets[i] : offsets[i + 1]]).hexdigest()
+    return out
+
+
+def _alnum_runs_from_arrow(arr) -> np.ndarray:
+    """Byte-level alnum-run count per string of an Arrow string array
+    (see _alnum_run_count_fn for the semantics proof)."""
+    n = len(arr)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    off0 = offsets - offsets[0]
+    buf = arr.buffers()[2]
+    if buf is None or offsets[-1] == offsets[0]:
+        return np.zeros(n, dtype=np.int64)
+    data = np.frombuffer(buf, dtype=np.uint8)[offsets[0] : offsets[-1]]
+    alnum = ((data >= 97) & (data <= 122)) | ((data >= 48) & (data <= 57))
+    starts = alnum.copy()
+    starts[1:] &= ~alnum[:-1]
+    first = off0[:-1][off0[:-1] < len(data)]
+    starts[first] = alnum[first]
+    cs = np.concatenate(([0], np.cumsum(starts)))
+    return cs[off0[1:]] - cs[off0[:-1]]
+
+
+def text_stats_batches(pii_patterns: dict, pii_order: tuple):
+    """mapInArrow kernel factory for the text_stats signal row: input
+    batches of (doc_id, text, __lowered), output the full 13-column
+    signal schema (TEXT_STATS_KERNEL_SCHEMA). NULL text → NULL counts,
+    0.0 ratios, NULL md5 — exactly the Catalyst spec's null algebra."""
+
+    def fn(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            doc_id = batch.column(0)
+            text = batch.column(1)
+            if pa.types.is_large_string(text.type):
+                text = text.cast(pa.string())
+            low = batch.column(2)
+            if pa.types.is_large_string(low.type):
+                low = low.cast(pa.string())
+            n = len(text)
+            valid = np.ones(n, dtype=bool)
+            if text.null_count:
+                valid = np.asarray(
+                    pc.is_valid(text).to_numpy(zero_copy_only=False), dtype=bool
+                )
+            nulls = ~valid
+            n_chars = pc.utf8_length(text)
+            n_bytes = pc.binary_length(text)
+            pieces = pc.split_pattern(pc.fill_null(text, ""), " ")
+            n_toks, n_uniq, n_grams, n_dup, best = _token_gram_stats(pieces)
+            n_re = _alnum_runs_from_arrow(
+                pc.fill_null(low, "").combine_chunks()
+                if isinstance(low, pa.ChunkedArray)
+                else pc.fill_null(low, "")
+            )
+            dup_frac = _int_ratio6(n_dup, n_grams)
+            top_frac = _int_ratio6(best, n_toks)
+            red = text
+            for k in pii_order:
+                red = pc.replace_substring_regex(
+                    red, pattern=pii_patterns[k], replacement=f"[{k.upper()}]"
+                )
+            md5s = _md5_hex_per_row(
+                red.combine_chunks() if isinstance(red, pa.ChunkedArray) else red
+            )
+            def _int_col(vals):
+                a = pa.array(
+                    np.asarray(vals, dtype=np.int64), type=pa.int64()
+                ).cast(pa.int32())
+                if nulls.any():
+                    a = pc.if_else(pa.array(nulls), pa.nulls(n, pa.int32()), a)
+                return a
+            cols = [
+                doc_id,
+                n_chars.cast(pa.int32()),
+                n_bytes.cast(pa.int32()),
+                _int_col(n_toks),
+                _int_col(n_re),
+                _int_col(n_uniq),
+                # n_grams is NOT null-masked: the spec's CASE falls to
+                # ELSE [] on NULL tokens, so size() is 0, never NULL
+                pa.array(n_grams.astype(np.int64), type=pa.int64()).cast(
+                    pa.int32()
+                ),
+                pa.array(dup_frac, type=pa.float64()),
+                pa.array(top_frac, type=pa.float64()),
+                *[
+                    pc.count_substring_regex(text, pattern=pii_patterns[k]).cast(
+                        pa.int32()
+                    )
+                    for k in pii_order
+                ],
+                pa.array(md5s, type=pa.string()),
+            ]
+            yield pa.RecordBatch.from_arrays(
+                cols,
+                names=[
+                    "doc_id", "n_chars", "n_bytes", "n_ws_tokens",
+                    "n_re_tokens", "n_uniq_tokens", "n_grams",
+                    "dup_ngram_frac", "top_token_frac", "n_emails", "n_ips",
+                    "n_phones", "redacted_md5",
+                ],
+            )
+
+    return fn
+
+
+TEXT_STATS_KERNEL_SCHEMA = (
+    "doc_id long, n_chars int, n_bytes int, n_ws_tokens int, "
+    "n_re_tokens int, n_uniq_tokens int, n_grams int, "
+    "dup_ngram_frac double, top_token_frac double, n_emails int, "
+    "n_ips int, n_phones int, redacted_md5 string"
+)
+
+
 def _fingerprint256_fn(texts: pd.Series) -> pd.Series:
     # NULL text must stay NULL (the Catalyst spec and the DuckDB oracle
     # both propagate it); only non-null rows enter the kernel

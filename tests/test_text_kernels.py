@@ -223,3 +223,41 @@ def test_staged_signals_identical(spark):
     a = sorted(map(tuple, staged.collect()))
     b = sorted(map(tuple, unstaged.collect()))
     assert a == b
+
+
+def test_text_stats_kernel_matches_catalyst(spark):
+    """Round-13 mapInArrow text_stats kernel ≡ the staged Catalyst spec
+    path — edge cases (NULL text, empty, unicode, PII shapes, repeated
+    tokens) and the full sf0.001 corpus, schema included. Both paths
+    additionally face the DuckDB oracle hash at every rung."""
+    import datalake_public_spark.driver_registry as DR
+
+    cases = [
+        (1, "hello world hello"),
+        (2, ""),
+        (3, None),
+        (4, "a@b.co and 1.2.3.4 call +12 345 6789 01 ok"),
+        (5, "x " * 500),
+        (6, "é ü ñ 中文 token é"),
+        (7, "the the the"),
+        (8, "  spaces   everywhere  "),
+        (9, "K kelvin ABC123"),
+        (10, "one"),
+    ]
+    docs = spark.createDataFrame(cases, "doc_id long, text string")
+    orig_t = DR._t
+    DR._t = lambda s, sf, t: docs
+    try:
+        a = DR.text_stats(spark, "x", use_arrow=True)
+        b = DR.text_stats(spark, "x", use_arrow=False)
+        assert [(f.name, f.dataType) for f in a.schema.fields] == [
+            (f.name, f.dataType) for f in b.schema.fields
+        ]
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )
+    finally:
+        DR._t = orig_t
+    ka = DR.text_stats(spark, "/root/testdata/sf0.001", use_arrow=True)
+    kb = DR.text_stats(spark, "/root/testdata/sf0.001", use_arrow=False)
+    assert sorted(map(tuple, ka.collect())) == sorted(map(tuple, kb.collect()))
