@@ -372,6 +372,70 @@ def contamination_check(
     )
 
 
+def contamination_check_via_reps(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    min_common: int = 2,
+) -> DataFrame:
+    """Same rows as ``contamination_check`` computed dedup-first — the
+    pair-lift discipline (``ngram_jaccard_pairs_via_reps``) applied to
+    the one remaining dedup-family operator that still shingled every
+    duplicate copy (round 13). ``n_common``/``n_sh`` are functions of
+    the TEXT alone, so every doc's row equals its exact-dedup
+    representative's: shingle + explode + bench-join + count run on the
+    REPRESENTATIVES only, then the per-rep rows lift through the
+    doc→rep mapping with one broadcast hash join (the filtered rep rows
+    are small by construction — contaminated reps only). The benchmark
+    side collapses to DISTINCT texts before the shingle kernel for the
+    same reason (distinct-of-union ≡ union-of-distinct).
+
+    Scale: on a replicated-crawl corpus (the 100 TB regime) the
+    shingle/explode/join/count pipeline shrinks by the duplication
+    factor; the full-corpus work is one md5 groupBy plus the map-side
+    lift join. On a fully-unique corpus this degrades to one extra md5
+    rollup — the same documented trade every other lift makes.
+    Equality with the direct operator is pinned in
+    tests/test_dedup.py (duplicate groups, shingle-less dups, sf0.001
+    corpus)."""
+    own: list[DataFrame] = []
+    groups, reps, mapping = _rep_lift_inputs(
+        corpus, text_col, id_col, None, None, own
+    )
+    kernel = _shingle_strings_kernel(n)
+    bench_sh = (
+        benchmark.select(text_col)
+        .distinct()
+        .select(F.explode(kernel(F.col(text_col))).alias("shingle"))
+        .distinct()
+    )
+    sh = widen_for_compute(reps).select(
+        F.col(id_col).alias("rep"), kernel(F.col(text_col)).alias("shingles")
+    )
+    inv = sh.select(
+        "rep", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
+    )
+    from datalake_public_spark.functions.arith import int_ratio_half_up
+
+    rep_rows = (
+        inv.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("rep", "n_sh")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    lifted = (
+        mapping.join(F.broadcast(rep_rows), "rep")
+        .withColumn(
+            "contamination", int_ratio_half_up(F.col("n_common"), F.col("n_sh"), 6)
+        )
+        .select("id", "n_sh", "n_common", "contamination")
+    )
+    return _adopt_caches(lifted, *own)
+
+
 MERSENNE_P = 2_147_483_647  # 2^31 - 1, prime
 
 

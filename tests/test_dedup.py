@@ -114,6 +114,64 @@ def test_contamination_check_counts_and_ratio(spark):
     assert got1 == {1, 2}
 
 
+def test_contamination_via_reps_equals_direct(spark):
+    """The round-13 rep lift: identical rows on a corpus with exact-dup
+    groups (n_common/n_sh are functions of the text, so every copy's
+    row equals its representative's), shingle-less docs (< n tokens),
+    and a duplicated benchmark side (distinct-text pre-collapse)."""
+    base = [
+        (1, "the quick brown fox jumps high"),
+        (2, "all lazy dogs sleep here daily"),
+        (3, "completely different subject matter entirely unrelated"),
+        (4, "too short"),  # < 3 tokens → no shingles, must never appear
+        (5, ""),
+    ]
+    # replicate every text under fresh ids → exact-dup groups
+    rows = base + [(i + 10, t) for i, t in base] + [(i + 20, t) for i, t in base]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [
+            (100, "the quick brown fox ran away"),
+            (101, "lazy dogs sleep soundly"),
+            (102, "the quick brown fox ran away"),  # duplicated bench text
+        ],
+        "doc_id long, text string",
+    )
+    for mc in (1, 2):
+        direct = sorted(
+            map(tuple, dedup.contamination_check(corpus, bench, min_common=mc).collect())
+        )
+        lifted = sorted(
+            map(
+                tuple,
+                dedup.contamination_check_via_reps(
+                    corpus, bench, min_common=mc
+                ).collect(),
+            )
+        )
+        assert direct == lifted and len(direct) > 0
+
+
+def test_contamination_via_reps_equals_direct_sf0001(spark):
+    """Full-corpus equality on the real sf0.001 fixture split exactly as
+    the driver entry splits it (bucket <80 corpus vs >=90 benchmark)."""
+    from datalake_public_spark.operators.sampling import split_bucket
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b = split_bucket("doc_id")
+    corpus, bench = docs.filter(b < 80), docs.filter(b >= 90)
+    direct = sorted(
+        map(tuple, dedup.contamination_check(corpus, bench, min_common=2).collect())
+    )
+    lifted = sorted(
+        map(
+            tuple,
+            dedup.contamination_check_via_reps(corpus, bench, min_common=2).collect(),
+        )
+    )
+    assert direct == lifted and len(direct) > 0
+
+
 def test_contamination_benchmark_side_broadcasts(spark):
     corpus = spark.range(0, 50).select(
         F.col("id").alias("doc_id"),
