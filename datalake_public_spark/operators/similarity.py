@@ -36,21 +36,107 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 10,
+    use_arrow: bool = True,
+    max_query_mb: int = 64,
 ) -> DataFrame:
     """Exact cosine top-k per query. Ties broken by corpus id (total order
     → engine-portable results). The query side is broadcast — at any scale
     the query set is small relative to the corpus, so the corpus never
-    shuffles."""
+    shuffles.
+
+    ``use_arrow`` (default, round 13): the per-pair cosine runs in a
+    ``mapInPandas`` kernel that reproduces the Catalyst expression's
+    float math BIT-EXACTLY — the zip_with/aggregate fold is a sequential
+    left-to-right double accumulation, so the kernel accumulates
+    dimension-by-dimension across the whole batch (``acc += M[:,j] *
+    Q[q,j]``: per element the identical IEEE operation sequence) instead
+    of calling a reordered BLAS dot. Rounding and the ranking window stay
+    in the JVM, so values, null semantics (zero-norm → null, ordered
+    last) and tie-breaks are byte-identical to the expression form
+    (``use_arrow=False`` — kept as the reviewable spec; equality pinned
+    in tests/test_similarity.py). Interpreted HOF cosine was the ×1000
+    rung's cost in similarity_topk (guide §4.2: hand batches to
+    vectorized native code)."""
     from pyspark.sql import Window
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = widen_for_compute(corpus).select(
         F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv")
     )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("match_id"))
-        .withColumn("cos", F.round(V.cosine("qv", "cv"), 6))
-    )
+    if not use_arrow:
+        scored = (
+            c.join(F.broadcast(q), F.col("query_id") != F.col("match_id"))
+            .withColumn("cos", F.round(V.cosine("qv", "cv"), 6))
+        )
+    else:
+        rows = q.collect()
+        Q = np.array(
+            [np.asarray(r["qv"], dtype=np.float64) for r in rows]
+        )
+        if Q.size and Q.nbytes > max_query_mb << 20:
+            raise ValueError(
+                f"query matrix {Q.nbytes >> 20} MB exceeds max_query_mb="
+                f"{max_query_mb}; the brute-force kernel broadcasts the "
+                "query side — chunk the query set or raise the cap"
+            )
+        qids = [r["query_id"] for r in rows]
+        # query norms, same sequential fold as V.norm: acc + v*v, then sqrt
+        qn = np.zeros(len(rows))
+        for j in range(Q.shape[1] if Q.ndim == 2 else 0):
+            qn += Q[:, j] * Q[:, j]
+        qn = np.sqrt(qn)
+        bq = c.sparkSession.sparkContext.broadcast((qids, Q, qn))
+        qid_type = q.schema["query_id"].dataType.simpleString()
+        mid_type = c.schema["match_id"].dataType.simpleString()
+
+        def score(it):
+            qids_, Q_, qn_ = bq.value
+            nq = len(qids_)
+            for pdf in it:
+                if not len(pdf) or not nq:
+                    continue
+                M = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["cv"]]
+                )
+                if M.ndim != 2 or M.shape[1] != Q_.shape[1]:
+                    raise ValueError(
+                        "brute_force_topk kernel requires uniform vector "
+                        f"dims; corpus batch {M.shape} vs queries "
+                        f"{Q_.shape} — use use_arrow=False for ragged data"
+                    )
+                ids = pdf["match_id"].to_numpy()
+                # sequential per-dimension accumulation == the Catalyst
+                # fold's operation order, element for element
+                acc = np.zeros((len(M), nq))
+                cn = np.zeros(len(M))
+                for j in range(M.shape[1]):
+                    col = M[:, j]
+                    acc += col[:, None] * Q_[:, j][None, :]
+                    cn += col * col
+                cn = np.sqrt(cn)
+                denom = cn[:, None] * qn_[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = acc / denom
+                out_q, out_m, out_c = [], [], []
+                for qi in range(nq):
+                    mask = ids != qids_[qi]
+                    ok = denom[:, qi] > 0
+                    vals = np.where(ok, cos[:, qi], np.nan)
+                    out_q.append(np.full(int(mask.sum()), qids_[qi], dtype=object))
+                    out_m.append(ids[mask])
+                    out_c.append(vals[mask])
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "match_id": np.concatenate(out_m),
+                        "cos": np.concatenate(out_c),
+                    }
+                )
+
+        scored = c.mapInPandas(
+            score,
+            schema=f"query_id {qid_type}, match_id {mid_type}, cos double",
+        ).withColumn("cos", F.round(F.col("cos"), 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))

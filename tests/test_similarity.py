@@ -29,6 +29,43 @@ def test_brute_force_exact_neighbors(spark):
     assert [r.match_id for r in sorted(out, key=lambda r: r.rk)] == [1, 2, 3]
 
 
+def test_brute_force_kernel_equals_expression(spark, emb):
+    """The round-13 Arrow scoring kernel must be BYTE-identical to the
+    Catalyst expression form — cos values included (the kernel
+    accumulates per dimension in the expression fold's exact IEEE
+    operation order; round + ranking stay in the JVM)."""
+    queries = emb.filter(F.col("vec_id") < 8)
+    kern = similarity.brute_force_topk(queries, emb, k=10).collect()
+    expr = similarity.brute_force_topk(
+        queries, emb, k=10, use_arrow=False
+    ).collect()
+    assert sorted(map(tuple, kern)) == sorted(map(tuple, expr))
+
+
+def test_brute_force_kernel_zero_norm_and_ties(spark):
+    """Edge semantics pinned: zero-norm corpus vectors score NULL and
+    order last; exact ties break by ascending match_id — identical
+    between kernel and expression forms."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.5, 0.0]),   # cos 1.0 with query 0 (tie with 4)
+        (2, [0.0, 0.0]),   # zero norm → null cos
+        (3, [-1.0, 0.0]),
+        (4, [2.0, 0.0]),   # cos 1.0 with query 0 (tie with 1)
+        (5, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id").isin(0, 2))  # incl. a zero-norm QUERY
+    kern = similarity.brute_force_topk(q, df, k=6).collect()
+    expr = similarity.brute_force_topk(q, df, k=6, use_arrow=False).collect()
+    assert sorted(map(tuple, kern)) == sorted(map(tuple, expr))
+    by_rk = {r.rk: r for r in kern if r.query_id == 0}
+    assert (by_rk[1].match_id, by_rk[2].match_id) == (1, 4)  # tie → id asc
+    nulls = [r for r in kern if r.query_id == 0 and r.cos is None]
+    # 5 non-self matches for query 0; the zero-norm one is null and LAST
+    assert {r.match_id for r in nulls} == {2} and by_rk[5].match_id == 2
+
+
 def test_lsh_recall_floor(spark, emb):
     """ANN must beat random-candidate recall by a wide margin on random
     data (multiprobe signbit buckets at 8 planes ≈ 3.5% candidates)."""
