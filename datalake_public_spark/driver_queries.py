@@ -1650,16 +1650,24 @@ def q12_late_shipment_priority(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale: the lateness predicate is row-local after the one orderkey
     shuffle; group keys are ~7 years, so partial aggregation collapses
-    the second exchange to nothing."""
+    the second exchange to nothing. Round 13 (guide §2.3 "narrower
+    types"): the priority CLASS is computed BELOW the orders-side
+    exchange — the shuffle carries a boolean instead of the ~12-byte
+    o_orderpriority string it only ever compared against two literals
+    (the predicate is row-local on orders columns, so values are
+    identical by construction; oracle unchanged)."""
     li = _t(spark, sf, "lineitem")
     orders = _t(spark, sf, "orders")
-    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = li.select("l_orderkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate", high.alias("is_high")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).filter(
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     )
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return joined.groupBy(F.year("l_shipdate").alias("ship_year")).agg(
-        F.sum(high.cast("long")).alias("high_line_count"),
-        F.sum((~high).cast("long")).alias("low_line_count"),
+        F.sum(F.col("is_high").cast("long")).alias("high_line_count"),
+        F.sum((~F.col("is_high")).cast("long")).alias("low_line_count"),
     )
 
 
