@@ -1502,26 +1502,18 @@ GROUP BY 1
 """
 
 
-def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q9 shape: profit per (supplier nation, order year) for
-    parts whose name contains 'e' — revenue minus a deterministic cost
-    term (60% of retail price per unit stands in for ps_supplycost).
-
-    Scale: part/supplier broadcast BELOW the one lineitem⋈orders
-    shuffle, and the per-line profit and the supplier's nationkey are
-    both computed pre-shuffle, so the fact exchange carries exactly
-    three narrow columns — (orderkey, nationkey, profit_cents), ~20
-    bytes/row — instead of the five raw price/discount/quantity/retail
-    columns (round 9; the wide exchange was most of q9's 6.9 s in the
-    ×100 map). Profit is exact bigint cents per line (unit cost in
-    cents × integral quantity), so the rollup is
-    engine-order-independent; the 25-row nation name join happens after
-    the final low-cardinality aggregate."""
-    li = _t(spark, sf, "lineitem")
-    orders = _t(spark, sf, "orders")
-    sup = _t(spark, sf, "supplier")
-    nation = _t(spark, sf, "nation")
-    part = _t(spark, sf, "part").filter(F.col("p_name").contains("e"))
+def _q9_body(
+    li: DataFrame,
+    orders: DataFrame,
+    sup: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+) -> DataFrame:
+    """TPC-H Q9 plan body over injectable inputs (see _q3_body) — the
+    same logical plan runs on raw parquet scans (q9_product_profit) or
+    the orderkey-bucketed fact tables (tpch_trio_bucketed, where the
+    lineitem⋈orders join needs no Exchange and no sort)."""
+    part = part.filter(F.col("p_name").contains("e"))
     rev_cents = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
     ).cast("long")
@@ -1559,6 +1551,30 @@ def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             F.col("n_name").alias("nation"), "o_year", "profit_cents"
         )
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per (supplier nation, order year) for
+    parts whose name contains 'e' — revenue minus a deterministic cost
+    term (60% of retail price per unit stands in for ps_supplycost).
+
+    Scale: part/supplier broadcast BELOW the one lineitem⋈orders
+    shuffle, and the per-line profit and the supplier's nationkey are
+    both computed pre-shuffle, so the fact exchange carries exactly
+    three narrow columns — (orderkey, nationkey, profit_cents), ~20
+    bytes/row — instead of the five raw price/discount/quantity/retail
+    columns (round 9; the wide exchange was most of q9's 6.9 s in the
+    ×100 map). Profit is exact bigint cents per line (unit cost in
+    cents × integral quantity), so the rollup is
+    engine-order-independent; the 25-row nation name join happens after
+    the final low-cardinality aggregate."""
+    return _q9_body(
+        _t(spark, sf, "lineitem"),
+        _t(spark, sf, "orders"),
+        _t(spark, sf, "supplier"),
+        _t(spark, sf, "nation"),
+        _t(spark, sf, "part"),
     )
 
 
@@ -1641,6 +1657,23 @@ WHERE value_cents * c * 10 > g * 12
 """
 
 
+def _q12_body(li: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q12 plan body over injectable inputs (see _q3_body /
+    _q9_body — the bucketed twin injects the orderkey-bucketed fact
+    tables and the join runs with no Exchange)."""
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = li.select("l_orderkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate", high.alias("is_high")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return joined.groupBy(F.year("l_shipdate").alias("ship_year")).agg(
+        F.sum(F.col("is_high").cast("long")).alias("high_line_count"),
+        F.sum((~F.col("is_high")).cast("long")).alias("low_line_count"),
+    )
+
+
 def q12_late_shipment_priority(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q12 shape: per ship year, how many LATE-shipped lines
     belonged to critical-priority orders vs the rest — the two-way
@@ -1656,19 +1689,7 @@ def q12_late_shipment_priority(spark: SparkSession, sf: str) -> DataFrame:
     o_orderpriority string it only ever compared against two literals
     (the predicate is row-local on orders columns, so values are
     identical by construction; oracle unchanged)."""
-    li = _t(spark, sf, "lineitem")
-    orders = _t(spark, sf, "orders")
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    joined = li.select("l_orderkey", "l_shipdate").join(
-        orders.select("o_orderkey", "o_orderdate", high.alias("is_high")),
-        F.col("l_orderkey") == F.col("o_orderkey"),
-    ).filter(
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    )
-    return joined.groupBy(F.year("l_shipdate").alias("ship_year")).agg(
-        F.sum(F.col("is_high").cast("long")).alias("high_line_count"),
-        F.sum((~F.col("is_high")).cast("long")).alias("low_line_count"),
-    )
+    return _q12_body(_t(spark, sf, "lineitem"), _t(spark, sf, "orders"))
 
 
 Q12_SQL = """
@@ -1763,11 +1784,20 @@ def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     suppkey)) under the n_late_supp = 1 filter; only qualifying rows —
     at most one per order — reach the tiny per-supplier rollup and the
     TakeOrdered top-100."""
-    li = _t(spark, sf, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
+    return _q21_body(
+        _t(spark, sf, "lineitem"),
+        _t(spark, sf, "orders"),
+        _t(spark, sf, "supplier"),
     )
-    orders = _t(spark, sf, "orders")
-    sup = _t(spark, sf, "supplier")
+
+
+def _q21_body(li: DataFrame, orders: DataFrame, sup: DataFrame) -> DataFrame:
+    """TPC-H Q21 plan body over injectable inputs (see _q3_body /
+    _q9_body — the bucketed twin injects the orderkey-bucketed fact
+    tables; the join AND both per-order rollups then run with zero
+    Exchange, since the bucketed scan already reports
+    HashPartitioning(orderkey))."""
+    li = li.select("l_orderkey", "l_suppkey", "l_shipdate")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         "INTERVAL 90 DAYS"
     )

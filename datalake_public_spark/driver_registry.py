@@ -1211,7 +1211,9 @@ _QF_MIN_QUALITY = 0.3
 _QF_LANGS = ("en", "fr", "de", "es")
 
 
-def text_lang_quality(spark: SparkSession, sf: str) -> DataFrame:
+def text_lang_quality(
+    spark: SparkSession, sf: str, *, use_arrow: bool = True
+) -> DataFrame:
     """Per-doc language-ID (n-gram marker heuristic) + quality score
     (length/uniqueness/token-shape ratios) + the quality_filter VERDICT
     (Gopher/C4-style drop rules: length floors, repetition ceilings,
@@ -1220,12 +1222,47 @@ def text_lang_quality(spark: SparkSession, sf: str) -> DataFrame:
     filter's rule signals are row-local expressions folded into the same
     select (round-3 collapse of the grain-key joins). The drop-reason
     list is emitted as a comma-joined string in fixed rule order so the
-    driver canonicalizer can hash it; survives == (no reasons)."""
+    driver canonicalizer can hash it; survives == (no reasons).
+
+    Round 14 (VERDICT r13 item 2): the default path is ONE mapInArrow
+    batch kernel (functions/text_kernels.lang_quality_batches) — the
+    text_stats treatment applied to the language/quality families. The
+    r13 staged-HOF form had stopped halfway: every heavy HOF bound once,
+    but the token/gram/marker-filter passes still ran interpreted in the
+    JVM (~8.1-8.6 s isolated at ×100 vs text_stats' 1.4-2.5 s after its
+    kernel). ``use_arrow=False`` keeps the staged Catalyst spec path
+    (oracle-reviewable; equality pinned in tests/test_text_kernels.py::
+    test_lang_quality_kernel_matches_catalyst on edge cases + real
+    corpora, and both paths face the DuckDB oracle hash at every rung)."""
     from datalake_public_spark.functions import text_funcs as T
     from datalake_public_spark.operators import text
     from datalake_public_spark.sources.readers import widen_for_compute
 
     docs = _t(spark, sf, "documents")
+    if use_arrow:
+        from datalake_public_spark.functions.text_kernels import (
+            lang_quality_batches,
+            lang_quality_kernel_schema,
+        )
+
+        return (
+            widen_for_compute(docs)
+            .select("doc_id", "text", "n_chars")
+            .mapInArrow(
+                lang_quality_batches(
+                    T.LANG_MARKERS,
+                    {
+                        "min_chars": _QF_MIN_CHARS,
+                        "min_tokens": _QF_MIN_TOKENS,
+                        "max_dup": _QF_MAX_DUP,
+                        "max_top": _QF_MAX_TOP,
+                        "min_quality": _QF_MIN_QUALITY,
+                        "langs": _QF_LANGS,
+                    },
+                ),
+                lang_quality_kernel_schema(T.LANG_MARKERS),
+            )
+        )
     # Stage 1 projects every signal ONCE (the language/quality HOFs are
     # interpreted — no codegen CSE — so re-inlining them per rule doubles
     # the per-doc cost); stage 2 builds the rule verdict from the NAMED

@@ -240,36 +240,80 @@ def regex_token_count_kernel(lowered_col: Column) -> Column:
 _RATIO6 = 1_000_000
 
 
-def _int_ratio6(numer: np.ndarray, denom: np.ndarray) -> np.ndarray:
-    """functions/arith.int_ratio_half_up(…, digits=6) twin over int64
-    arrays, 0.0 where denom == 0 (the coalesce the callers apply)."""
+def _int_ratio(
+    numer: np.ndarray, denom: np.ndarray, digits: int = 6
+) -> np.ndarray:
+    """functions/arith.int_ratio_half_up twin over int64 arrays, 0.0
+    where denom == 0 (callers either coalesce to 0.0 like the Catalyst
+    form, or re-mask those rows to null for the un-coalesced ratios)."""
+    scale = 10**digits
     numer = numer.astype(np.int64)
     denom = denom.astype(np.int64)
     safe = np.maximum(denom, 1)
-    q = (2 * _RATIO6 * numer + denom) // (2 * safe)
-    return np.where(denom > 0, q / float(_RATIO6), 0.0)
+    q = (2 * scale * numer + denom) // (2 * safe)
+    return np.where(denom > 0, q / float(scale), 0.0)
 
 
-def _token_gram_stats(tokens_list) -> tuple:
+def _int_ratio6(numer: np.ndarray, denom: np.ndarray) -> np.ndarray:
+    return _int_ratio(numer, denom, 6)
+
+
+def _token_gram_stats(
+    tokens_list, *, concat_len: bool = False, markers_by_lang: dict | None = None
+) -> tuple:
     """Per-doc (n_ws_tokens, n_uniq, n_grams, n_dup_grams, modal_best)
     from an Arrow ListArray of space-split pieces (empties included —
     filtered here). Exact string identity via dictionary_encode; all
-    per-doc reductions are numpy segment ops, no per-row Python."""
+    per-doc reductions are numpy segment ops, no per-row Python.
+
+    ``concat_len`` appends the per-doc sum of token codepoint lengths
+    (== ``length(concat_ws('', toks))``); ``markers_by_lang`` appends a
+    per-doc (n × len(markers_by_lang)) marker-hit count matrix in dict
+    order (== ``size(filter(toks, isin(markers)))`` per language) —
+    the extra signals text_lang_quality needs (round 14)."""
     n = len(tokens_list)
     offsets = np.frombuffer(tokens_list.buffers()[1], dtype=np.int32)[
         tokens_list.offset : tokens_list.offset + n + 1
     ].astype(np.int64)
     counts_all = np.diff(offsets)
     values = tokens_list.flatten()  # honors offset/length
+    import pyarrow as pa
     import pyarrow.compute as pc
 
     nonempty = pc.not_equal(values, "").to_numpy(zero_copy_only=False)
     nonempty = np.asarray(nonempty, dtype=bool)
     doc_at = np.repeat(np.arange(n, dtype=np.int64), counts_all)[nonempty]
+    denc = pc.dictionary_encode(values)
     codes = np.asarray(
-        pc.dictionary_encode(values).indices.to_numpy(zero_copy_only=False),
+        denc.indices.to_numpy(zero_copy_only=False),
         dtype=np.int64,
     )[nonempty]
+    extras: list = []
+    if concat_len:
+        tok_lens = np.asarray(
+            pc.utf8_length(values).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )[nonempty]
+        cs = np.zeros(n, dtype=np.int64)
+        np.add.at(cs, doc_at, tok_lens)
+        extras.append(cs)
+    if markers_by_lang is not None:
+        hits = np.zeros((n, len(markers_by_lang)), dtype=np.int64)
+        if len(codes):
+            dictionary = denc.dictionary
+            for li, markers in enumerate(markers_by_lang.values()):
+                mc = pc.index_in(
+                    pa.array(list(markers), type=dictionary.type),
+                    value_set=dictionary,
+                )
+                mcn = np.asarray(
+                    [m for m in mc.to_pylist() if m is not None],
+                    dtype=np.int64,
+                )
+                if len(mcn):
+                    mask = np.isin(codes, mcn)
+                    np.add.at(hits[:, li], doc_at[mask], 1)
+        extras.append(hits)
     n_toks = np.zeros(n, dtype=np.int64)
     np.add.at(n_toks, np.repeat(np.arange(n, dtype=np.int64), counts_all)[nonempty], 1)
     n_uniq = np.zeros(n, dtype=np.int64)
@@ -303,7 +347,7 @@ def _token_gram_stats(tokens_list) -> tuple:
             n_distinct = np.zeros(n, dtype=np.int64)
             np.add.at(n_distinct, gd[np.flatnonzero(gnew)], 1)
             n_dup = n_grams - n_distinct
-    return n_toks, n_uniq, n_grams, n_dup, best
+    return (n_toks, n_uniq, n_grams, n_dup, best, *extras)
 
 
 def _md5_hex_per_row(arr) -> list:
@@ -445,6 +489,164 @@ TEXT_STATS_KERNEL_SCHEMA = (
     "dup_ngram_frac double, top_token_frac double, n_emails int, "
     "n_ips int, n_phones int, redacted_md5 string"
 )
+
+
+# -- whole-row language-ID + quality + drop-rule kernel (round 14) ----------
+#
+# text_lang_quality is the text_stats twin for the language/quality signal
+# families: after the r13 staged-HOF fix it still paid the interpreted
+# token/gram/marker-filter HOF passes in the JVM (~8.1-8.6 s isolated at
+# ×100 vs text_stats' 1.4-2.5 s post-kernel). Same §4.2 shape: Spark does
+# scan+distribution, one mapInArrow pass computes every signal from the
+# Arrow buffers. The staged Catalyst form remains the oracle-checkable
+# spec; equality pinned in tests/test_text_kernels.py.
+
+
+def lang_quality_batches(
+    lang_markers: dict, qf: dict
+):
+    """mapInArrow kernel factory for the text_lang_quality row: input
+    batches of (doc_id, text, n_chars), output
+    ``lang_quality_kernel_schema``. The table's stored ``n_chars``
+    column passes through VERBATIM (the spec projects the table column,
+    which is not the same expression as the ``length(text)`` the
+    min-chars drop rule evaluates — the rule length is computed here
+    from the text itself, exactly like the spec's ``_len``).
+
+    ``lang_markers``: ordered {lang: (marker words…)} — dict order is
+    the argmax tie-break order, exactly like the Catalyst CASE chain.
+    ``qf``: the drop-rule thresholds {min_chars, min_tokens, max_dup,
+    max_top, min_quality, langs}.
+
+    Null algebra mirrors the spec: NULL text → hits/counts/ratios NULL,
+    pred_lang 'und', every rule fires (coalesce(cond, TRUE)); zero-token
+    docs → NULL digit-4 ratios (int_ratio_half_up's denom-0 NULL, not
+    coalesced in quality_cols_bound), 0.0 repetition ratios (those ARE
+    coalesced)."""
+    langs_order = list(lang_markers)
+    tag_chars = f"too_short_chars<{qf['min_chars']}"
+    tag_tokens = f"too_short_tokens<{qf['min_tokens']}"
+    allowed = frozenset(qf["langs"])
+
+    def fn(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            doc_id = batch.column(0)
+            text = batch.column(1)
+            n_chars_tbl = batch.column(2)  # stored column, passed through
+            if pa.types.is_large_string(text.type):
+                text = text.cast(pa.string())
+            n = len(text)
+            valid = np.ones(n, dtype=bool)
+            if text.null_count:
+                valid = np.asarray(
+                    pc.is_valid(text).to_numpy(zero_copy_only=False),
+                    dtype=bool,
+                )
+            nulls = ~valid
+            # the min-chars RULE length is computed from the text (the
+            # spec's `_len = length(text)`), independent of the stored
+            # n_chars column the output carries
+            rule_len = pc.utf8_length(text)  # null-propagating
+            n_chars_np = np.asarray(
+                pc.fill_null(rule_len, 0).to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
+            pieces = pc.split_pattern(pc.fill_null(text, ""), " ")
+            n_toks, n_uniq, n_grams, n_dup, best, cs, hits = _token_gram_stats(
+                pieces, concat_len=True, markers_by_lang=lang_markers
+            )
+            # repetition ratios: coalesced to 0.0 (spec)
+            dup = _int_ratio(n_dup, n_grams, 6)
+            top = _int_ratio(best, n_toks, 6)
+            # digit-4 ratios: NULL where n_toks == 0 (un-coalesced spec)
+            ratio_ok = (n_toks > 0) & valid
+            uniq_ratio = _int_ratio(n_uniq, n_toks, 4)
+            mean_tok_len = _int_ratio(cs, n_toks, 4)
+            p_quality = (
+                10 * n_uniq
+                + 10 * n_toks
+                - np.minimum(np.abs(cs - 5 * n_toks), 10 * n_toks)
+            )
+            quality = _int_ratio(p_quality, 20 * n_toks, 4)
+            # pred_lang: argmax over dict order (first max wins — the
+            # CASE chain's tie-break), 'und' on zero hits / null text
+            mx = hits.max(axis=1) if hits.shape[1] else np.zeros(n, np.int64)
+            arg = hits.argmax(axis=1) if hits.shape[1] else np.zeros(n, int)
+            pred = np.where(
+                (mx > 0) & valid,
+                np.array(langs_order, dtype=object)[arg],
+                "und",
+            )
+            # drop rules, fixed order; NULL predicate == violation
+            v1 = nulls | (n_chars_np < qf["min_chars"])
+            v2 = nulls | (n_toks < qf["min_tokens"])
+            v3 = dup > qf["max_dup"]          # 0.0-coalesced, never null
+            v4 = top > qf["max_top"]
+            v5 = ~ratio_ok | (quality < qf["min_quality"])
+            v6 = np.array([p not in allowed for p in pred], dtype=bool)
+            reasons = [
+                ",".join(
+                    t
+                    for t, v in (
+                        (tag_chars, v1[i]),
+                        (tag_tokens, v2[i]),
+                        ("repetitive_ngrams", v3[i]),
+                        ("modal_token_mass", v4[i]),
+                        ("low_quality_score", v5[i]),
+                        ("lang_not_allowed", v6[i]),
+                    )
+                    if v
+                )
+                for i in range(n)
+            ]
+            survives = ~(v1 | v2 | v3 | v4 | v5 | v6)
+
+            def _int_col(vals):
+                a = pa.array(
+                    np.asarray(vals, dtype=np.int64), type=pa.int64()
+                ).cast(pa.int32())
+                if nulls.any():
+                    a = pc.if_else(pa.array(nulls), pa.nulls(n, pa.int32()), a)
+                return a
+
+            def _ratio_col(vals):
+                return pa.array(vals, type=pa.float64(), mask=~ratio_ok)
+
+            cols = [
+                doc_id,
+                pa.array(pred, type=pa.string()),
+                *[_int_col(hits[:, li]) for li in range(len(langs_order))],
+                n_chars_tbl,
+                _int_col(n_toks),
+                _ratio_col(uniq_ratio),
+                _ratio_col(mean_tok_len),
+                _ratio_col(quality),
+                pa.array(reasons, type=pa.string()),
+                pa.array(survives),
+            ]
+            yield pa.RecordBatch.from_arrays(
+                cols,
+                names=[
+                    "doc_id", "pred_lang",
+                    *[f"hits_{lang}" for lang in langs_order],
+                    "n_chars", "n_tokens", "uniq_ratio", "mean_tok_len",
+                    "quality", "drop_reasons_csv", "survives",
+                ],
+            )
+
+    return fn
+
+
+def lang_quality_kernel_schema(lang_markers: dict) -> str:
+    hits = ", ".join(f"hits_{lang} int" for lang in lang_markers)
+    return (
+        f"doc_id long, pred_lang string, {hits}, n_chars bigint, "
+        "n_tokens int, uniq_ratio double, mean_tok_len double, "
+        "quality double, drop_reasons_csv string, survives boolean"
+    )
 
 
 def _fingerprint256_fn(texts: pd.Series) -> pd.Series:

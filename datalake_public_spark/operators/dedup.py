@@ -426,8 +426,16 @@ def contamination_check_via_reps(
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )
+    # No forced broadcast on the lift (round-14 ADVICE): contaminated-rep
+    # row count is DATA-dependent (a low-min_common or heavily
+    # contaminated corpus can exceed broadcast limits where the direct
+    # operator degrades gracefully to a shuffle join). AQE picks the
+    # broadcast from the runtime size of the filtered aggregate — small
+    # rep_rows still turn into a broadcast hash join at execution
+    # (verified in the SQL-tab final plan at the ×100 rung, round 14),
+    # huge ones fall back safely to a shuffle join.
     lifted = (
-        mapping.join(F.broadcast(rep_rows), "rep")
+        mapping.join(rep_rows, "rep")
         .withColumn(
             "contamination", int_ratio_half_up(F.col("n_common"), F.col("n_sh"), 6)
         )

@@ -28,6 +28,10 @@ from pyspark.sql import functions as F
 from datalake_public_spark.functions import vector as V
 from datalake_public_spark.sources.readers import widen_for_compute
 
+#: query matrices at or below this ship inside the task closure (no
+#: broadcast block to leak); larger ones broadcast + attach for release
+_BQ_CLOSURE_BYTES = 1 << 20
+
 
 def brute_force_topk(
     queries: DataFrame,
@@ -51,85 +55,168 @@ def brute_force_topk(
     dimension-by-dimension across the whole batch (``acc += M[:,j] *
     Q[q,j]``: per element the identical IEEE operation sequence) instead
     of calling a reordered BLAS dot. Rounding and the ranking window stay
-    in the JVM, so values, null semantics (zero-norm → null, ordered
-    last) and tie-breaks are byte-identical to the expression form
-    (``use_arrow=False`` — kept as the reviewable spec; equality pinned
-    in tests/test_similarity.py). Interpreted HOF cosine was the ×1000
-    rung's cost in similarity_topk (guide §4.2: hand batches to
-    vectorized native code)."""
+    in the JVM, so values, null semantics (zero-norm OR null vector →
+    null cos, ordered last; null ids dropped by the join condition) and
+    tie-breaks are identical to the expression form (``use_arrow=False``
+    — kept as the reviewable spec; equality pinned in
+    tests/test_similarity.py, including null-vector/null-id rows).
+    Interpreted HOF cosine was the ×1000 rung's cost in similarity_topk
+    (guide §4.2: hand batches to vectorized native code).
+
+    EAGER-COLLECT CONTRACT (round 14): the Arrow path materializes the
+    query side (one labelled Spark job + a ≤``max_query_mb`` driver
+    matrix) at plan-CONSTRUCTION time, not first action. This is
+    structural, not an oversight: PySpark pickles a ``mapInPandas``
+    closure when the plan node is built (``UserDefinedFunction._judf →
+    _wrap_function → CloudPickleSerializer.dumps`` runs inside the
+    ``mapInPandas`` call itself), so there is no later point at which
+    driver state can enter the kernel; the lazy alternatives were
+    evaluated and rejected (cogroup re-shuffles the corpus — the cost
+    this operator exists to avoid; a JVM cross-attach duplicates the
+    query matrix into every corpus ROW of the Arrow stream). Callers
+    needing a fully lazy plan use ``use_arrow=False``. The query matrix
+    ships in the task closure when small; above ``_BQ_CLOSURE_BYTES`` it
+    is broadcast, and the broadcast handle is attached to the result for
+    ``operators.dedup.release_caches`` (no per-call executor leak —
+    one-shot callers may skip release, the broadcast dies with the
+    session).
+
+    Ragged corpus vectors raise a descriptive ValueError (the expression
+    form computes a null dot for them — use ``use_arrow=False`` if such
+    malformed rows must survive)."""
     from pyspark.sql import Window
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = widen_for_compute(corpus).select(
         F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv")
     )
+    bq = None
     if not use_arrow:
         scored = (
             c.join(F.broadcast(q), F.col("query_id") != F.col("match_id"))
             .withColumn("cos", F.round(V.cosine("qv", "cv"), 6))
         )
     else:
-        rows = q.collect()
-        Q = np.array(
-            [np.asarray(r["qv"], dtype=np.float64) for r in rows]
+        sc = c.sparkSession.sparkContext
+        sc.setJobDescription(
+            "brute_force_topk: query-side collect (eager by contract — "
+            "see docstring)"
         )
+        try:
+            rows = q.collect()
+        finally:
+            sc.setJobDescription(None)
+        # Expression-form null algebra, reproduced exactly:
+        #   * null query_id never satisfies `query_id != match_id` →
+        #     that query emits no rows at all;
+        #   * null qv scores null cos against every corpus row (V.cosine
+        #     null contract) — kept, routed around the matrix math.
+        null_vec_qids = [
+            r["query_id"]
+            for r in rows
+            if r["query_id"] is not None and r["qv"] is None
+        ]
+        valid = [
+            r for r in rows if r["query_id"] is not None and r["qv"] is not None
+        ]
+        Q = np.array([np.asarray(r["qv"], dtype=np.float64) for r in valid])
+        if Q.size and Q.ndim != 2:
+            raise ValueError(
+                "brute_force_topk kernel requires uniform query vector "
+                "dims — use use_arrow=False for ragged data"
+            )
         if Q.size and Q.nbytes > max_query_mb << 20:
             raise ValueError(
                 f"query matrix {Q.nbytes >> 20} MB exceeds max_query_mb="
                 f"{max_query_mb}; the brute-force kernel broadcasts the "
                 "query side — chunk the query set or raise the cap"
             )
-        qids = [r["query_id"] for r in rows]
+        qids = [r["query_id"] for r in valid]
         # query norms, same sequential fold as V.norm: acc + v*v, then sqrt
-        qn = np.zeros(len(rows))
+        qn = np.zeros(len(valid))
         for j in range(Q.shape[1] if Q.ndim == 2 else 0):
             qn += Q[:, j] * Q[:, j]
         qn = np.sqrt(qn)
-        bq = c.sparkSession.sparkContext.broadcast((qids, Q, qn))
+        payload = (qids, Q, qn, null_vec_qids)
+        if Q.nbytes <= _BQ_CLOSURE_BYTES:
+            # small query side: ship in the task closure — no broadcast
+            # block to leak across repeated calls
+            def _state(p=payload):
+                return p
+        else:
+            bq = sc.broadcast(payload)
+
+            def _state(b=bq):
+                return b.value
         qid_type = q.schema["query_id"].dataType.simpleString()
         mid_type = c.schema["match_id"].dataType.simpleString()
 
         def score(it):
-            qids_, Q_, qn_ = bq.value
+            qids_, Q_, qn_, null_q = _state()
             nq = len(qids_)
+            dim = Q_.shape[1] if Q_.ndim == 2 else 0
             for pdf in it:
-                if not len(pdf) or not nq:
+                if not len(pdf) or (not nq and not null_q):
                     continue
-                M = np.array(
-                    [np.asarray(v, dtype=np.float64) for v in pdf["cv"]]
-                )
-                if M.ndim != 2 or M.shape[1] != Q_.shape[1]:
-                    raise ValueError(
-                        "brute_force_topk kernel requires uniform vector "
-                        f"dims; corpus batch {M.shape} vs queries "
-                        f"{Q_.shape} — use use_arrow=False for ragged data"
+                cv = pdf["cv"]
+                cv_valid = cv.notna().to_numpy(dtype=bool)
+                # null match_id never satisfies `query_id != match_id`
+                mid = pdf["match_id"]
+                mid_valid = mid.notna().to_numpy(dtype=bool)
+                ids = mid.to_numpy()
+                n_rows = len(pdf)
+                cos = np.full((n_rows, nq), np.nan)
+                denom = np.zeros((n_rows, nq))
+                if nq and cv_valid.any():
+                    M = np.array(
+                        [np.asarray(v, dtype=np.float64) for v in cv[cv_valid]]
                     )
-                ids = pdf["match_id"].to_numpy()
-                # sequential per-dimension accumulation == the Catalyst
-                # fold's operation order, element for element
-                acc = np.zeros((len(M), nq))
-                cn = np.zeros(len(M))
-                for j in range(M.shape[1]):
-                    col = M[:, j]
-                    acc += col[:, None] * Q_[:, j][None, :]
-                    cn += col * col
-                cn = np.sqrt(cn)
-                denom = cn[:, None] * qn_[None, :]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = acc / denom
+                    if M.ndim != 2 or M.shape[1] != dim:
+                        raise ValueError(
+                            "brute_force_topk kernel requires uniform "
+                            f"vector dims; corpus batch {M.shape} vs "
+                            f"queries {Q_.shape} — use use_arrow=False "
+                            "for ragged data"
+                        )
+                    # sequential per-dimension accumulation == the
+                    # Catalyst fold's operation order, element for element
+                    acc = np.zeros((len(M), nq))
+                    cn = np.zeros(len(M))
+                    for j in range(dim):
+                        col = M[:, j]
+                        acc += col[:, None] * Q_[:, j][None, :]
+                        cn += col * col
+                    cn = np.sqrt(cn)
+                    dsub = cn[:, None] * qn_[None, :]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        csub = acc / dsub
+                    cos[cv_valid] = csub
+                    denom[cv_valid] = dsub
                 out_q, out_m, out_c = [], [], []
                 for qi in range(nq):
-                    mask = ids != qids_[qi]
+                    mask = mid_valid & (mid != qids_[qi]).to_numpy(dtype=bool)
                     ok = denom[:, qi] > 0
                     vals = np.where(ok, cos[:, qi], np.nan)
                     out_q.append(np.full(int(mask.sum()), qids_[qi], dtype=object))
                     out_m.append(ids[mask])
                     out_c.append(vals[mask])
+                for nqid in null_q:
+                    # null query vector: null cos for every joined row
+                    mask = mid_valid & (mid != nqid).to_numpy(dtype=bool)
+                    out_q.append(np.full(int(mask.sum()), nqid, dtype=object))
+                    out_m.append(ids[mask])
+                    out_c.append(np.full(int(mask.sum()), np.nan))
                 yield pd.DataFrame(
                     {
-                        "query_id": np.concatenate(out_q),
-                        "match_id": np.concatenate(out_m),
-                        "cos": np.concatenate(out_c),
+                        "query_id": np.concatenate(out_q)
+                        if out_q
+                        else np.empty(0, dtype=object),
+                        "match_id": np.concatenate(out_m)
+                        if out_m
+                        else np.empty(0, dtype=object),
+                        "cos": np.concatenate(out_c)
+                        if out_c
+                        else np.empty(0, dtype=np.float64),
                     }
                 )
 
@@ -138,11 +225,16 @@ def brute_force_topk(
             schema=f"query_id {qid_type}, match_id {mid_type}, cos double",
         ).withColumn("cos", F.round(F.col("cos"), 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
-    return (
+    out = (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "match_id", "cos", "rk")
     )
+    if bq is not None:
+        # release discipline: Broadcast.unpersist() is duck-compatible
+        # with the cached-DataFrame handles release_caches expects
+        out._graft_caches = (bq,)
+    return out
 
 
 def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:

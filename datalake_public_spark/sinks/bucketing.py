@@ -185,6 +185,53 @@ def q5_regional_revenue_bucketed(
     )
 
 
+def tpch_trio_bucketed(
+    spark: SparkSession, sf: str, orders_tbl: str, lineitem_tbl: str
+) -> dict[str, "DataFrame"]:
+    """tpch_breadth's heavy trio (q9 / q12 / q21 — the three largest
+    per-op rows of the ×100 map, each paying its own lineitem⋈orders
+    shuffle) over the SAME orderkey-bucketed fact layout q3/q5 use:
+    identical logical plans and results, but the fact join reads
+    co-bucketed+sorted tables, so each query's physical plan has ZERO
+    Exchange and ZERO Sort on the fact join (pinned in
+    tests/test_plan_quality.py). q21's two per-order rollups were
+    already exchange-free ABOVE the join (HashPartitioning(orderkey)
+    satisfies both groupings); bucketing removes the exchange BELOW it
+    too, so the whole q21 pipeline runs shuffle-free up to the final
+    100-row rollup. One ingest shuffle, amortized across every
+    orderkey-keyed query of the deployment — the round-13 window/q5
+    lever applied to the trio (VERDICT r13 item 1).
+
+    Integer-exactness note: q9/q12/q21 aggregate exact longs (cents,
+    counts, flags), so unlike q3/q5's float revenue sums the bucketed
+    plans are bit-identical to the scan plans at ANY row count — no
+    last-ulp sum-order caveat."""
+    from datalake_public_spark.driver_queries import (
+        _q9_body,
+        _q12_body,
+        _q21_body,
+        _t,
+    )
+
+    # hint("merge"): same rationale as q3_top_orders_bucketed — at
+    # 100 TB neither fact side broadcasts; the hint pins the SMJ shape
+    # at test SFs too, where tiny orders would otherwise auto-broadcast
+    # and hide the layout's effect.
+    o = spark.table(orders_tbl).hint("merge")
+    li = spark.table(lineitem_tbl).hint("merge")
+    return {
+        "q9": _q9_body(
+            li,
+            o,
+            _t(spark, sf, "supplier"),
+            _t(spark, sf, "nation"),
+            _t(spark, sf, "part"),
+        ),
+        "q12": _q12_body(li, o),
+        "q21": _q21_body(li, o, _t(spark, sf, "supplier")),
+    }
+
+
 def plan_compaction(total_bytes: int, target_bytes: int = 128 * 1024 * 1024) -> int:
     """Number of output files for a compaction rewrite (≥1)."""
     return max(1, math.ceil(total_bytes / max(1, target_bytes)))

@@ -333,6 +333,53 @@ def test_bucketed_fact_join_no_exchange(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {l_tbl}")
 
 
+def test_bucketed_tpch_trio_no_fact_exchange(spark, tmp_path):
+    """Round 14 (VERDICT r13 item 1): tpch_breadth's heavy trio
+    (q9/q12/q21) over the orderkey-bucketed fact layout must run its
+    lineitem⋈orders join with ZERO Exchange on either fact side — no
+    hashpartitioning on the order key anywhere in the plan. q21's two
+    per-order rollups already reuse the join's partitioning, so its
+    whole pipeline is exchange-free up to the tiny per-supplier rollup.
+    Results identical to the parquet-scan queries."""
+    from datalake_public_spark.driver_queries import (
+        q9_product_profit,
+        q12_late_shipment_priority,
+        q21_waiting_suppliers,
+    )
+    from datalake_public_spark.sinks.bucketing import (
+        materialize_fact_buckets,
+        tpch_trio_bucketed,
+    )
+
+    o_tbl, l_tbl = materialize_fact_buckets(
+        spark, SF_SMOKE, str(tmp_path), n_buckets=4
+    )
+    plain = {
+        "q9": q9_product_profit,
+        "q12": q12_late_shipment_priority,
+        "q21": q21_waiting_suppliers,
+    }
+    try:
+        trio = tpch_trio_bucketed(spark, SF_SMOKE, o_tbl, l_tbl)
+        for op, df in trio.items():
+            # plan asserts BEFORE execution: a collected AdaptiveSparkPlan
+            # explains final+initial plans and doubles every node count
+            p = _plan(spark, df)
+            assert "SortMergeJoin [l_orderkey" in p, (op, p)
+            assert "hashpartitioning(l_orderkey" not in p, (op, p)
+            assert "hashpartitioning(o_orderkey" not in p, (op, p)
+            assert "CartesianProduct" not in p, op
+            if op == "q21":
+                # end-to-end: only the 100-row per-supplier rollup shuffles
+                assert p.count("Exchange hashpartitioning") == 1, p
+            expect = {tuple(r) for r in plain[op](spark, SF_SMOKE).collect()}
+            got = {tuple(r) for r in df.collect()}
+            assert got == expect, op
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {l_tbl}")
+
+
 def test_bucketed_window_no_exchange(spark, tmp_path):
     """Custkey-bucketed orders layout (sinks/bucketing.py::
     materialize_orders_custkey_buckets): the per-customer window suite

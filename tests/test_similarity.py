@@ -66,6 +66,37 @@ def test_brute_force_kernel_zero_norm_and_ties(spark):
     assert {r.match_id for r in nulls} == {2} and by_rk[5].match_id == 2
 
 
+def test_brute_force_kernel_null_vectors_and_ids(spark):
+    """Round-14 ADVICE fixes pinned: NULL embeddings score NULL cos
+    (kernel used to crash in np.array), NULL match_ids are dropped by
+    the join-condition semantics (None != qid is True in Python but the
+    SQL `query_id != match_id` is NULL → false), and a NULL query_id
+    emits no rows — all identical between kernel and expression forms."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.5, 0.1]),
+        (2, None),          # null corpus embedding → null cos, kept
+        (None, [9.0, 9.0]), # null match_id → dropped from every query
+        (4, [0.3, 0.4]),
+        (5, None),          # second null embedding
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q_rows = [(0, [1.0, 0.0]), (4, None), (None, [1.0, 1.0])]
+    q = spark.createDataFrame(q_rows, "vec_id long, embedding array<double>")
+    kern = similarity.brute_force_topk(q, df, k=6).collect()
+    expr = similarity.brute_force_topk(q, df, k=6, use_arrow=False).collect()
+    assert sorted(map(tuple, kern)) == sorted(map(tuple, expr))
+    # null query_id emitted nothing; null-embedding query 4 emits all
+    # non-self non-null-id rows with null cos
+    assert {r.query_id for r in kern} == {0, 4}
+    q4 = [r for r in kern if r.query_id == 4]
+    assert all(r.cos is None for r in q4)
+    assert {r.match_id for r in q4} == {0, 1, 2, 5}
+    # null corpus embeddings present for query 0 with null cos, last
+    q0_nulls = [r for r in kern if r.query_id == 0 and r.cos is None]
+    assert {r.match_id for r in q0_nulls} == {2, 5}
+
+
 def test_lsh_recall_floor(spark, emb):
     """ANN must beat random-candidate recall by a wide margin on random
     data (multiprobe signbit buckets at 8 planes ≈ 3.5% candidates)."""

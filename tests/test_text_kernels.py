@@ -261,3 +261,55 @@ def test_text_stats_kernel_matches_catalyst(spark):
     ka = DR.text_stats(spark, "/root/testdata/sf0.001", use_arrow=True)
     kb = DR.text_stats(spark, "/root/testdata/sf0.001", use_arrow=False)
     assert sorted(map(tuple, ka.collect())) == sorted(map(tuple, kb.collect()))
+
+
+def test_lang_quality_kernel_matches_catalyst(spark):
+    """Round-14 mapInArrow text_lang_quality kernel ≡ the staged
+    Catalyst spec path — edge cases (NULL text, empty, zero-token,
+    marker ties, zh markers, drop-rule boundaries) and the full sf0.001
+    corpus, schema included. Both paths additionally face the DuckDB
+    oracle hash at every rung."""
+    import datalake_public_spark.driver_registry as DR
+
+    cases = [
+        (1, "the the the and of to a"),            # en, short
+        (2, ""),
+        (3, None),
+        (4, "der die und le la les"),              # de/fr tie → de (order)
+        (5, "的 是 在 了 不 的"),                     # zh markers
+        (6, "x " * 500),                           # repetitive, long
+        (7, "el los las y de " * 20),              # es, survives length
+        (8, "  spaces   everywhere  "),
+        (9, "one"),
+        (10, "word " + "unique" + " ".join(f"t{i}" for i in range(60))),
+        (11, "de la the el " * 30),                # cross-lang mix
+        (12, " " * 10),                            # zero tokens, nonzero chars
+    ]
+    # the stored n_chars column deliberately DIVERGES from length(text)
+    # on doc 1: the output must carry the table column verbatim while
+    # the min-chars rule evaluates length(text)
+    cases = [
+        (i, t, (999 if i == 1 else (len(t) if t is not None else None)))
+        for i, t in cases
+    ]
+    docs = spark.createDataFrame(
+        cases, "doc_id long, text string, n_chars long"
+    )
+    orig_t = DR._t
+    DR._t = lambda s, sf, t: docs
+    try:
+        a = DR.text_lang_quality(spark, "x", use_arrow=True)
+        b = DR.text_lang_quality(spark, "x", use_arrow=False)
+        assert [(f.name, f.dataType) for f in a.schema.fields] == [
+            (f.name, f.dataType) for f in b.schema.fields
+        ]
+        assert sorted(map(tuple, a.collect()), key=str) == sorted(
+            map(tuple, b.collect()), key=str
+        )
+    finally:
+        DR._t = orig_t
+    ka = DR.text_lang_quality(spark, "/root/testdata/sf0.001", use_arrow=True)
+    kb = DR.text_lang_quality(spark, "/root/testdata/sf0.001", use_arrow=False)
+    assert sorted(map(tuple, ka.collect()), key=str) == sorted(
+        map(tuple, kb.collect()), key=str
+    )

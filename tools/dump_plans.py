@@ -1,16 +1,19 @@
-"""Dump .explain("formatted") for declared/bench queries to plans/r13/.
+"""Dump .explain("formatted") for declared/bench queries to plans/<round>/.
 
 Optimization-round evidence (guide §1/§7.2): the judge cannot run Spark,
-so every plan claim in OPTIMIZATION_r13.md is backed by a committed
-``plans/r13/<name>_{before,after}.txt`` produced by this tool at the
+so every plan claim in OPTIMIZATION_r*.md is backed by a committed
+``plans/<round>/<name>_{before,after}.txt`` produced by this tool at the
 matching commit.
 
 Usage:
-    python tools/dump_plans.py <suffix> [name1,name2,...]
+    DLPS_PLAN_ROUND=r14 python tools/dump_plans.py <suffix> [name1,name2,...]
 
-``suffix`` is ``before`` or ``after``. With no name list, dumps the
+``suffix`` is ``before`` or ``after``; the output round directory comes
+from ``$DLPS_PLAN_ROUND`` (default r14). With no name list, dumps the
 bench HEADLINE set plus the bucketed twins. Names resolve first in the
-bench extra set, then in the merged driver registry.
+bench extra set (incl. the tpch trio per-op frames ``q9``/``q12``/
+``q21`` and their ``*_bucketed`` twins — round 14), then in the merged
+driver registry.
 """
 
 from __future__ import annotations
@@ -31,7 +34,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r13",
+        os.environ.get("DLPS_PLAN_ROUND", "r14"),
     )
     os.makedirs(out_dir, exist_ok=True)
 
@@ -67,6 +70,42 @@ def main() -> None:
             _docs(s, d).select("doc_id", "text"), _queries_df(s), k=10
         ),
     }
+
+    # tpch trio per-op frames + their bucketed twins (round 14): the
+    # bucketed plans need the bucket tables materialized first, so they
+    # are built lazily on first request and shared across names
+    def _trio_scan(op):
+        def build(s, d):
+            from datalake_public_spark.driver_registry import (
+                tpch_breadth_parts,
+            )
+
+            return tpch_breadth_parts(s, d)[op]
+
+        return build
+
+    _bucket_state: dict = {}
+
+    def _trio_bucketed(op):
+        def build(s, d):
+            import tempfile
+
+            from datalake_public_spark.sinks.bucketing import (
+                materialize_fact_buckets,
+                tpch_trio_bucketed,
+            )
+
+            if "names" not in _bucket_state:
+                _bucket_state["names"] = materialize_fact_buckets(
+                    s, d, tempfile.mkdtemp(prefix="bkt_plans_"), n_buckets=32
+                )
+            return tpch_trio_bucketed(s, d, *_bucket_state["names"])[op]
+
+        return build
+
+    for _op in ("q9", "q12", "q21"):
+        extra[_op] = _trio_scan(_op)
+        extra[f"{_op}_bucketed"] = _trio_bucketed(_op)
 
     default = [
         "q1_pricing_summary",

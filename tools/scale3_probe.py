@@ -119,6 +119,35 @@ def main() -> None:
 
         return q3_top_orders_bucketed(spark, sf, *bucket_state["names"])
 
+    # round 14 (VERDICT r13 item 1): tpch_breadth's heavy trio — the
+    # largest unoptimized cost of the ×100 map (q21 8.2 / q9 7.7 /
+    # q12 6.7 s; each pays an independent lineitem⋈orders shuffle) —
+    # A-B'd against the SAME orderkey-bucketed layout q3/q5 use. Scan
+    # twins ride tpch_breadth_parts so the probe times the exact frames
+    # the registry entry unions.
+    def _trio_scan(op):
+        def run(spark, sf):
+            from datalake_public_spark import driver_queries as DQ
+
+            fn = {
+                "q9": DQ.q9_product_profit,
+                "q12": DQ.q12_late_shipment_priority,
+                "q21": DQ.q21_waiting_suppliers,
+            }[op]
+            return fn(spark, sf)
+
+        return run
+
+    def _trio_bucketed(op):
+        def run(spark, sf):
+            from datalake_public_spark.sinks.bucketing import (
+                tpch_trio_bucketed,
+            )
+
+            return tpch_trio_bucketed(spark, sf, *bucket_state["names"])[op]
+
+        return run
+
     # round 13 (VERDICT r12 item 2): the window family's layout lever —
     # window_suite is the rung's clearest remaining spill row (36.0/22.0
     # at r12: the custkey window exchange over 150M orders spills where
@@ -201,6 +230,12 @@ def main() -> None:
         "q3_top_orders_bucketed": q3_bucketed,
         "q5_regional_revenue": DR.FINAL_REGISTRY["q5_regional_revenue"].spark,
         "q5_regional_revenue_bucketed": q5_bucketed,
+        "tpch_q9": _trio_scan("q9"),
+        "tpch_q9_bucketed": _trio_bucketed("q9"),
+        "tpch_q12": _trio_scan("q12"),
+        "tpch_q12_bucketed": _trio_bucketed("q12"),
+        "tpch_q21": _trio_scan("q21"),
+        "tpch_q21_bucketed": _trio_bucketed("q21"),
         "dedup_exact": DR.FINAL_REGISTRY["dedup_exact"].spark,
         "dedup_minhash_lsh": DR.FINAL_REGISTRY["dedup_minhash_lsh"].spark,
         "dedup_components": dedup_components_banded(BAND),
@@ -295,6 +330,9 @@ def main() -> None:
     prepares = {
         "q3_top_orders_bucketed": prepare_buckets,
         "q5_regional_revenue_bucketed": prepare_buckets,
+        "tpch_q9_bucketed": prepare_buckets,
+        "tpch_q12_bucketed": prepare_buckets,
+        "tpch_q21_bucketed": prepare_buckets,
         "window_suite_bucketed": prepare_ckey_buckets,
     }
 
