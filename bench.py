@@ -16,6 +16,13 @@ the min is the reproducible number. `value` = sum of per-query mins.
 (sinks/bucketing.py; materialization untimed — it is paid once at ingest)
 next to their scan-based twins, NOT counted in `value` so totals stay
 comparable across rounds.
+
+Round 14 (VERDICT r13 item 5): three rows the optimizer actually works
+on — text_stats, decontaminate_train_split, similarity_topk — join the
+reported set as ADDITIONS (the 13 original rows are untouched);
+`value_r13_comparable` / `value_r7_comparable` exclude them so every
+older total series reads unbroken. Operator-adopted caches are released
+between reps so the published min never measures a cache hit.
 """
 
 from __future__ import annotations
@@ -33,6 +40,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from datalake_public_spark import EngineConfig, get_spark
 from datalake_public_spark.driver_queries import REGISTRY
 from datalake_public_spark.driver_queries_llm import LLM_REGISTRY
+from datalake_public_spark.driver_registry import FINAL_REGISTRY
 
 # The headline set: every engine surface (scan-agg, star join, window,
 # sessionize, dedup exact/LSH, text analysis, fingerprint, ANN, streaming-
@@ -53,7 +61,18 @@ HEADLINE = [
     "text_quality_score",
     "doc_fingerprint",
     "similarity_ann_lsh",
+    # round 14 (VERDICT r13 item 5): the entries the r13/r14 optimizer
+    # actually works on, promoted into the reported set — ADDITIONS
+    # ONLY; the original 13 rows are unchanged and `value_r13_comparable`
+    # below keeps the old total series directly comparable.
+    "text_stats",
+    "decontaminate_train_split",
+    "similarity_topk",
 ]
+
+#: rows added in round 14 — excluded from the *_comparable totals so
+#: cross-round series stay apples-to-apples
+R14_ROWS = {"text_stats", "decontaminate_train_split", "similarity_topk"}
 
 
 def main() -> None:
@@ -66,7 +85,12 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    registry = {**REGISTRY, **LLM_REGISTRY}
+    # FINAL_REGISTRY FIRST so the original lookup precedence for every
+    # pre-r14 headline name is unchanged (e.g. the FINAL_REGISTRY
+    # dedup_minhash_lsh is the self-verifying union, NOT the headline
+    # operator this bench has always timed); it only CONTRIBUTES names
+    # the other registries lack (text_stats — the r14 addition)
+    registry = {**FINAL_REGISTRY, **REGISTRY, **LLM_REGISTRY}
 
     # untimed warmup: JVM/codegen spin-up + scan of the two hot tables
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).write.format(
@@ -197,10 +221,21 @@ def main() -> None:
     except Exception as e:
         canary["start"] = {"err": str(e)[:200]}
 
+    from datalake_public_spark.operators.dedup import release_caches
+
     samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
     for _rep in range(reps):
         for name in HEADLINE:
-            samples[name].append(run_noop(build(name)))
+            df = build(name)
+            samples[name].append(run_noop(df))
+            # release operator-adopted caches between reps (round 14):
+            # a persisted intermediate materialized inside rep 1's timed
+            # region would otherwise be silently reused by reps 2..N via
+            # CacheManager plan matching, and the published min would
+            # measure a warm cache instead of the computation — the same
+            # per-rep clearCache discipline the sweep/probe tools apply.
+            # No-op for entries that adopt no caches.
+            release_caches(df)
     try:
         canary["end"] = _canary(spark)
     except Exception as e:
@@ -224,6 +259,7 @@ def main() -> None:
         materialize_orders_custkey_buckets,
         q3_top_orders_bucketed,
         q5_regional_revenue_bucketed,
+        tpch_trio_bucketed,
         window_suite_bucketed,
     )
 
@@ -242,6 +278,17 @@ def main() -> None:
             # round 13: the analytic twin — zero-Exchange windows over
             # the custkey-bucketed layout (×1000 A-B in SCALE3_r13)
             ("window_suite_bucketed", lambda s, _sf, _o, _l: window_suite_bucketed(s, ck_tbl)),
+            # round 14: tpch_breadth's heavy trio over the same layout
+            # (×100 A-B 31.0 → 12.9 s; ×1000 rows in SCALE3_r14)
+            *[
+                (
+                    f"tpch_{op}_bucketed",
+                    lambda s, sfd, o, l, _op=op: tpch_trio_bucketed(
+                        s, sfd, o, l
+                    )[_op],
+                )
+                for op in ("q9", "q12", "q21")
+            ],
         ):
             t = run_noop(fn(spark, sf_dir, o_tbl, l_tbl))
             bucketed_best[name] = min(bucketed_best.get(name, float("inf")), t)
@@ -257,6 +304,7 @@ def main() -> None:
     EXTENSIONS = {"dedup_lines", "bm25_topk"}
     core = {n: t for n, t in timings.items() if n not in EXTENSIONS}
     total = round(sum(core.values()), 3)
+    r14_sum = sum(core.get(n, 0.0) for n in R14_ROWS)
     mid = {
         n: round((bands[n][0] + bands[n][1]) / 2, 3) for n in core
     }
@@ -271,8 +319,13 @@ def main() -> None:
                 **({"role": role} if role else {}),
                 "metric": "headline_queries_wall_time",
                 "value": total,
+                # cross-round comparability: r13_comparable drops the
+                # three rows round 14 ADDED; r7_comparable additionally
+                # drops bm25_topk_prebuilt (the round-8 promotion) — so
+                # each older total series continues unbroken
+                "value_r13_comparable": round(total - r14_sum, 3),
                 "value_r7_comparable": round(
-                    total - core.get("bm25_topk_prebuilt", 0.0), 3
+                    total - core.get("bm25_topk_prebuilt", 0.0) - r14_sum, 3
                 ),
                 # band midpoint total: less sensitive to one lucky rep
                 # than the min-sum; judge both before calling regression

@@ -106,12 +106,21 @@ def _rep_lift_inputs(
     if groups is None:
         groups = exact_dedup(docs, text_col, id_col).persist()
         own.append(groups)
+    # The mapping is a full corpus scan + md5 per COMPUTE, and several
+    # consumers read it across separate jobs (lift joins, per-bd weight
+    # rollups). Persist the narrow (id, rep) result so later jobs read
+    # the cache instead of re-scanning + re-md5ing the corpus (round 14
+    # — decontaminate ×100 ~4 → ~2 s). Persist WITHOUT an eager count:
+    # the extra materialization job measured net-negative at entry
+    # level, and same-job multi-branch reads are largely absorbed by
+    # exchange reuse.
     mapping = docs.select(
         F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash")
     ).join(
         groups.select("content_hash", F.col("keep_id").alias("rep")),
         "content_hash",
-    ).select("id", "rep")
+    ).select("id", "rep").persist()
+    own.append(mapping)
     if reps is None:
         reps = docs.join(
             groups.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
@@ -824,39 +833,87 @@ def fuzzy_join_minhash_via_reps(
         ).select(rep, "bk.band", "bk.key")
         # doc-multiplicity weights: bucket sizes must count DOCS (the
         # direct semantics), not reps — per (rep, bd) when id-banded,
-        # since the cap keys on bd there and copies spread across bands
+        # since the cap keys on bd there and copies spread across bands.
+        # The mapping persists (round 14): it feeds the weight rollup
+        # AND the final lift joins across separate jobs, and each
+        # compute is a full corpus scan + md5. Lazy persist, no eager
+        # count — the extra job measured net-negative at entry level.
+        if id_band is not None:
+            mapping = mapping.withColumn(
+                "bd", F.expr(f"{rid} DIV {int(id_band)}")
+            )
+        mapping = mapping.persist()
+        own.append(mapping)
         if id_band is None:
             counts = groups.select(
                 F.col("keep_id").alias(rep), F.col("n_copies").alias("n_docs")
             )
-        else:
-            mapping = mapping.withColumn(
-                "bd", F.expr(f"{rid} DIV {int(id_band)}")
+            wb = banded.join(counts, rep)
+            sizes = wb.groupBy(*bucket_keys).agg(F.sum("n_docs").alias("n"))
+            ok = sizes.filter(F.col("n") <= max_bucket).select(*bucket_keys)
+            surviving = wb.join(ok, bucket_keys, "left_semi").select(
+                rep, *bucket_keys
             )
-            counts = mapping.groupBy(rep, "bd").agg(
-                F.count(F.lit(1)).alias("n_docs")
-            )
-        wb = banded.join(counts, rep)
-        sizes = wb.groupBy(*bucket_keys).agg(F.sum("n_docs").alias("n"))
-        ok = sizes.filter(F.col("n") <= max_bucket).select(*bucket_keys)
-        surviving = wb.join(ok, bucket_keys, "left_semi").select(
-            rep, *bucket_keys
+            return mapping, sigs, surviving, None, None
+        # id-banded path (round 14 rewrite, guide §2.3 "don't compute
+        # things you throw away"): the old shape materialized a
+        # rep×band×bd "surviving" frame PER SIDE (on a replicated corpus
+        # every rep has copies in every bd, so that is |banded|×|bds|
+        # rows — 4M per side at ×100 for an 11.9k-candidate answer) and
+        # joined the two 4M-row frames. The cap's COMPLEMENT is tiny
+        # (only degenerate boilerplate buckets exceed max_bucket), so
+        # candidates are now built rep-level first (banded_l⋈banded_r —
+        # only MATCHED pairs expand) and the per-bd cap applies as two
+        # anti-joins against the small capped sets; complement identity
+        # makes the candidate set EXACTLY the old semi-join's (set
+        # equality verified at ×100: 11,900 = 11,900; ×100 A-B
+        # candidate stage 10.0 → 3.4 s).
+        banded = banded.persist()
+        own.append(banded)  # feeds capped AND the pair stream
+        counts = mapping.groupBy(rep, "bd").agg(
+            F.count(F.lit(1)).alias("n_docs")
+        ).persist()
+        own.append(counts)  # feeds capped AND the bd co-presence joins
+        capped = (
+            banded.join(counts, rep)
+            .groupBy(*bucket_keys)
+            .agg(F.sum("n_docs").alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .select(*bucket_keys)
         )
-        return mapping, sigs, surviving
+        return mapping, sigs, banded, counts, capped
 
-    mapping_l, sigs_l, surv_l = prep(left, "left")
-    mapping_r, sigs_r, surv_r = prep(right, "right")
-    cand_cols = ["left_rep", "right_rep"] + (
-        ["bd"] if id_band is not None else []
-    )
-    cand = surv_l.join(surv_r, bucket_keys).select(*cand_cols).distinct()
+    mapping_l, sigs_l, surv_l, counts_l, capped_l = prep(left, "left")
+    mapping_r, sigs_r, surv_r, counts_r, capped_r = prep(right, "right")
     from datalake_public_spark.functions.arith import int_ratio_half_up
 
     if id_band is not None:
+        # surv_* hold the rep-level banded frames here (see prep)
+        cand = (
+            surv_l.join(surv_r, ["band", "key"])
+            .join(counts_l.select("left_rep", "bd"), "left_rep")
+            .join(
+                counts_r.select("right_rep", "bd"),
+                ["right_rep", "bd"],
+                "left_semi",
+            )
+            .join(capped_l, bucket_keys, "left_anti")
+            .join(capped_r, bucket_keys, "left_anti")
+            .select("left_rep", "right_rep", "bd")
+            .distinct()
+        )
         cand = cand.persist()  # feeds the rep-pair distinct AND the lift
         own.append(cand)
+        # materialize before multi-branch reuse (file convention): both
+        # consumers start inside ONE final job, and a lazily-populated
+        # cache races there (A-B'd at x100: 20.0 s entry with the count
+        # vs 21.1 without, and the cold rep improves more)
+        cand.count()
         rep_pairs = cand.select("left_rep", "right_rep").distinct()
     else:
+        cand = surv_l.join(surv_r, bucket_keys).select(
+            "left_rep", "right_rep"
+        ).distinct()
         rep_pairs = cand
     sh_l = sigs_l.select(F.col("id").alias("left_rep"), F.col("shingles").alias("sh_l"))
     sh_r = sigs_r.select(F.col("id").alias("right_rep"), F.col("shingles").alias("sh_r"))

@@ -246,6 +246,10 @@ def main() -> None:
         ].spark,
         "decontaminate_direct": _decontaminate_direct,
         "text_stats": DR.FINAL_REGISTRY["text_stats"].spark,
+        # round 14: the language/quality kernel twin of text_stats —
+        # its ×1000 row lands beside text_stats' so the kernel family's
+        # scale behavior is tracked per entry
+        "text_lang_quality": DR.FINAL_REGISTRY["text_lang_quality"].spark,
         "doc_fingerprint": DR.FINAL_REGISTRY["doc_fingerprint"].spark,
         "similarity_topk": DR.FINAL_REGISTRY["similarity_topk"].spark,
         # round 12: the events/window plan families (the rung had no
